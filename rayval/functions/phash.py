@@ -1,0 +1,47 @@
+"""Perceptual hash (average-hash, 64-bit) over decoded pixels.
+
+Used for: (a) the ``phash`` column of the synthetic images table, (b) the
+decode stage's phash-recompute cross-check, (c) exact-duplicate detection
+(north_star: "every pHash duplicate flagged") where hot buckets get
+skew-aware handling (stages/dedup.py).
+
+Average-hash: downsample the grayscale image to 8x8 by grid sampling, set
+bit i iff cell i is above the mean.  Returned as int64 (the uint64 bit
+pattern reinterpreted, matching the Arrow int64 column type).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """(h, w, 3) uint8 -> int64 average-hash."""
+    gray = pixels.astype(np.float32).mean(axis=2)
+    h, w = gray.shape
+    ys = np.linspace(0, h - 1, 8).round().astype(int)
+    xs = np.linspace(0, w - 1, 8).round().astype(int)
+    cells = gray[np.ix_(ys, xs)]
+    bits = (cells > cells.mean()).ravel()
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            val |= np.uint64(1) << np.uint64(i)
+    return int(val.astype(np.int64))
+
+
+def hamming64(a: np.ndarray, b: int) -> np.ndarray:
+    """Vectorized hamming distance between an int64 column and one hash."""
+    x = np.asarray(a, dtype=np.int64).view(np.uint64) ^ np.uint64(b & 0xFFFFFFFFFFFFFFFF)
+    return _popcount64(x)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    out = np.zeros(x.shape, dtype=np.int64)
+    for shift in range(0, 64, 8):
+        out += _POP8[(x >> np.uint64(shift)) & np.uint64(0xFF)]
+    return out
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)

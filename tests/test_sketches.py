@@ -1,0 +1,101 @@
+"""Sketch layer: accuracy, mergeability (partial+final), serialization
+round-trip (checkpoint), determinism (resume re-merge)."""
+
+import numpy as np
+import pytest
+
+from rayval.state import HLL, KLL, Bloom, hash64, ks_distance
+
+
+def test_hash64_deterministic_and_typed():
+    a = hash64(["a", "b", "a"])
+    assert a[0] == a[2] and a[0] != a[1]
+    assert hash64(np.arange(5))[0] == hash64(np.arange(5))[0]
+
+
+def test_hll_estimate_accuracy():
+    h = HLL()
+    n = 50_000
+    h.add(np.arange(n))
+    assert abs(h.estimate() - n) / n < 0.05
+
+
+def test_hll_merge_equals_whole():
+    a, b, whole = HLL(), HLL(), HLL()
+    x = np.arange(10_000)
+    a.add(x[:6000])
+    b.add(x[4000:])  # overlap on purpose
+    whole.add(x)
+    assert a.merge(b).estimate() == pytest.approx(whole.estimate())
+
+
+def test_hll_serialization_roundtrip():
+    h = HLL().add(np.arange(1000))
+    h2 = HLL.from_bytes(h.to_bytes())
+    assert h2.estimate() == h.estimate()
+
+
+def test_kll_quantiles():
+    rng = np.random.default_rng(0)
+    data = rng.normal(100, 15, 200_000)
+    s = KLL()
+    for chunk in np.array_split(data, 40):
+        s.add(chunk)
+    for q in (0.1, 0.5, 0.9):
+        assert abs(s.quantile(q) - np.quantile(data, q)) < 2.0
+    assert s.quantile(0.0) == data.min()
+    assert s.quantile(1.0) == data.max()
+
+
+def test_kll_merge_partials():
+    rng = np.random.default_rng(1)
+    data = rng.exponential(10, 100_000)
+    parts = [KLL(seed=i).add(c) for i, c in enumerate(np.array_split(data, 8))]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.n == len(data)
+    assert abs(merged.quantile(0.5) - np.quantile(data, 0.5)) < 1.0
+
+
+def test_kll_serialize_and_determinism():
+    data = np.arange(10_000, dtype=float)
+    s1 = KLL().add(data)
+    s2 = KLL.from_bytes(s1.to_bytes())
+    assert s1.quantiles([0.25, 0.75]) == s2.quantiles([0.25, 0.75])
+    # same input, same seed -> identical sketch (resume reproducibility)
+    s3 = KLL().add(data)
+    assert s1.quantiles([0.1, 0.9]) == s3.quantiles([0.1, 0.9])
+
+
+def test_ks_distance_detects_drift():
+    a = KLL().add(np.random.default_rng(2).normal(0, 1, 50_000))
+    b = KLL().add(np.random.default_rng(3).normal(0, 1, 50_000))
+    c = KLL().add(np.random.default_rng(4).normal(3, 1, 50_000))
+    assert ks_distance(a, b) < 0.05
+    assert ks_distance(a, c) > 0.5
+
+
+def test_bloom_no_false_negatives():
+    b = Bloom(10_000, fpp=0.01)
+    members = np.arange(10_000)
+    b.add(members)
+    assert b.contains(members).all()
+
+
+def test_bloom_fpp_bounded():
+    b = Bloom(10_000, fpp=0.01)
+    b.add(np.arange(10_000))
+    non = np.arange(100_000, 200_000)
+    fp = b.contains(non).mean()
+    assert fp < 0.03
+
+
+def test_bloom_merge_and_serialize():
+    a = Bloom(1000, fpp=0.01)
+    c = Bloom(1000, fpp=0.01)
+    a.add(np.arange(500))
+    c.add(np.arange(500, 1000))
+    a.merge(c)
+    a2 = Bloom.from_bytes(a.to_bytes())
+    assert a2.contains(np.arange(1000)).all()
