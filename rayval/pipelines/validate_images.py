@@ -1,0 +1,287 @@
+"""Flagship pipeline — the engine's ``decode`` analog (core.clj:274-276) at
+table scale.  Two phases:
+
+PHASE 1 (per fragment-group, checkpointed, resumable — this is where ~all the
+compute lives):
+    read fragments (partition-tagged, columns pruned at the read)
+      → MetaValidate        stateless map_batches, vectorized masks
+      → DecodeCheck         actor pool, small batches (wide binary rows)
+      → write narrow per-row results parquet (bytes dropped)
+    then, from the (small) results read-back:
+      → violations parquet, sketch partials, Bloom partial, manifest commit
+
+PHASE 2 (global, cheap, runs over committed narrow results only):
+      → phash.unique duplicates (skew-aware, stages/dedup.py)
+      → image_id.ref referential (Bloom + hash-partitioned anti-join)
+      → stats.drift.<col> per-partition drift vs reference profile
+      → partition_stats table + per-partition verdicts + report
+
+Resume: killed runs skip committed groups entirely (manifest set-difference);
+phase 2 recomputes from persisted narrow outputs, never from raw images.
+
+Scale notes: the only data shuffled anywhere is (bucket, image_id, key) in
+the referential join and one row per distinct phash per batch in the dedup
+count — image payloads stream through exactly one read + one decode, and the
+narrow results (~1% the input width) are the only thing persisted or
+re-scanned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from rayval.constraints import Enum, Field as F, MaxLength, Pattern, Profile, Range, Restriction
+from rayval.constraints.profile import PARTITION_COL
+from rayval.pipelines.manifest import Manifest
+from rayval.sources.images import MAX_CAPTION
+from rayval.sources.parquet import list_fragments, read_fragments
+from rayval.stages.decode import DecodeCheck
+from rayval.stages.dedup import duplicate_violations, phash_counts, top_hot_buckets
+from rayval.stages.referential import build_bloom, referential_violations
+from rayval.stages.stats import ColumnStats, drift_violations, global_stats, merge_partials, sketch_partials
+from rayval.stages.validate import MetaValidate, explode_violations
+
+VIOLATION_SCHEMA = pa.schema(
+    [(PARTITION_COL, pa.int64()), ("image_id", pa.string()), ("constraint_id", pa.string())]
+)
+
+
+def images_profile() -> Profile:
+    """The flagship constraint profile over the input_hint table."""
+    return Profile(
+        "images",
+        [
+            F("image_id", Pattern(r"img-\d{9}"), required=True),
+            F("bytes", required=True),
+            F("w", Restriction("int", [Range(min=1, max=8192)])),
+            F("h", Restriction("int", [Range(min=1, max=8192)])),
+            F("fmt", Enum(["jpeg", "png", "webp"])),
+            F("caption", MaxLength(MAX_CAPTION), required=True),
+            F("phash", "long"),
+        ],
+        kind="all",
+        key="image_id",
+    )
+
+
+@dataclass
+class RunConfig:
+    group_size: int = 4          # fragments per checkpoint group
+    decode_batch_size: int = 256  # wide binary rows -> small batches
+    decode_concurrency: int = 4   # actor pool size
+    hot_threshold: int = 1000
+    drift_threshold: float = 0.15
+    ref_buckets: int = 32
+    bloom_expected: int = 1_000_000  # FIXED per run: partials must share (m, k) to merge
+    profile: Optional[Profile] = None
+    extra_meta_cols: list = field(default_factory=list)
+
+
+def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Manifest:
+    """Validate+decode all UNCOMMITTED fragment groups; commit each."""
+    manifest = Manifest(out_dir)
+    profile = cfg.profile or images_profile()
+    validator = profile.compile()
+    done = manifest.committed_fragments()
+    todo = [f for f in list_fragments(img_dir) if os.path.basename(f) not in done]
+
+    for start in range(0, len(todo), cfg.group_size):
+        group = todo[start : start + cfg.group_size]
+        gid = manifest.next_group_id()
+        paths = manifest.group_paths(gid)
+
+        ds = read_fragments(group)
+        ds = ds.map_batches(MetaValidate(validator), batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.map_batches(
+            DecodeCheck,
+            batch_format="pyarrow",
+            batch_size=cfg.decode_batch_size,
+            concurrency=cfg.decode_concurrency,
+        )
+        tmp_results = paths["results"] + ".tmp"
+        _clean(tmp_results)  # a killed run may have left partial files; Ray's
+        ds.write_parquet(tmp_results)  # uuid-named parts would otherwise accumulate
+
+        # small read-back of narrow results: violations + sketches + bloom
+        results = ray.data.read_parquet(tmp_results)
+        n_rows = results.count()
+        viol = results.map_batches(explode_violations, batch_format="pyarrow", zero_copy_batch=True)
+        tmp_viol = paths["violations"] + ".tmp"
+        _clean(tmp_viol)
+        viol.write_parquet(tmp_viol)
+        n_viol = ray.data.read_parquet(tmp_viol).count()
+
+        partial_tables = results.map_batches(sketch_partials, batch_format="pyarrow").take_all()
+        merged = merge_partials(_rows_to_table(partial_tables))
+        os.makedirs(os.path.dirname(paths["sketches"]), exist_ok=True)
+        with open(paths["sketches"] + ".tmp", "wb") as fh:
+            pickle.dump({pid: st.to_bytes() for pid, st in merged.items()}, fh)
+
+        bloom = build_bloom(results, n_expected=cfg.bloom_expected)
+        os.makedirs(os.path.dirname(paths["bloom"]), exist_ok=True)
+        with open(paths["bloom"] + ".tmp", "wb") as fh:
+            fh.write(bloom.to_bytes())
+
+        # atomic publish, then commit line (write-ahead ordering)
+        os.rename(tmp_results, paths["results"])
+        os.rename(tmp_viol, paths["violations"])
+        os.rename(paths["sketches"] + ".tmp", paths["sketches"])
+        os.rename(paths["bloom"] + ".tmp", paths["bloom"])
+        manifest.commit(gid, group, rows=n_rows, violations=n_viol)
+    return manifest
+
+
+def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_profile: Optional[ColumnStats] = None,
+               cfg: RunConfig = RunConfig()) -> dict:
+    """Global checks over committed narrow results; writes final outputs."""
+    manifest = Manifest(out_dir)
+    entries = manifest.committed()
+    if not entries:
+        raise RuntimeError(f"nothing committed under {out_dir}")
+    result_dirs = [manifest.group_paths(e["group_id"])["results"] for e in entries]
+    viol_dirs = [manifest.group_paths(e["group_id"])["violations"] for e in entries]
+    results = ray.data.read_parquet(_expand(result_dirs))
+
+    # --- dedup (phash.unique) -------------------------------------------------
+    counts = phash_counts(results)
+    dup_ds = duplicate_violations(results, hot_threshold=cfg.hot_threshold, counts=counts)
+    extra_violations = [t for t in _ds_tables(dup_ds) if t.num_rows]
+
+    # --- referential (image_id.ref) ------------------------------------------
+    if captions_path:
+        bloom = _merged_bloom(manifest, entries)
+        captions = ray.data.read_parquet(captions_path)
+        ref = referential_violations(captions, results, bloom, key="caption_id", n_buckets=cfg.ref_buckets)
+        if ref.num_rows:
+            ref = pa.table(
+                {
+                    PARTITION_COL: ref[PARTITION_COL],
+                    "image_id": ref["caption_id"],
+                    "constraint_id": ref["constraint_id"],
+                }
+            )
+            extra_violations.append(ref)
+
+    # --- stats + drift --------------------------------------------------------
+    per_partition: dict[int, ColumnStats] = {}
+    for e in entries:
+        with open(manifest.group_paths(e["group_id"])["sketches"], "rb") as fh:
+            for pid, blob in pickle.load(fh).items():
+                st = ColumnStats.from_bytes(blob)
+                per_partition[pid] = per_partition[pid].merge(st) if pid in per_partition else st
+    if reference_profile is not None:
+        for pid, _key, cid in drift_violations(per_partition, reference_profile, cfg.drift_threshold):
+            extra_violations.append(
+                pa.table(
+                    {
+                        PARTITION_COL: pa.array([pid], type=pa.int64()),
+                        "image_id": pa.nulls(1, pa.string()),
+                        "constraint_id": pa.array([cid], type=pa.string()),
+                    }
+                )
+            )
+
+    # --- final outputs --------------------------------------------------------
+    base_viol = ray.data.read_parquet(_expand(viol_dirs))
+    extra = pa.concat_tables([t.cast(VIOLATION_SCHEMA) for t in extra_violations]) if extra_violations else None
+    final_dir = os.path.join(out_dir, "final_violations")
+    if extra is not None and extra.num_rows:
+        all_viol = base_viol.union(ray.data.from_arrow(extra))
+    else:
+        all_viol = base_viol
+    all_viol.write_parquet(final_dir + ".tmp")
+    _replace_dir(final_dir)
+
+    stats_rows = [st.row(pid) for pid, st in sorted(per_partition.items())]
+    stats_table = pa.Table.from_pylist(stats_rows)
+    pq.write_table(stats_table, os.path.join(out_dir, "partition_stats.parquet"))
+
+    viol_final = pq.read_table(final_dir)
+    bad_parts = set(viol_final[PARTITION_COL].to_pylist())
+    verdicts = {pid: (pid not in bad_parts) for pid in sorted(per_partition)}
+    g = global_stats(per_partition)
+    report = {
+        "rows_scanned": sum(e["rows_scanned"] for e in entries),
+        "violations": viol_final.num_rows,
+        "global_verdict": viol_final.num_rows == 0,
+        "partition_verdicts": {str(k): v for k, v in verdicts.items()},
+        "violations_by_constraint": _count_by(viol_final, "constraint_id"),
+        "hot_phash_top10": top_hot_buckets(counts, 10).to_pylist(),
+        "global_distinct_image_id": round(g.unique["image_id"].estimate()) if g else 0,
+    }
+    with open(os.path.join(out_dir, "report.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
+    return report
+
+
+def run(img_dir: str, out_dir: str, captions_path: Optional[str] = None,
+        reference_profile: Optional[ColumnStats] = None, cfg: RunConfig = RunConfig()) -> dict:
+    run_phase1(img_dir, out_dir, cfg)
+    return run_phase2(out_dir, captions_path, reference_profile, cfg)
+
+
+# ---------------------------------------------------------------- helpers
+def _clean(path: str) -> None:
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+
+
+def _expand(dirs: list[str]) -> list[str]:
+    """read_parquet accepts one dir but not dirs inside a list — expand."""
+    import glob
+
+    out: list[str] = []
+    for d in dirs:
+        out.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))) if os.path.isdir(d) else [d])
+    return out
+
+
+def _rows_to_table(rows: list[dict]) -> pa.Table:
+    return pa.table(
+        {
+            PARTITION_COL: pa.array([r[PARTITION_COL] for r in rows], type=pa.int64()),
+            "stats": pa.array([r["stats"] for r in rows], type=pa.binary()),
+        }
+    )
+
+
+def _ds_tables(ds: "ray.data.Dataset") -> list[pa.Table]:
+    import ray as _ray
+
+    return [_ray.get(r) for r in ds.to_arrow_refs()]
+
+
+def _merged_bloom(manifest: Manifest, entries: list[dict]):
+    from rayval.state import Bloom
+
+    merged = None
+    for e in entries:
+        with open(manifest.group_paths(e["group_id"])["bloom"], "rb") as fh:
+            b = Bloom.from_bytes(fh.read())
+        merged = b if merged is None else merged.merge(b)
+    return merged
+
+
+def _replace_dir(final_dir: str) -> None:
+    import shutil
+
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.rename(final_dir + ".tmp", final_dir)
+
+
+def _count_by(table: pa.Table, col: str) -> dict[str, int]:
+    import collections
+
+    return dict(collections.Counter(table[col].to_pylist()))

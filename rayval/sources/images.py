@@ -225,6 +225,10 @@ def generate_images(
         exp_part.append(-1)
         exp_key.append(str(cap_ids[n + j]))
         exp_cid.append("image_id.ref")
+    for r in v_trunc:  # captions of undecodable images also fail referential
+        exp_part.append(-1)
+        exp_key.append(str(cap_ids[r]))
+        exp_cid.append("image_id.ref")
     pq.write_table(
         pa.table(
             {

@@ -1,0 +1,88 @@
+"""Stateful decode/cross-check stage — the actor-pool analog of the
+reference's per-document decode (``decode``, core.clj:274-276), run as
+``map_batches(DecodeCheck, concurrency=N, batch_size=small)`` because rows
+carry wide binary payloads (SURVEY.md §4: tune batch size for ~100KB rows;
+never ship ``bytes`` further downstream).
+
+Per row: decode ``bytes`` (real PNG / fake-lossy codec), then cross-check the
+decoded truth against the METADATA columns:
+
+    bytes.decodable    decode succeeded
+    w.decode_match     decoded width  == stored w
+    h.decode_match     decoded height == stored h
+    fmt.decode_match   container format == stored fmt
+    phash.match        phash64(decoded pixels) == stored phash
+
+Decode failures are DATA (a False in ok__bytes.decodable), never task errors
+(SURVEY.md §4: "decode failures are data, not task errors — catch per-row in
+the actor, never raise").  Undecodable rows pass the cross-checks vacuously
+(nothing to compare).
+
+Output drops ``bytes`` — everything downstream (stats, dedup, referential,
+violation explode) runs on narrow columns only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rayval.functions.imagecodec import CodecError, decode_image
+from rayval.functions.phash import phash64
+from rayval.stages.validate import OK_PREFIX
+
+DECODE_CHECKS = [
+    "bytes.decodable",
+    "w.decode_match",
+    "h.decode_match",
+    "fmt.decode_match",
+    "phash.match",
+]
+
+
+class DecodeCheck:
+    """Actor-pool callable: state (codec dispatch tables, reusable buffers) is
+    set up once per actor in __init__, per-batch work in __call__."""
+
+    def __init__(self, psnr_check: bool = False):
+        # the codecs are module-level pure functions; actor state here is just
+        # the config — the pattern still matters: a real decoder (libjpeg,
+        # libwebp) would be loaded HERE, once per actor, not per batch.
+        self.psnr_check = psnr_check
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch["bytes"]
+        payloads = payloads.combine_chunks() if isinstance(payloads, pa.ChunkedArray) else payloads
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        fmt = batch["fmt"].to_pylist()
+        ph = batch["phash"].to_numpy(zero_copy_only=False)
+
+        decodable = np.ones(n, dtype=bool)
+        w_ok = np.ones(n, dtype=bool)
+        h_ok = np.ones(n, dtype=bool)
+        fmt_ok = np.ones(n, dtype=bool)
+        ph_ok = np.ones(n, dtype=bool)
+
+        # genuinely per-item work: each row is one opaque image payload
+        for i in range(n):
+            data = payloads[i].as_py()
+            if data is None:
+                decodable[i] = False
+                continue
+            try:
+                px, container_fmt = decode_image(data)
+            except CodecError:
+                decodable[i] = False
+                continue
+            dh, dw = px.shape[0], px.shape[1]
+            w_ok[i] = dw == w[i]
+            h_ok[i] = dh == h[i]
+            fmt_ok[i] = container_fmt == fmt[i]
+            ph_ok[i] = phash64(px) == ph[i]
+
+        batch = batch.drop_columns(["bytes"])
+        for name, arr in zip(DECODE_CHECKS, (decodable, w_ok, h_ok, fmt_ok, ph_ok)):
+            batch = batch.append_column(OK_PREFIX + name, pa.array(arr))
+        return batch.append_column("decodable", pa.array(decodable))

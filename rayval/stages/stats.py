@@ -1,0 +1,156 @@
+"""Per-partition column statistics + sketch partials, and the drift check.
+
+The aggregation shape follows the guide's partial+final pattern: each
+map_batches task emits ONE small row of serialized sketch partials per
+(partition_id) per batch; the partials are merged per partition, then
+globally — sketches (HLL/KLL) are mergeable by design, so the merge tree's
+shape doesn't affect the result.  This is the engine's version of the
+north_star's "per-partition column statistics ... computed in a streaming
+pass, then merged via groupby-aggregate".
+
+Stats per numeric column: count / null_count / min / max + KLL quantile
+sketch.  Per key column: HLL uniqueness sketch.  Drift = KS distance between
+a partition's (or the global) KLL and a reference profile's, compared to a
+threshold (north_star: "distribution-drift detection against a reference
+profile").
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterable, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from rayval.constraints.profile import PARTITION_COL
+from rayval.state import HLL, KLL, ks_distance
+
+NUMERIC_COLS = ["w", "h", "caption_len"]
+UNIQUE_COLS = ["image_id", "phash"]
+
+
+class ColumnStats:
+    """Mergeable per-partition stats bundle (picklable → checkpointable)."""
+
+    def __init__(self, numeric_cols: Iterable[str] = NUMERIC_COLS, unique_cols: Iterable[str] = UNIQUE_COLS):
+        self.count = 0
+        self.numeric: dict[str, dict] = {
+            c: {"null": 0, "min": np.inf, "max": -np.inf, "kll": KLL()} for c in numeric_cols
+        }
+        self.unique: dict[str, HLL] = {c: HLL() for c in unique_cols}
+
+    def update(self, batch: pa.Table) -> "ColumnStats":
+        self.count += batch.num_rows
+        for c, st in self.numeric.items():
+            if c not in batch.column_names:
+                continue
+            col = batch[c]
+            st["null"] += col.null_count
+            vals = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            vals = vals[~np.isnan(vals)]
+            if vals.size:
+                st["min"] = min(st["min"], float(vals.min()))
+                st["max"] = max(st["max"], float(vals.max()))
+                st["kll"].add(vals)
+        for c, h in self.unique.items():
+            if c in batch.column_names:
+                col = batch[c]
+                if col.null_count:
+                    col = col.drop_null()
+                h.add(col)
+        return self
+
+    def merge(self, other: "ColumnStats") -> "ColumnStats":
+        self.count += other.count
+        for c, st in other.numeric.items():
+            mine = self.numeric.setdefault(c, {"null": 0, "min": np.inf, "max": -np.inf, "kll": KLL()})
+            mine["null"] += st["null"]
+            mine["min"] = min(mine["min"], st["min"])
+            mine["max"] = max(mine["max"], st["max"])
+            mine["kll"].merge(st["kll"])
+        for c, h in other.unique.items():
+            self.unique.setdefault(c, HLL()).merge(h)
+        return self
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(self)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "ColumnStats":
+        return pickle.loads(b)
+
+    def row(self, partition_id: int) -> dict:
+        """Flattened stats row for the partition_stats output table."""
+        out: dict = {"partition_id": partition_id, "count": self.count}
+        for c, st in self.numeric.items():
+            q = st["kll"].quantiles([0.25, 0.5, 0.75])
+            out[f"{c}_null"] = st["null"]
+            out[f"{c}_min"] = None if np.isinf(st["min"]) else st["min"]
+            out[f"{c}_max"] = None if np.isinf(st["max"]) else st["max"]
+            out[f"{c}_p25"], out[f"{c}_p50"], out[f"{c}_p75"] = q
+        for c, h in self.unique.items():
+            out[f"{c}_distinct"] = round(h.estimate())
+        return out
+
+
+def sketch_partials(batch: pa.Table) -> pa.Table:
+    """map_batches fn: one (partition_id, pickled ColumnStats) row per
+    partition present in the batch — the partial half of partial+final."""
+    part = batch[PARTITION_COL].to_numpy(zero_copy_only=False)
+    pids, blobs = [], []
+    for pid in np.unique(part):
+        sel = batch.filter(pa.array(part == pid))
+        pids.append(int(pid))
+        blobs.append(ColumnStats().update(sel).to_bytes())
+    return pa.table({PARTITION_COL: pa.array(pids, type=pa.int64()), "stats": pa.array(blobs, type=pa.binary())})
+
+
+def merge_partials(partials: pa.Table) -> dict[int, ColumnStats]:
+    """Final merge (small: one row per partition per batch)."""
+    out: dict[int, ColumnStats] = {}
+    for pid, blob in zip(partials[PARTITION_COL].to_pylist(), partials["stats"].to_pylist()):
+        st = ColumnStats.from_bytes(blob)
+        if pid in out:
+            out[pid].merge(st)
+        else:
+            out[pid] = st
+    return out
+
+
+def global_stats(per_partition: dict[int, ColumnStats]) -> Optional[ColumnStats]:
+    it = iter(per_partition.values())
+    first = next(it, None)
+    if first is None:
+        return None
+    total = ColumnStats.from_bytes(first.to_bytes())  # deep copy
+    for st in it:
+        total.merge(st)
+    return total
+
+
+def drift_violations(
+    per_partition: dict[int, ColumnStats],
+    reference: ColumnStats,
+    threshold: float = 0.15,
+    columns: Iterable[str] = NUMERIC_COLS,
+) -> list[tuple[int, Optional[str], str]]:
+    """(partition_id, None, 'stats.drift.<col>') for drifted partitions.
+
+    The effective threshold per (partition, column) is
+    ``max(threshold, c(α=0.01) * sqrt((n1+n2)/(n1*n2)))`` — the two-sample
+    Kolmogorov–Smirnov critical value — so small partitions aren't flagged on
+    sampling noise while large ones still catch subtle shifts.
+    """
+    out = []
+    for pid, st in sorted(per_partition.items()):
+        for c in columns:
+            if c in st.numeric and c in reference.numeric:
+                a, b = st.numeric[c]["kll"], reference.numeric[c]["kll"]
+                if a.n == 0 or b.n == 0:
+                    continue
+                crit = 1.628 * np.sqrt((a.n + b.n) / (a.n * b.n))  # KS α=0.01
+                d = ks_distance(a, b)
+                if d == d and d > max(threshold, crit):  # NaN-safe
+                    out.append((pid, None, f"stats.drift.{c}"))
+    return out

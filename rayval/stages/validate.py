@@ -1,0 +1,73 @@
+"""Stateless constraint-mask stage + violation explode.
+
+``MetaValidate`` is the per-batch analog of the reference's compiled-closure
+application (``(schema-fn instance env...)``, parser.clj:373-375): the
+driver-compiled ``BatchValidator`` is captured in the map_batches closure and
+evaluated as vectorized kernels, one boolean column per constraint
+(``ok__<constraint_id>``).  Carrying masks as columns (rather than emitting
+violation rows immediately) lets ONE pass feed every downstream consumer —
+violation explode, per-partition stats, verdict — without re-running checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayval.constraints.profile import PARTITION_COL, BatchValidator
+
+OK_PREFIX = "ok__"
+
+
+class MetaValidate:
+    """map_batches fn: append ok__* mask columns + caption_len (for sketches)."""
+
+    def __init__(self, validator: BatchValidator):
+        self.validator = validator
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        masks = self.validator.masks(batch)
+        for cid, m in masks.items():
+            batch = batch.append_column(OK_PREFIX + cid, pa.array(m))
+        if "caption" in batch.column_names:
+            clen = pc.fill_null(pc.utf8_length(batch["caption"]), -1)
+            batch = batch.append_column("caption_len", pc.cast(clen, pa.int32()))
+        return batch
+
+
+def explode_violations(batch: pa.Table, key: str = "image_id") -> pa.Table:
+    """ok__* bool columns -> violation rows (partition_id, <key>, constraint_id)."""
+    part = batch[PARTITION_COL].combine_chunks() if isinstance(batch[PARTITION_COL], pa.ChunkedArray) else batch[PARTITION_COL]
+    part_np = part.to_numpy(zero_copy_only=False)
+    keys = batch[key].combine_chunks() if isinstance(batch[key], pa.ChunkedArray) else batch[key]
+    parts, idxs, cids, counts = [], [], [], []
+    for name in batch.column_names:
+        if not name.startswith(OK_PREFIX):
+            continue
+        m = batch[name]
+        m = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+        bad = np.flatnonzero(~m.to_numpy(zero_copy_only=False))
+        if bad.size:
+            parts.append(part_np[bad])
+            idxs.append(bad)
+            cids.append(name[len(OK_PREFIX):])
+            counts.append(bad.size)
+    if not parts:
+        return pa.table(
+            {
+                PARTITION_COL: pa.array([], type=pa.int64()),
+                key: pa.array([], type=pa.string()),
+                "constraint_id": pa.array([], type=pa.string()),
+            }
+        )
+    all_idx = np.concatenate(idxs)
+    return pa.table(
+        {
+            PARTITION_COL: pa.array(np.concatenate(parts), type=pa.int64()),
+            key: keys.take(pa.array(all_idx, type=pa.int64())),
+            "constraint_id": pa.array(
+                np.repeat(np.array(cids, dtype=object), np.array(counts)), type=pa.string()
+            ),
+        }
+    )
