@@ -1,44 +1,60 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+(or in the rayval library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()``    — flagship constraint validation over /root/testdata/sf0.001.
+``queries()``  — one callable per implemented operator/pipeline (SURVEY.md §2
+                 + the training-data ops); each takes ``sf_dir``.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+                 (identical column names; integer fixed-point for float
+                 aggregates).  Rows-only ops (sketches, LSH, heuristics,
+                 image decode) are deliberately absent here.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: compiled constraint profiles over
+    lineitem/part/orders -> combined violation listing (stable schema
+    (row_key, constraint_id, table))."""
+    import pyarrow as pa
+
+    from rayval.pipelines.queries import (
+        q_lineitem_violations,
+        q_orders_violations,
+        q_part_violations,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    parts = []
+    for table, fn in [
+        ("lineitem", q_lineitem_violations),
+        ("part", q_part_violations),
+        ("orders", q_orders_violations),
+    ]:
+        t = fn(sf_dir)
+        parts.append(t.append_column("table", pa.array([table] * t.num_rows, type=pa.string())))
+    return pa.concat_tables(parts)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rayval.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rayval.pipelines.queries import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,154 @@
+"""Text-analysis batch functions for the documents table — the
+training-data-pipeline operator set (language-ID, quality scoring, token
+counting, fingerprinting, shingling, MinHash, SimHash).  All are pure
+per-batch functions designed for ``map_batches``: vectorized where the work
+is columnar, tight per-doc numpy loops where the work is genuinely per-item
+(signatures over variable-length shingle sets).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+from rayval.state.hashing import hash64, rehash
+
+TOKEN_RE = re.compile(r"\S+")
+WORD_RE = re.compile(r"[\w']+")
+_WS_RE = re.compile(r"\s+")
+
+# tiny per-language stopword profiles (public common-word lists); scoring is a
+# plain hit-count — deterministic, vocabulary-based, no model download
+LANG_PROFILES: dict[str, frozenset] = {
+    "en": frozenset("the a of and to in is it you that he was for on are with as".split()),
+    "es": frozenset("el la de que y a en un ser se no haber por con su para".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf für ist".split()),
+    "fr": frozenset("le de un être et à il avoir ne je son que se qui dans".split()),
+    "zh": frozenset("的 一 是 不 了 人 我 在 有 他 这 中 大 来 上".split()),
+}
+STOPWORDS = LANG_PROFILES["en"]
+
+
+def token_count(texts: pd.Series) -> np.ndarray:
+    """#whitespace-separated tokens (regex \\S+), vectorized."""
+    return texts.fillna("").str.count(TOKEN_RE).to_numpy(dtype=np.int64)
+
+
+def quality_scores(texts: pd.Series) -> pd.DataFrame:
+    """Heuristic quality features: length, token count, punctuation count,
+    stopword count, plus derived ratios.  Raw COUNTS are the canonical
+    output — derive fixed-point ratios from them in the exact same IEEE op
+    order as any SQL oracle (multiply first, then divide) to keep floor()
+    comparisons bit-stable."""
+    t = texts.fillna("")
+    n_chars = t.str.len().to_numpy(dtype=np.int64)
+    n_tokens = t.str.count(TOKEN_RE).to_numpy(dtype=np.int64)
+    n_punct = t.str.count(r"[^\w\s]").to_numpy(dtype=np.int64)
+    toks = t.str.lower().str.findall(TOKEN_RE)
+    n_stop = toks.map(lambda ws: sum(1 for w in ws if w in STOPWORDS)).to_numpy(dtype=np.int64)
+    denom = np.maximum(n_tokens, 1)
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "n_punct": n_punct,
+            "n_stop": n_stop,
+            "punct_ratio": n_punct / np.maximum(n_chars, 1),
+            "stopword_ratio": n_stop / denom,
+            "mean_token_len": (n_chars - np.maximum(n_tokens - 1, 0)) / denom,
+        }
+    )
+
+
+def langid(texts: pd.Series) -> np.ndarray:
+    """N-gram/stopword heuristic language ID: the language whose profile has
+    the most token hits wins; ties and zero-hit rows -> 'und'.  Deterministic
+    (profiles are frozen; tie-break is lexicographic)."""
+    toks = texts.fillna("").str.lower().str.findall(WORD_RE)
+    langs = sorted(LANG_PROFILES)
+    out = np.empty(len(texts), dtype=object)
+    for i, ws in enumerate(toks):
+        best, best_n = "und", 0
+        for lang in langs:
+            n = sum(1 for w in ws if w in LANG_PROFILES[lang])
+            if n > best_n:
+                best, best_n = lang, n
+        out[i] = best
+    return out
+
+
+def normalize_text(texts: pd.Series) -> pd.Series:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace, trim."""
+    return texts.fillna("").str.lower().str.replace(_WS_RE, " ", regex=True).str.strip()
+
+
+def fingerprint_md5(texts: pd.Series) -> np.ndarray:
+    """Document fingerprint: md5 hex of the normalized text (matches DuckDB's
+    ``md5(...)`` for the oracle); use ``fingerprint_rolling`` for the
+    integer rolling-hash variant."""
+    return np.array([hashlib.md5(s.encode()).hexdigest() for s in normalize_text(texts)], dtype=object)
+
+
+def fingerprint_rolling(texts: pd.Series, base: int = 1_000_003) -> np.ndarray:
+    """64-bit polynomial rolling hash over normalized text bytes."""
+    out = np.empty(len(texts), dtype=np.int64)
+    mask = (1 << 64) - 1
+    for i, s in enumerate(normalize_text(texts)):
+        h = 1469598103934665603
+        for b in s.encode():
+            h = ((h * base) ^ b) & mask
+        out[i] = np.int64(np.uint64(h).astype(np.int64))
+    return out
+
+
+# ---------------------------------------------------------------- shingles
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """uint64 hashes of the k-char shingle set of the normalized text."""
+    s = _WS_RE.sub(" ", text.lower()).strip()
+    if len(s) < k:
+        s = s.ljust(k)
+    views = [s[i : i + k] for i in range(len(s) - k + 1)]
+    return np.unique(hash64(np.array(views, dtype=object)))
+
+
+def minhash_signature(shingles: np.ndarray, num_perm: int = 64, seed: int = 7) -> np.ndarray:
+    """uint64[num_perm] MinHash signature via num_perm salted rehashes of the
+    shingle hash set (one-hash-per-perm variant; deterministic)."""
+    if shingles.size == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    salts = np.arange(num_perm, dtype=np.uint64) + np.uint64(seed * 1_000_003)
+    # (num_perm, n) rehash then min over shingles
+    sig = np.empty(num_perm, dtype=np.uint64)
+    for j in range(num_perm):
+        sig[j] = rehash(shingles, int(salts[j])).min()
+    return sig
+
+
+def minhash_jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Estimated Jaccard from two signatures."""
+    return float(np.mean(a == b))
+
+
+def exact_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Exact Jaccard over two shingle-hash sets (sorted-unique uint64)."""
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 1.0
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (unweighted)."""
+    words = WORD_RE.findall(text.lower())
+    if not words:
+        return 0
+    hs = hash64(np.array(words, dtype=object))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = bits.sum(axis=0) * 2 - len(hs)
+    val = np.uint64(0)
+    for j in range(64):
+        if votes[j] > 0:
+            val |= np.uint64(1) << np.uint64(j)
+    return int(val.astype(np.int64))

@@ -1,0 +1,562 @@
+"""Driver-contract queries over the /root/testdata TPC-H-ish tables, each a
+Ray-Data pipeline built from the engine's operators, paired (where
+SQL-expressible) with a DuckDB oracle in ``oracle_sql()``.
+
+Determinism rules applied throughout so the driver's order-insensitive
+value-hash compare holds:
+- float SUMs are carried as exact int64 (cents / e3 / e6 fixed-point) so
+  summation order can't change the value;
+- ratios are floored at 1e-6 fixed-point (floor is association-free);
+- top-k / threshold results return KEYS only, never raw float scores;
+- every computed column is named identically in the Ray code and the SQL.
+
+Column-pruned reads everywhere (``columns=[...]``): a check over three
+lineitem columns must not lift the other thirteen off storage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from rayval.constraints import Enum, Field as F, MinLength, Pattern, Predicate, Profile, Range
+from rayval.constraints.profile import PARTITION_COL
+from rayval.stages.validate import MetaValidate, explode_violations
+
+STOP_SQL = "('the','a','of','and','to','in','is','it','you','that','he','was','for','on','are','with','as')"
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _collect(ds: "ray.data.Dataset", schema: pa.Schema) -> pa.Table:
+    import ray as _ray
+
+    tables = [t for t in map(_ray.get, ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables([t.cast(schema) for t in tables]) if tables else schema.empty_table()
+
+
+def _violations_query(ds: "ray.data.Dataset", profile: Profile, key_sql_cols: list[str]) -> pa.Table:
+    """Run the compiled profile over the dataset; return (row_key, constraint_id).
+    ``row_key`` = '-'-joined string of the key columns."""
+    validator = profile.compile()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        key = None
+        for c in key_sql_cols:
+            part = pc.cast(batch[c], pa.string())
+            key = part if key is None else pc.binary_join_element_wise(key, part, "-")
+        batch = batch.append_column("row_key", key)
+        return batch.append_column(PARTITION_COL, pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(MetaValidate(validator), batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(lambda b: explode_violations(b, key="row_key"), batch_format="pyarrow")
+        .map_batches(lambda b: b.drop_columns([PARTITION_COL]), batch_format="pyarrow")
+    )
+    return _collect(out, pa.schema([("row_key", pa.string()), ("constraint_id", pa.string())]))
+
+
+# =========================================================== constraint checks
+def q_lineitem_violations(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"])
+    prof = Profile(
+        "lineitem",
+        [
+            F("l_quantity", Range(min=1, max=45)),
+            F("l_discount", Range(min=0, max=0.06)),
+            F("l_tax", Range(min=0, max=0.05)),
+        ],
+        key="row_key",
+    )
+    return _violations_query(ds, prof, ["l_orderkey", "l_linenumber"])
+
+
+SQL_LINEITEM_VIOLATIONS = """
+SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS row_key,
+       'l_quantity.range' AS constraint_id FROM lineitem WHERE NOT (l_quantity BETWEEN 1 AND 45)
+UNION ALL
+SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR),
+       'l_discount.range' FROM lineitem WHERE NOT (l_discount BETWEEN 0 AND 0.06)
+UNION ALL
+SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR),
+       'l_tax.range' FROM lineitem WHERE NOT (l_tax BETWEEN 0 AND 0.05)
+"""
+
+
+def q_part_violations(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_brand"])
+    prof = Profile(
+        "part",
+        [
+            F("p_size", Range(min=1, max=25)),
+            F("p_name", MinLength(9)),
+            F("p_brand", Pattern(r"Brand#[0-9]{2}")),
+        ],
+        key="row_key",
+    )
+    return _violations_query(ds, prof, ["p_partkey"])
+
+
+SQL_PART_VIOLATIONS = """
+SELECT CAST(p_partkey AS VARCHAR) AS row_key, 'p_size.range' AS constraint_id
+FROM part WHERE NOT (p_size BETWEEN 1 AND 25)
+UNION ALL
+SELECT CAST(p_partkey AS VARCHAR), 'p_name.minLength' FROM part WHERE NOT (length(p_name) >= 9)
+UNION ALL
+SELECT CAST(p_partkey AS VARCHAR), 'p_brand.pattern' FROM part WHERE NOT regexp_full_match(p_brand, 'Brand#[0-9]{2}')
+"""
+
+
+def q_orders_violations(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"])
+    cutoff = pa.scalar(pd.Timestamp("2000-01-01"))
+    prof = Profile(
+        "orders",
+        [
+            F("o_orderdate", Predicate(lambda col: pc.less(col, cutoff), kind="range")),
+            F("o_orderstatus", Enum(["O", "F"])),
+            F("o_totalprice", Range(min=1)),
+        ],
+        key="row_key",
+    )
+    return _violations_query(ds, prof, ["o_orderkey"])
+
+
+SQL_ORDERS_VIOLATIONS = """
+SELECT CAST(o_orderkey AS VARCHAR) AS row_key, 'o_orderdate.range' AS constraint_id
+FROM orders WHERE NOT (o_orderdate < TIMESTAMP '2000-01-01')
+UNION ALL
+SELECT CAST(o_orderkey AS VARCHAR), 'o_orderstatus.enum' FROM orders WHERE NOT (o_orderstatus IN ('O','F'))
+UNION ALL
+SELECT CAST(o_orderkey AS VARCHAR), 'o_totalprice.range' FROM orders WHERE NOT (o_totalprice >= 1)
+"""
+
+
+# ============================================================== aggregations
+def q_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shaped grouped sums, carried in exact integer fixed-point."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        qty = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        cents = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.round(batch["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pa.array(qty),
+                "price_cents": pa.array(cents),
+                "disc_e4": pa.array(cents * (100 - disc)),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("disc_e4", alias_name="sum_disc_e4"),
+            Count(alias_name="n"),
+        )
+    )
+    return _collect(
+        out,
+        pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("sum_qty", pa.int64()),
+                ("sum_price_cents", pa.int64()),
+                ("sum_disc_e4", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_customer_stats(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    from ray.data.aggregate import Count, Max, Min
+
+    out = ds.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n"),
+        Min("c_acctbal", alias_name="acctbal_min"),
+        Max("c_acctbal", alias_name="acctbal_max"),
+    )
+    return _collect(
+        out,
+        pa.schema(
+            [("c_mktsegment", pa.string()), ("n", pa.int64()), ("acctbal_min", pa.float64()), ("acctbal_max", pa.float64())]
+        ),
+    )
+
+
+SQL_CUSTOMER_STATS = """
+SELECT c_mktsegment, COUNT(*) AS n, MIN(c_acctbal) AS acctbal_min, MAX(c_acctbal) AS acctbal_max
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_acctbal_median(sf_dir: str) -> pa.Table:
+    """percentile_disc(0.5) per segment: sort within group, take the element
+    at ceil(n/2)-1 — exact, no interpolation, so floats compare bit-equal."""
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(g["c_acctbal"].to_numpy())
+        idx = int(np.ceil(0.5 * len(vals))) - 1
+        return pd.DataFrame({"c_mktsegment": [g["c_mktsegment"].iloc[0]], "acctbal_median": [vals[idx]]})
+
+    out = ds.groupby("c_mktsegment").map_groups(med, batch_format="pandas")
+    return _collect(out, pa.schema([("c_mktsegment", pa.string()), ("acctbal_median", pa.float64())]))
+
+
+SQL_ACCTBAL_MEDIAN = """
+SELECT c_mktsegment, percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS acctbal_median
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_events_by_type(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        e3 = np.round(batch["value"].to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"], "value_e3": pa.array(e3)})
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value_e3", alias_name="sum_value_e3"))
+    )
+    return _collect(
+        out, pa.schema([("event_type", pa.string()), ("n", pa.int64()), ("sum_value_e3", pa.int64())])
+    )
+
+
+SQL_EVENTS_BY_TYPE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_e3
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_hourly(sf_dir: str) -> pa.Table:
+    """Tumbling 1h window per user — the streaming-shaped workload expressed
+    as a partitioned-log groupby (ray_guide 'Streaming-shaped workloads')."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)  # micros
+        hour = ts // 3_600_000_000
+        return pa.table({"user_id": batch["user_id"], "hour": pa.array(hour)})
+
+    from ray.data.aggregate import Count
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return _collect(out, pa.schema([("user_id", pa.int64()), ("hour", pa.int64()), ("n", pa.int64())]))
+
+
+SQL_EVENTS_HOURLY = """
+SELECT user_id, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS hour, COUNT(*) AS n
+FROM events GROUP BY user_id, hour
+"""
+
+
+# ========================================================== dedup / lookups
+def q_dedup_first_per_group(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    out = ds.groupby(["lang", "source"]).min("doc_id")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["lang", "source", "first_doc"])
+
+    out = out.map_batches(rename, batch_format="pyarrow")
+    return _collect(out, pa.schema([("lang", pa.string()), ("source", pa.string()), ("first_doc", pa.int64())]))
+
+
+SQL_DEDUP_FIRST = """
+SELECT lang, source, MIN(doc_id) AS first_doc FROM documents GROUP BY lang, source
+"""
+
+
+def q_exact_dup_docs(sf_dir: str) -> pa.Table:
+    from rayval.stages.docdedup import exact_dup_members
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dup_members(ds, text_col="text", key_col="doc_id")
+    return out.cast(pa.schema([("doc_id", pa.int64()), ("h", pa.string())]))
+
+
+SQL_EXACT_DUP_DOCS = """
+SELECT doc_id, md5(text) AS h FROM documents
+WHERE md5(text) IN (SELECT md5(text) FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1)
+"""
+
+
+def q_customers_without_orders(sf_dir: str) -> pa.Table:
+    """Referential anti-join via the engine's Bloom + hash-partitioned path."""
+    from rayval.stages.referential import build_bloom, referential_violations
+
+    customers = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: pa.table(
+            {"caption_id": pc.cast(b["c_custkey"], pa.string()), "image_id": pc.cast(b["c_custkey"], pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda b: pa.table({"image_id": pc.cast(b["o_custkey"], pa.string())}), batch_format="pyarrow"
+    )
+    bloom = build_bloom(orders, n_expected=200_000)
+    viol = referential_violations(customers, orders, bloom, key="caption_id")
+    return pa.table({"c_custkey": pc.cast(viol["caption_id"], pa.int64())}).sort_by("c_custkey")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey
+"""
+
+
+# ============================================================ text analysis
+def q_token_counts(sf_dir: str) -> pa.Table:
+    from rayval.functions.text import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"], "n_tokens": token_count(batch["text"])})
+
+    out = ds.map_batches(f, batch_format="pandas")
+    return _collect(out, pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())]))
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents
+"""
+
+
+def q_quality_scores(sf_dir: str) -> pa.Table:
+    from rayval.functions.text import quality_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        q = quality_scores(batch["text"])
+        # same IEEE op order as the SQL: (1e6 * count) / denom, then floor
+        punct = np.floor(1_000_000.0 * q["n_punct"].to_numpy() / np.maximum(q["n_chars"].to_numpy(), 1))
+        stop = np.floor(1_000_000.0 * q["n_stop"].to_numpy() / np.maximum(q["n_tokens"].to_numpy(), 1))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_chars": q["n_chars"],
+                "n_tokens": q["n_tokens"],
+                "punct_ratio_e6": punct.astype(np.int64),
+                "stopword_ratio_e6": stop.astype(np.int64),
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pandas")
+    return _collect(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_chars", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("punct_ratio_e6", pa.int64()),
+                ("stopword_ratio_e6", pa.int64()),
+            ]
+        ),
+    )
+
+
+SQL_QUALITY_SCORES = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(FLOOR(1000000.0 * len(regexp_extract_all(text, '[^\w\s]')) / GREATEST(length(text), 1)) AS BIGINT) AS punct_ratio_e6,
+       CAST(FLOOR(1000000.0 * len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN {stop})) / GREATEST(len(regexp_extract_all(text, '\S+')), 1)) AS BIGINT) AS stopword_ratio_e6
+FROM documents
+""".replace("{stop}", STOP_SQL)
+
+
+def q_fingerprints(sf_dir: str) -> pa.Table:
+    from rayval.functions.text import fingerprint_md5
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fingerprint_md5(batch["text"])})
+
+    out = ds.map_batches(f, batch_format="pandas")
+    return _collect(out, pa.schema([("doc_id", pa.int64()), ("fp", pa.string())]))
+
+
+SQL_FINGERPRINTS = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents
+"""
+
+
+def q_lang_counts(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["lang"])
+    from ray.data.aggregate import Count
+
+    out = ds.groupby("lang").aggregate(Count(alias_name="n"))
+    return _collect(out, pa.schema([("lang", pa.string()), ("n", pa.int64())]))
+
+
+SQL_LANG_COUNTS = "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+
+
+# ===================================================== similarity / ANN
+def q_embedding_topk(sf_dir: str) -> pa.Table:
+    """Exact cosine top-10 to the vec_id=0 embedding (keys only)."""
+    from rayval.stages.similarity import brute_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    out = brute_topk(ds, np.asarray(q), k=10)
+    return pa.table({"vec_id": out["vec_id"]}).cast(pa.schema([("vec_id", pa.int64())]))
+
+
+SQL_EMBEDDING_TOPK = """
+SELECT vec_id FROM embeddings
+ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_embedding_neardups(sf_dir: str) -> pa.Table:
+    """All pairs with cosine >= 0.35 (keys only)."""
+    from rayval.stages.similarity import embedding_neardups
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_neardups(ds, threshold=0.35)
+    return pa.table({"a": out["a"], "b": out["b"]}).cast(pa.schema([("a", pa.int64()), ("b", pa.int64())]))
+
+
+SQL_EMBEDDING_NEARDUPS = """
+SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a JOIN embeddings b
+ON a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+"""
+
+
+# ===================================================== rows-only (non-SQL)
+def q_langid(sf_dir: str) -> pa.Table:
+    from rayval.functions.text import langid
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": langid(batch["text"])})
+
+    out = ds.map_batches(f, batch_format="pandas")
+    return _collect(out, pa.schema([("doc_id", pa.int64()), ("lang_pred", pa.string())]))
+
+
+def q_minhash_neardups(sf_dir: str) -> pa.Table:
+    from rayval.stages.docdedup import minhash_lsh_candidates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(b["doc_id"], pa.string()), "text": b["text"]}),
+        batch_format="pyarrow",
+    )
+    return minhash_lsh_candidates(ds, "text", "doc_id", est_threshold=0.4)
+
+
+def q_simhash_neardups(sf_dir: str) -> pa.Table:
+    from rayval.stages.docdedup import simhash_neardups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(b["doc_id"], pa.string()), "text": b["text"]}),
+        batch_format="pyarrow",
+    )
+    return simhash_neardups(ds, "text", "doc_id")
+
+
+def q_lsh_topk(sf_dir: str) -> pa.Table:
+    from rayval.stages.similarity import lsh_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    out = lsh_topk(ds, np.asarray(q), k=10)
+    return pa.table({"vec_id": out["vec_id"]}).cast(pa.schema([("vec_id", pa.int64())]))
+
+
+def q_images_validation(sf_dir: str) -> pa.Table:
+    """Flagship pipeline over a deterministic synthetic images dir (seeded;
+    /root/testdata has no binary image table).  Rows-only check: the output
+    is the exact final violation listing, stable across runs."""
+    import pyarrow.parquet as pq
+
+    from rayval.pipelines.validate_images import RunConfig, run
+    from rayval.sources.images import generate_images
+
+    base = "/tmp/rayval_q_images"
+    data = generate_images(base + "/data", n=300, fragments=4, seed=42)
+    out_dir = base + "/out"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run(
+        data + "/images",
+        out_dir,
+        captions_path=data + "/captions.parquet",
+        cfg=RunConfig(group_size=4, decode_concurrency=2, hot_threshold=3, bloom_expected=10_000),
+    )
+    t = pq.read_table(out_dir + "/final_violations")
+    return t.sort_by([("partition_id", "ascending"), ("image_id", "ascending"), ("constraint_id", "ascending")])
+
+
+QUERIES = {
+    "lineitem_violations": (q_lineitem_violations, SQL_LINEITEM_VIOLATIONS),
+    "part_violations": (q_part_violations, SQL_PART_VIOLATIONS),
+    "orders_violations": (q_orders_violations, SQL_ORDERS_VIOLATIONS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "customer_stats": (q_customer_stats, SQL_CUSTOMER_STATS),
+    "acctbal_median": (q_acctbal_median, SQL_ACCTBAL_MEDIAN),
+    "events_by_type": (q_events_by_type, SQL_EVENTS_BY_TYPE),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "dedup_first_per_group": (q_dedup_first_per_group, SQL_DEDUP_FIRST),
+    "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),
+    "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),
+    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
+    # rows-only (non-SQL-expressible: heuristics, sketch/LSH ops, image decode)
+    "langid_predictions": (q_langid, None),
+    "minhash_neardups": (q_minhash_neardups, None),
+    "simhash_neardups": (q_simhash_neardups, None),
+    "lsh_topk": (q_lsh_topk, None),
+    "images_validation": (q_images_validation, None),
+}

@@ -1,0 +1,197 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_topk``: exact cosine top-k — the baseline.  Query matrix is
+  broadcast ONCE (``ray.put``); each batch does one numpy matmul and emits
+  its local top-k per query (a per-batch combiner), so the final reduce sees
+  only ``k × num_batches`` rows per query instead of the whole table.
+- ``lsh_topk``: the scale path — random-hyperplane (SimHash-for-vectors)
+  bucketing: candidates come only from the query's bucket (probing
+  multi-bucket neighbors), then exact cosine re-rank.  Recall/speed trade
+  documented; partitioning assumption: bucket histogram fits on the driver.
+- ``embedding_neardups``: all pairs with cosine >= threshold — per-batch
+  matmul against the broadcast (normalized) matrix.  The broadcast-matrix
+  assumption (whole embedding table fits in the object store) is the
+  documented small-side condition; beyond that, use lsh bucketing per pair
+  candidate generation exactly like MinHash-LSH in docdedup.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _matrix(batch_col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (flat values reshape)."""
+    arr = batch_col.combine_chunks() if isinstance(batch_col, pa.ChunkedArray) else batch_col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """(query_id, <key>, score) exact cosine top-k per query row."""
+    qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    q_ref = ray.put(qn)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        m = _normalize(_matrix(batch[emb_col]))
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        scores = m @ q.T  # (n, nq)
+        qi, ki, sc = [], [], []
+        kk = min(k, scores.shape[0])
+        for j in range(q.shape[0]):
+            idx = np.argpartition(-scores[:, j], kk - 1)[:kk] if kk else np.array([], dtype=int)
+            for i in idx:
+                qi.append(j)
+                ki.append(keys[i])
+                sc.append(scores[i, j])
+        return pa.table(
+            {
+                "query_id": pa.array(qi, type=pa.int32()),
+                key_col: pa.array(ki),
+                "score": pa.array(sc, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    if not partials:
+        return pa.table({"query_id": pa.array([], type=pa.int32()), key_col: pa.array([]),
+                         "score": pa.array([], type=pa.float64())})
+    import pandas as pd
+
+    df = pd.DataFrame(partials)
+    df = (
+        df.sort_values(["query_id", "score", key_col], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def lsh_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 12,
+    probe_bits: int = 2,
+    seed: int = 11,
+) -> pa.Table:
+    """Approximate top-k: random-hyperplane bucket + multiprobe, exact re-rank
+    inside candidate buckets.  Plane matrix is derived deterministically from
+    ``seed``; candidates = rows whose bucket is within ``probe_bits`` bit
+    flips of the query bucket."""
+    qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    d = qn.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((d, n_planes))
+
+    def bucket_of(m: np.ndarray) -> np.ndarray:
+        bits = (m @ planes) > 0
+        return (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+
+    q_buckets = bucket_of(qn)
+    probe: set[int] = set()
+    for qb in q_buckets:
+        probe.add(int(qb))
+        for b1 in range(n_planes):
+            probe.add(int(qb ^ np.uint64(1 << b1)))
+            if probe_bits >= 2:
+                for b2 in range(b1 + 1, n_planes):
+                    probe.add(int(qb ^ np.uint64((1 << b1) | (1 << b2))))
+    probe_ref = ray.put(np.array(sorted(probe), dtype=np.uint64))
+    q_ref = ray.put(qn)
+
+    def local(batch: pa.Table) -> pa.Table:
+        probes = ray.get(probe_ref)
+        q = ray.get(q_ref)
+        m = _normalize(_matrix(batch[emb_col]))
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        keep = np.isin(bucket_of(m), probes)
+        m, keys = m[keep], keys[keep]
+        if not len(keys):
+            return pa.table({"query_id": pa.array([], type=pa.int32()), key_col: pa.array([], batch[key_col].type),
+                             "score": pa.array([], type=pa.float64())})
+        scores = m @ q.T
+        qi, ki, sc = [], [], []
+        kk = min(k, len(keys))
+        for j in range(q.shape[0]):
+            idx = np.argpartition(-scores[:, j], kk - 1)[:kk]
+            for i in idx:
+                qi.append(j)
+                ki.append(keys[i])
+                sc.append(scores[i, j])
+        return pa.table({"query_id": pa.array(qi, type=pa.int32()), key_col: pa.array(ki),
+                         "score": pa.array(sc, type=pa.float64())})
+
+    partials = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    import pandas as pd
+
+    if not partials:
+        return pa.table({"query_id": pa.array([], type=pa.int32()), key_col: pa.array([]),
+                         "score": pa.array([], type=pa.float64())})
+    df = pd.DataFrame(partials)
+    df = (
+        df.sort_values(["query_id", "score", key_col], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def embedding_neardups(
+    ds: "ray.data.Dataset",
+    threshold: float,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """(a, b, cos) pairs with cosine >= threshold, a < b.  The full normalized
+    matrix is broadcast (small-side assumption; see module doc)."""
+    rows = ds.select_columns([key_col, emb_col]).take_all()
+    keys = np.array([r[key_col] for r in rows])
+    m = _normalize(np.array([np.asarray(r[emb_col], dtype=np.float64) for r in rows]))
+    order = np.argsort(keys)
+    keys, m = keys[order], m[order]
+    m_ref = ray.put((keys, m))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_keys, all_m = ray.get(m_ref)
+        bm = _normalize(_matrix(batch[emb_col]))
+        bkeys = batch[key_col].to_numpy(zero_copy_only=False)
+        scores = bm @ all_m.T
+        ai, bi, sc = [], [], []
+        for i in range(len(bkeys)):
+            hits = np.flatnonzero(scores[i] >= threshold)
+            for j in hits:
+                if bkeys[i] < all_keys[j]:  # a < b, no self-pairs
+                    ai.append(bkeys[i])
+                    bi.append(all_keys[j])
+                    sc.append(scores[i, j])
+        return pa.table({"a": pa.array(ai), "b": pa.array(bi), "cos": pa.array(sc, type=pa.float64())})
+
+    out = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    import pandas as pd
+
+    if not out:
+        return pa.table({"a": pa.array([]), "b": pa.array([]), "cos": pa.array([], type=pa.float64())})
+    df = pd.DataFrame(out).sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

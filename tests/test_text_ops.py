@@ -1,0 +1,172 @@
+"""Text-analysis functions + dedup/similarity operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rayval.functions.text import (
+    char_shingles,
+    exact_jaccard,
+    fingerprint_md5,
+    fingerprint_rolling,
+    langid,
+    minhash_jaccard,
+    minhash_signature,
+    quality_scores,
+    simhash64,
+    token_count,
+)
+
+
+def test_token_count():
+    s = pd.Series(["a b  c", "", None, "  x "])
+    assert list(token_count(s)) == [3, 0, 0, 1]
+
+
+def test_quality_scores():
+    q = quality_scores(pd.Series(["The cat, the dog!", ""]))
+    assert q["n_tokens"].tolist() == [4, 0]
+    assert q["n_punct"].tolist() == [2, 0]
+    assert q["n_stop"].tolist() == [2, 0]  # 'The'/'the' both count (lowercased); 'cat,'/'dog!' don't
+
+
+def test_langid_deterministic():
+    s = pd.Series(["the cat is on the mat", "el perro en la casa", "der hund und die katze", "xyzzy plugh"])
+    out = list(langid(s))
+    assert out[0] == "en" and out[1] == "es" and out[2] == "de" and out[3] == "und"
+    assert list(langid(s)) == out
+
+
+def test_fingerprints_normalize():
+    s = pd.Series(["Hello   World", "hello world", "hello world "])
+    fps = fingerprint_md5(s)
+    assert fps[0] == fps[1] == fps[2]
+    fr = fingerprint_rolling(s)
+    assert fr[0] == fr[1] == fr[2]
+    assert fingerprint_rolling(pd.Series(["a"]))[0] != fr[0]
+
+
+def test_shingles_and_jaccard():
+    a = char_shingles("the quick brown fox", 5)
+    b = char_shingles("the quick brown fox", 5)
+    c = char_shingles("a completely different document", 5)
+    assert exact_jaccard(a, b) == 1.0
+    assert exact_jaccard(a, c) < 0.1
+
+
+def test_minhash_estimates_jaccard():
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base + "and then some"
+    far = "entirely unrelated content about databases " * 5
+    sa = minhash_signature(char_shingles(base), 128)
+    sb = minhash_signature(char_shingles(near), 128)
+    sc = minhash_signature(char_shingles(far), 128)
+    true_ab = exact_jaccard(char_shingles(base), char_shingles(near))
+    assert abs(minhash_jaccard(sa, sb) - true_ab) < 0.15
+    assert minhash_jaccard(sa, sc) < 0.2
+    assert minhash_jaccard(sa, sa) == 1.0
+
+
+def test_simhash_similar_texts_close():
+    from rayval.functions.phash import hamming64
+
+    a = simhash64("the quick brown fox jumps over the lazy dog near the river bank today")
+    b = simhash64("the quick brown fox jumps over the lazy dog near the river bank")
+    c = simhash64("completely different words about query engines and columnar formats here")
+    assert hamming64(np.array([b]), a)[0] < hamming64(np.array([c]), a)[0]
+    assert simhash64("") == 0
+
+
+@pytest.fixture(scope="module")
+def doc_ds(ray_session):
+    import ray.data
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "the quick brown fox jumps over the lazy dog " * 3 + "extra",
+        "totally different content about columnar engines",
+        "another unique document with its own words entirely",
+        "the quick brown fox jumps over the lazy dog " * 3,  # exact dup of 0
+    ]
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([f"d{i}" for i in range(len(texts))]), "text": pa.array(texts)})
+    )
+
+
+def test_exact_dup_members(doc_ds):
+    from rayval.stages.docdedup import exact_dup_members
+
+    out = exact_dup_members(doc_ds, "text", "doc_id")
+    assert set(out["doc_id"].to_pylist()) == {"d0", "d4"}
+
+
+def test_minhash_lsh_finds_near_dups(doc_ds):
+    from rayval.stages.docdedup import minhash_lsh_candidates
+
+    out = minhash_lsh_candidates(doc_ds, "text", "doc_id", est_threshold=0.5).to_pandas()
+    pairs = set(zip(out.a, out.b))
+    assert ("d0", "d4") in pairs  # exact dup pair
+    assert ("d0", "d1") in pairs  # near dup pair
+    assert not any({"d2", "d3"} & {a, b} and {a, b} <= {"d2", "d3"} for a, b in pairs)
+
+
+def test_minhash_lsh_exact_verify(doc_ds):
+    from rayval.stages.docdedup import minhash_lsh_candidates
+
+    texts = {r["doc_id"]: r["text"] for r in doc_ds.take_all()}
+    out = minhash_lsh_candidates(
+        doc_ds, "text", "doc_id", est_threshold=0.5, texts_for_verify=texts, exact_threshold=0.9999
+    ).to_pandas()
+    assert set(zip(out.a, out.b)) == {("d0", "d4")}  # only the exact dup survives
+    assert (out.jaccard == 1.0).all()
+
+
+def test_simhash_neardups_stage(doc_ds):
+    from rayval.stages.docdedup import simhash_neardups
+
+    out = simhash_neardups(doc_ds, "text", "doc_id", max_hamming=3).to_pandas()
+    assert ("d0", "d4") in set(zip(out.a, out.b))
+    assert (out.hamming <= 3).all()
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16))
+    base[5] = base[0] + rng.standard_normal(16) * 0.01  # near-dup of row 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(20), type=pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in base], type=pa.list_(pa.float32())),
+            }
+        )
+    )
+
+
+def test_brute_topk(emb_ds):
+    from rayval.stages.similarity import brute_topk
+
+    rows = {r["vec_id"]: r["embedding"] for r in emb_ds.take_all()}
+    out = brute_topk(emb_ds, np.array(rows[0]), k=3).to_pandas()
+    assert list(out.vec_id[:2]) == [0, 5]  # self then planted near-dup
+    assert len(out) == 3
+    assert out.score.is_monotonic_decreasing
+
+
+def test_lsh_topk_contains_neardup(emb_ds):
+    from rayval.stages.similarity import lsh_topk
+
+    rows = {r["vec_id"]: r["embedding"] for r in emb_ds.take_all()}
+    out = lsh_topk(emb_ds, np.array(rows[0]), k=3).to_pandas()
+    assert 0 in set(out.vec_id) and 5 in set(out.vec_id)
+
+
+def test_embedding_neardups(emb_ds):
+    from rayval.stages.similarity import embedding_neardups
+
+    out = embedding_neardups(emb_ds, threshold=0.99).to_pandas()
+    assert set(zip(out.a, out.b)) == {(0, 5)}
