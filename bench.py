@@ -1,0 +1,208 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N}
+
+--scaling: run the bench twice in FRESH processes (num_cpus=8 then 32) on the
+same input — the sandbox stand-in for the north_rule's N vs 4N node clusters —
+and print both throughputs + scaling efficiency (also recorded in BASELINE.md).
+
+The images flagship input is generated once (deterministic, cached in /tmp
+keyed by args) and generation is NOT timed; each run validates into a fresh
+output dir so checkpoint-resume can't short-circuit the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+
+IMAGES_N = max(2000, int(2_500_000 * SF))  # 250k at sf0.1: decode must dominate fixed job costs
+IMAGES_FRAGMENTS = 64
+IMAGES_DIMS = (64, 192)  # bigger than test default: decode work must dominate job overhead
+
+
+def bench_images(num_cpus: int) -> float:
+    from rayval.pipelines.validate_images import RunConfig, run
+    from rayval.sources.images import generate_images
+
+    data = generate_images(
+        f"/tmp/rayval_bench/imgs_n{IMAGES_N}_d{IMAGES_DIMS[1]}",
+        n=IMAGES_N,
+        fragments=IMAGES_FRAGMENTS,
+        seed=42,
+        dim_range=IMAGES_DIMS,
+    )
+    out = f"/tmp/rayval_bench/out_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    # warm the page cache (first generation writes it warm; later fresh
+    # processes re-read from disk — untimed here so both scaling runs match)
+    img_dir = data + "/images"
+    for f in sorted(os.listdir(img_dir)):
+        with open(os.path.join(img_dir, f), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+    cfg = RunConfig(
+        group_size=IMAGES_FRAGMENTS,  # one commit group: bench measures throughput
+        decode_batch_size=None,       # block-aligned batches
+        # exactly proportional (4x pool for 4x cpus) with headroom for the
+        # read/write stages — concurrency == num_cpus starves the read at small N
+        decode_concurrency=max(2, (num_cpus * 3) // 4),
+        read_blocks_per_fragment=3,   # finer blocks pack the actor pool better
+        hot_threshold=2000,
+        bloom_expected=max(IMAGES_N, 1024),
+    )
+    t0 = time.time()
+    run(data + "/images", out, captions_path=data + "/captions.parquet", cfg=cfg)
+    dt = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return dt
+
+
+def cpu_calibration(n_tasks: int = 128) -> float:
+    """Pure-CPU burn (numpy matmul) under the current Ray session — measures
+    what parallel speedup THIS MACHINE can deliver at all, independent of any
+    data movement.  The sandbox VM's 32 vCPUs are oversubscribed: pure-CPU
+    4x-scaling efficiency measures ~0.6-0.75 here, so pipeline efficiency is
+    reported both raw and normalized by this ceiling."""
+    import ray
+
+    @ray.remote
+    def burn(k: int) -> float:
+        import numpy as np
+
+        rng = np.random.default_rng(k)
+        a = rng.standard_normal((400, 400))
+        s = 0.0
+        for _ in range(30):
+            s += float((a @ a).sum())
+            a = np.sin(a)
+        return s
+
+    t0 = time.time()
+    ray.get([burn.remote(i) for i in range(n_tasks)])
+    return time.time() - t0
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from rayval.pipelines import queries as Q
+
+    # warm the page cache so the first timed read isn't a cold-disk artifact
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        with open(f"{SF_DIR}/{t}.parquet", "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        fn(SF_DIR)
+        timings[name] = round(time.time() - t0, 3)
+
+    only_images = os.environ.get("RAYVAL_BENCH_ONLY") == "images"
+    trials = int(os.environ.get("RAYVAL_BENCH_TRIALS", "1"))
+    if not only_images:
+        timed("lineitem_violations", Q.q_lineitem_violations)
+        timed("pricing_summary", Q.q_pricing_summary)
+        timed("events_hourly", Q.q_events_hourly)
+        timed("token_counts", Q.q_token_counts)
+        timed("fingerprints", Q.q_fingerprints)
+        timed("minhash_neardups", Q.q_minhash_neardups)
+        timed("embedding_topk", Q.q_embedding_topk)
+        timed("embedding_neardups", Q.q_embedding_neardups)
+    timings["images_validation"] = round(min(bench_images(NUM_CPUS) for _ in range(trials)), 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "rayval headline pipelines wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "num_cpus": NUM_CPUS,
+        "images_n": IMAGES_N,
+        "images_per_sec": round(IMAGES_N / timings["images_validation"], 1),
+    }
+    if os.environ.get("RAYVAL_BENCH_CALIBRATE") == "1":
+        result["cpu_calibration_sec"] = round(min(cpu_calibration() for _ in range(2)), 3)
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same flagship job at num_cpus=8 and 32 in fresh processes (the sandbox
+    stand-in for N vs 4N nodes), min of 2 trials per level against machine
+    noise, plus a pure-CPU hardware-ceiling calibration at both levels."""
+    lo = int(os.environ.get("RAYVAL_SCALING_LO", "8"))
+    hi = int(os.environ.get("RAYVAL_SCALING_HI", "32"))
+
+    def sub(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            PYTHONPATH="/root/repo",
+            RAYVAL_BENCH_ONLY="images",
+            RAYVAL_BENCH_TRIALS="2",
+            RAYVAL_BENCH_CALIBRATE="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo = sub(lo)
+    r_hi = sub(hi)
+    img_lo, img_hi = r_lo["queries"]["images_validation"], r_hi["queries"]["images_validation"]
+    cal_lo, cal_hi = r_lo["cpu_calibration_sec"], r_hi["cpu_calibration_sec"]
+    ratio = hi / lo
+    eff_images = (img_lo / img_hi) / ratio
+    eff_ceiling = (cal_lo / cal_hi) / ratio
+    return {
+        "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, fresh sessions, same input)",
+        f"images_sec_{lo}": img_lo,
+        f"images_sec_{hi}": img_hi,
+        f"images_per_sec_{lo}": r_lo["images_per_sec"],
+        f"images_per_sec_{hi}": r_hi["images_per_sec"],
+        "scaling_efficiency_images": round(eff_images, 3),
+        f"cpu_calibration_sec_{lo}": cal_lo,
+        f"cpu_calibration_sec_{hi}": cal_hi,
+        "hardware_ceiling_efficiency": round(eff_ceiling, 3),
+        "normalized_efficiency": round(eff_images / eff_ceiling, 3) if eff_ceiling else None,
+        "images_n": IMAGES_N,
+        "sf": SF,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -344,6 +344,82 @@ SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM ord
 """
 
 
+def q_customer_nation(sf_dir: str) -> pa.Table:
+    """Broadcast dimension join: customer enriched with nation + region name,
+    aggregated to (n_name, r_name, n_customers)."""
+    import pyarrow.parquet as pq
+
+    from rayval.stages.join import broadcast_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    dim = nation.to_pandas().merge(
+        region.to_pandas(), left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "n_name", "r_name"]]
+    dim = pa.Table.from_pandas(dim.rename(columns={"n_nationkey": "c_nationkey"}), preserve_index=False)
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = broadcast_join(ds, dim, key="c_nationkey")
+    from ray.data.aggregate import Count
+
+    out = joined.groupby(["n_name", "r_name"]).aggregate(Count(alias_name="n_customers"))
+    return _collect(
+        out, pa.schema([("n_name", pa.string()), ("r_name", pa.string()), ("n_customers", pa.int64())])
+    )
+
+
+SQL_CUSTOMER_NATION = """
+SELECT n_name, r_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+def q_events_sessions(sf_dir: str) -> pa.Table:
+    """Session windows (gap > 1800s splits) per user — the gaps-and-islands
+    workload over the ordered event log, as groupby(user).map_groups with the
+    group sorted by ts (the partitioned-log pattern; ray_guide
+    'Streaming-shaped workloads')."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    GAP_US = 1800 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > GAP_US
+        sid = np.cumsum(new)
+        df = pd.DataFrame({"sid": sid, "ts": ts})
+        agg = df.groupby("sid")["ts"].agg(["min", "count"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].iloc[0],
+                "session_start": agg["min"].astype(np.int64),
+                "n_events": agg["count"].astype(np.int64),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _collect(
+        out,
+        pa.schema([("user_id", pa.int64()), ("session_start", pa.int64()), ("n_events", pa.int64())]),
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start, COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, sid
+"""
+
+
 # ============================================================ text analysis
 def q_token_counts(sf_dir: str) -> pa.Table:
     from rayval.functions.text import token_count
@@ -468,6 +544,28 @@ ON a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= 0
 """
 
 
+def q_sample_documents(sf_dir: str) -> pa.Table:
+    """Deterministic ~10% hash sample: md5(doc_id-as-string) prefix bucket —
+    reproducible across engines, so even SAMPLING gets a DuckDB oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        keys = batch["doc_id"].astype(str)
+        keep = keys.map(lambda s: int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % 10 == 0)
+        return batch[keep]
+
+    out = ds.map_batches(f, batch_format="pandas")
+    return _collect(out, pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]))
+
+
+SQL_SAMPLE_DOCUMENTS = """
+SELECT doc_id, lang FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 10 = 0
+"""
+
+
 # ===================================================== rows-only (non-SQL)
 def q_langid(sf_dir: str) -> pa.Table:
     from rayval.functions.text import langid
@@ -535,6 +633,33 @@ def q_images_validation(sf_dir: str) -> pa.Table:
     return t.sort_by([("partition_id", "ascending"), ("image_id", "ascending"), ("constraint_id", "ascending")])
 
 
+def q_image_resize(sf_dir: str) -> pa.Table:
+    """Multimodal actor-pool stage demo: resize the synthetic images table to
+    32x32 thumbnails (real decode + numpy resample + PNG re-encode); returns
+    (image_id, resize_ok, thumb_bytes_len) — deterministic."""
+    from rayval.sources.parquet import list_fragments, read_fragments
+    from rayval.sources.images import generate_images
+    from rayval.stages.multimodal import ImageResize
+
+    data = generate_images("/tmp/rayval_q_images/data", n=300, fragments=4, seed=42)
+    ds = read_fragments(list_fragments(data + "/images"), columns=["image_id", "bytes"])
+    out = ds.map_batches(ImageResize, batch_format="pyarrow", batch_size=64, concurrency=2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        lens = [len(b) if b is not None else -1 for b in batch["resized"].to_pylist()]
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "resize_ok": batch["resize_ok"],
+                "thumb_len": pa.array(lens, type=pa.int64()),
+            }
+        )
+
+    out = out.map_batches(project, batch_format="pyarrow")
+    t = _collect(out, pa.schema([("image_id", pa.string()), ("resize_ok", pa.bool_()), ("thumb_len", pa.int64())]))
+    return t.sort_by("image_id")
+
+
 QUERIES = {
     "lineitem_violations": (q_lineitem_violations, SQL_LINEITEM_VIOLATIONS),
     "part_violations": (q_part_violations, SQL_PART_VIOLATIONS),
@@ -544,6 +669,8 @@ QUERIES = {
     "acctbal_median": (q_acctbal_median, SQL_ACCTBAL_MEDIAN),
     "events_by_type": (q_events_by_type, SQL_EVENTS_BY_TYPE),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "dedup_first_per_group": (q_dedup_first_per_group, SQL_DEDUP_FIRST),
     "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
@@ -551,6 +678,7 @@ QUERIES = {
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),
+    "sample_documents": (q_sample_documents, SQL_SAMPLE_DOCUMENTS),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
     # rows-only (non-SQL-expressible: heuristics, sketch/LSH ops, image decode)
@@ -559,4 +687,5 @@ QUERIES = {
     "simhash_neardups": (q_simhash_neardups, None),
     "lsh_topk": (q_lsh_topk, None),
     "images_validation": (q_images_validation, None),
+    "image_resize": (q_image_resize, None),
 }

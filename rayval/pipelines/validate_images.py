@@ -46,7 +46,7 @@ from rayval.sources.images import MAX_CAPTION
 from rayval.sources.parquet import list_fragments, read_fragments
 from rayval.stages.decode import DecodeCheck
 from rayval.stages.dedup import duplicate_violations, phash_counts, top_hot_buckets
-from rayval.stages.referential import build_bloom, referential_violations
+from rayval.stages.referential import referential_violations
 from rayval.stages.stats import ColumnStats, drift_violations, global_stats, merge_partials, sketch_partials
 from rayval.stages.validate import MetaValidate, explode_violations
 
@@ -76,8 +76,9 @@ def images_profile() -> Profile:
 @dataclass
 class RunConfig:
     group_size: int = 4          # fragments per checkpoint group
-    decode_batch_size: int = 256  # wide binary rows -> small batches
+    decode_batch_size: Optional[int] = 256  # wide binary rows -> small batches; None = block-sized
     decode_concurrency: int = 4   # actor pool size
+    read_blocks_per_fragment: int = 1  # >1 splits fragments into more blocks: smoother actor-pool packing
     hot_threshold: int = 1000
     drift_threshold: float = 0.15
     ref_buckets: int = 32
@@ -99,8 +100,8 @@ def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Mani
         gid = manifest.next_group_id()
         paths = manifest.group_paths(gid)
 
-        ds = read_fragments(group)
-        ds = ds.map_batches(MetaValidate(validator), batch_format="pyarrow", zero_copy_batch=True)
+        ds = read_fragments(group, override_num_blocks=len(group) * cfg.read_blocks_per_fragment)
+        ds = ds.map_batches(MetaValidate(validator), batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         ds = ds.map_batches(
             DecodeCheck,
             batch_format="pyarrow",
@@ -110,23 +111,39 @@ def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Mani
         tmp_results = paths["results"] + ".tmp"
         _clean(tmp_results)  # a killed run may have left partial files; Ray's
         ds.write_parquet(tmp_results)  # uuid-named parts would otherwise accumulate
+        n_rows = _parquet_rows(tmp_results)  # metadata only — no Ray job
 
-        # small read-back of narrow results: violations + sketches + bloom
-        results = ray.data.read_parquet(tmp_results)
-        n_rows = results.count()
-        viol = results.map_batches(explode_violations, batch_format="pyarrow", zero_copy_batch=True)
+        # ONE read-back pass over the narrow results computes the violation
+        # rows AND the sketch + Bloom partials (fused to amortize job startup).
+        # Violations travel back as per-batch Arrow IPC blobs (they are a small
+        # fraction of rows; a config flip to a distributed write is the escape
+        # hatch if a pathological group violates wholesale).
+        results = ray.data.read_parquet(_expand([tmp_results]))
+        partials = _derive_group_outputs(results, cfg)
         tmp_viol = paths["violations"] + ".tmp"
         _clean(tmp_viol)
-        viol.write_parquet(tmp_viol)
-        n_viol = ray.data.read_parquet(tmp_viol).count()
+        os.makedirs(tmp_viol, exist_ok=True)
+        viol_tables = [_ipc_read(r["viol"]) for r in partials if r["viol"] is not None]
+        viol_all = (
+            pa.concat_tables(viol_tables) if viol_tables else VIOLATION_SCHEMA.empty_table()
+        )
+        pq.write_table(viol_all, os.path.join(tmp_viol, "part-0.parquet"))
+        n_viol = viol_all.num_rows
 
-        partial_tables = results.map_batches(sketch_partials, batch_format="pyarrow").take_all()
-        merged = merge_partials(_rows_to_table(partial_tables))
+        merged = merge_partials(_rows_to_table([r for r in partials if r["stats"] is not None]))
         os.makedirs(os.path.dirname(paths["sketches"]), exist_ok=True)
         with open(paths["sketches"] + ".tmp", "wb") as fh:
             pickle.dump({pid: st.to_bytes() for pid, st in merged.items()}, fh)
 
-        bloom = build_bloom(results, n_expected=cfg.bloom_expected)
+        bloom = None
+        from rayval.state import Bloom
+
+        for r in partials:
+            if r["bloom"] is not None:
+                b = Bloom.from_bytes(r["bloom"])
+                bloom = b if bloom is None else bloom.merge(b)
+        if bloom is None:
+            bloom = Bloom(cfg.bloom_expected)
         os.makedirs(os.path.dirname(paths["bloom"]), exist_ok=True)
         with open(paths["bloom"] + ".tmp", "wb") as fh:
             fh.write(bloom.to_bytes())
@@ -190,22 +207,23 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
                 )
             )
 
-    # --- final outputs --------------------------------------------------------
-    base_viol = ray.data.read_parquet(_expand(viol_dirs))
-    extra = pa.concat_tables([t.cast(VIOLATION_SCHEMA) for t in extra_violations]) if extra_violations else None
+    # --- final outputs (violations are the small output; driver-side merge) --
+    tables = [pq.read_table(f) for f in _expand(viol_dirs)]
+    tables += [t.cast(VIOLATION_SCHEMA) for t in extra_violations]
+    viol_final_t = pa.concat_tables([t for t in tables if t.num_rows]) if tables else None
+    if viol_final_t is None or viol_final_t.num_rows == 0:
+        viol_final_t = VIOLATION_SCHEMA.empty_table()
     final_dir = os.path.join(out_dir, "final_violations")
-    if extra is not None and extra.num_rows:
-        all_viol = base_viol.union(ray.data.from_arrow(extra))
-    else:
-        all_viol = base_viol
-    all_viol.write_parquet(final_dir + ".tmp")
+    _clean(final_dir + ".tmp")
+    os.makedirs(final_dir + ".tmp", exist_ok=True)
+    pq.write_table(viol_final_t, os.path.join(final_dir + ".tmp", "part-0.parquet"))
     _replace_dir(final_dir)
 
     stats_rows = [st.row(pid) for pid, st in sorted(per_partition.items())]
     stats_table = pa.Table.from_pylist(stats_rows)
     pq.write_table(stats_table, os.path.join(out_dir, "partition_stats.parquet"))
 
-    viol_final = pq.read_table(final_dir)
+    viol_final = viol_final_t
     bad_parts = set(viol_final[PARTITION_COL].to_pylist())
     verdicts = {pid: (pid not in bad_parts) for pid in sorted(per_partition)}
     g = global_stats(per_partition)
@@ -230,6 +248,63 @@ def run(img_dir: str, out_dir: str, captions_path: Optional[str] = None,
 
 
 # ---------------------------------------------------------------- helpers
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — no Ray job, no data read."""
+    import glob as _glob
+
+    total = 0
+    for f in _glob.glob(os.path.join(path, "*.parquet")):
+        total += pq.read_metadata(f).num_rows
+    return total
+
+
+def _ipc_read(blob: bytes) -> pa.Table:
+    import pyarrow.ipc as ipc
+
+    return ipc.open_stream(blob).read_all()
+
+
+def _ipc_write(table: pa.Table) -> bytes:
+    import io
+
+    import pyarrow.ipc as ipc
+
+    sink = io.BytesIO()
+    with ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    return sink.getvalue()
+
+
+def _derive_group_outputs(results: "ray.data.Dataset", cfg: RunConfig) -> list[dict]:
+    """One fused pass: per batch, emit (stats partial, bloom partial,
+    violations-as-IPC) — amortizes Ray job startup across the three derived
+    outputs instead of three separate dataset executions."""
+    bloom_expected = cfg.bloom_expected
+
+    def fused(batch: pa.Table) -> pa.Table:
+        from rayval.state import Bloom
+
+        part_rows = sketch_partials(batch)
+        stats_blobs = part_rows["stats"].to_pylist()
+        pids = part_rows[PARTITION_COL].to_pylist()
+        b = Bloom(bloom_expected)
+        t = batch.filter(batch["decodable"]) if "decodable" in batch.column_names else batch
+        if t.num_rows:
+            b.add(t["image_id"])
+        viol = explode_violations(batch)
+        n = max(len(pids), 1)
+        return pa.table(
+            {
+                PARTITION_COL: pa.array(pids or [-1], type=pa.int64()),
+                "stats": pa.array(stats_blobs or [None], type=pa.binary()),
+                "bloom": pa.array([b.to_bytes()] + [None] * (n - 1), type=pa.binary()),
+                "viol": pa.array([_ipc_write(viol)] + [None] * (n - 1), type=pa.binary()),
+            }
+        )
+
+    return results.map_batches(fused, batch_format="pyarrow", zero_copy_batch=True).take_all()
+
+
 def _clean(path: str) -> None:
     import shutil
 

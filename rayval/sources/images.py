@@ -54,12 +54,21 @@ MAX_CAPTION = 120
 FMTS = np.array(["png", "jpeg", "webp"])
 
 
+GEN_VERSION = 2  # bump when pixel content changes (invalidates cached dirs)
+
+
 def make_pixels(i: int, w: int, h: int) -> np.ndarray:
-    """Deterministic per-content noise+gradient image (no cross-row RNG)."""
+    """Deterministic per-content noise+gradient image (no cross-row RNG).
+
+    The gradient offset is a HASH of i, not i itself: content indices are
+    contiguous within a fragment, so any statistic monotone in i would give
+    every partition a genuinely shifted distribution and the drift detector
+    would (correctly!) fire on clean data."""
     rng = np.random.default_rng(i)
     noise = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     y, x = np.mgrid[0:h, 0:w].astype(np.uint16)
-    grad = ((x * 2 + y * 3 + i) % 256).astype(np.uint8)
+    i2 = (i * 2654435761) % 256
+    grad = ((x * 2 + y * 3 + i2) % 256).astype(np.uint8)
     return (noise // 2 + grad[..., None] // 2).astype(np.uint8)
 
 
@@ -72,6 +81,56 @@ def make_caption(rng: np.random.Generator, n_words: int) -> str:
     return " ".join(rng.choice(CAPTION_WORDS, size=n_words))
 
 
+def _make_captions(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Vectorized caption generation (a per-row rng.choice loop is ~100x
+    slower at bench scale)."""
+    lens = rng.integers(3, 9, n)
+    words = CAPTION_WORDS[rng.integers(0, len(CAPTION_WORDS), size=(n, 8))]
+    return np.array([" ".join(row[:k]) for row, k in zip(words, lens)], dtype=object)
+
+
+def _encode_write_fragment(
+    path, ids, content, ws, ws_true, hs, fmts, enc_fmt, caps, trunc_mask, pmatch_mask
+) -> int:
+    """Encode one fragment's rows and write its parquet file (runs as a Ray
+    task for large n; deterministic given the inputs)."""
+    payloads, phashes = _encode_chunk(content, ws_true, hs, enc_fmt)
+    for i in np.flatnonzero(trunc_mask):
+        payloads[i] = payloads[i][: max(4, len(payloads[i]) // 3)]
+    phashes[np.flatnonzero(pmatch_mask)] ^= 0x5A5A5A5A
+    table = pa.table(
+        {
+            "image_id": pa.array(ids, type=pa.string()),
+            "bytes": pa.array(payloads, type=pa.binary()),
+            "w": pa.array(ws, type=pa.int32()),
+            "h": pa.array(hs, type=pa.int32()),
+            "fmt": pa.array(fmts, type=pa.string()),
+            "caption": pa.array(caps, type=pa.string()),
+            "phash": pa.array(phashes, type=pa.int64()),
+        }
+    )
+    pq.write_table(table, path)
+    return table.num_rows
+
+
+def _encode_chunk(content, ws, hs, fmts) -> tuple[list, np.ndarray]:
+    payloads: list = []
+    phashes = np.empty(len(content), dtype=np.int64)
+    cache: dict[tuple, tuple] = {}
+    for i in range(len(content)):
+        key = (int(content[i]), int(ws[i]), int(hs[i]), str(fmts[i]))
+        hit = cache.get(key)
+        if hit is None:
+            px = make_pixels(int(content[i]), int(ws[i]), int(hs[i]))
+            data = encode_image(px, str(fmts[i]))
+            recon = px if fmts[i] == "png" else _lossy_roundtrip(px)
+            hit = (data, phash64(recon))
+            cache[key] = hit
+        payloads.append(hit[0])
+        phashes[i] = hit[1]
+    return payloads, phashes
+
+
 def generate_images(
     out_dir: str,
     n: int = 1000,
@@ -80,12 +139,18 @@ def generate_images(
     violation_rate: float = 0.02,
     hot_bucket_frac: float = 0.01,
     dup_groups: int = 5,
+    dim_range: tuple[int, int] = (16, 64),
 ) -> str:
     """Write images fragments + captions + expected_violations; returns out_dir.
 
     Idempotent: a marker file keyed by the args short-circuits regeneration.
+    Encoding parallelizes over Ray tasks when a Ray session is up and n is
+    large (generation is test/bench scaffolding, but slow serial generation
+    would otherwise dominate bench setup at large n × big dims).
     """
-    marker = os.path.join(out_dir, f".done-n{n}-f{fragments}-s{seed}")
+    marker = os.path.join(
+        out_dir, f".done-v{GEN_VERSION}-n{n}-f{fragments}-s{seed}-d{dim_range[0]}x{dim_range[1]}"
+    )
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -93,10 +158,10 @@ def generate_images(
 
     # --- base columns ---------------------------------------------------------
     ids = np.array([f"img-{i:09d}" for i in range(n)], dtype=object)
-    ws = rng.integers(16, 64, n).astype(np.int32)
-    hs = rng.integers(16, 64, n).astype(np.int32)
+    ws = rng.integers(dim_range[0], dim_range[1], n).astype(np.int32)
+    hs = rng.integers(dim_range[0], dim_range[1], n).astype(np.int32)
     fmts = FMTS[rng.integers(0, 3, n)].astype(object)
-    caps = np.array([make_caption(rng, int(k)) for k in rng.integers(3, 9, n)], dtype=object)
+    caps = _make_captions(rng, n)
 
     # content index: rows sharing it share pixels (and therefore phash)
     content = np.arange(n)
@@ -144,42 +209,35 @@ def generate_images(
     caps[v_cnull] = None
     caps[v_clong] = [" ".join(["word"] * 40) for _ in v_clong]
 
-    # --- encode + phash (per-image; genuinely per-item work) -----------------
-    payloads = np.empty(n, dtype=object)
-    phashes = np.empty(n, dtype=np.int64)
-    cache: dict[tuple, tuple] = {}
-    for i in range(n):
-        key = (int(content[i]), int(ws_true[i]), int(hs[i]), str(enc_fmt[i]))
-        hit = cache.get(key)
-        if hit is None:
-            px = make_pixels(int(content[i]), int(ws_true[i]), int(hs[i]))
-            data = encode_image(px, str(enc_fmt[i]))
-            recon = px if enc_fmt[i] == "png" else _lossy_roundtrip(px)
-            hit = (data, phash64(recon))
-            cache[key] = hit
-        payloads[i], phashes[i] = hit
-    for i in v_trunc:
-        payloads[i] = payloads[i][: max(4, len(payloads[i]) // 3)]
-    phashes[v_pmatch] ^= 0x5A5A5A5A
-
-    # --- partition + write fragments -----------------------------------------
+    # --- encode + write, one task per fragment --------------------------------
+    # Each fragment is encoded AND written inside its own (Ray) task: no giant
+    # driver-side table, no >2GB binary-offset chunking, no multi-GB plasma
+    # round trip — the driver ships only small per-fragment column slices.
     part = (np.arange(n) * fragments // n).astype(np.int64)
-    table = pa.table(
-        {
-            "image_id": pa.array(ids, type=pa.string()),
-            "bytes": pa.array(list(payloads), type=pa.binary()),
-            "w": pa.array(ws, type=pa.int32()),
-            "h": pa.array(hs, type=pa.int32()),
-            "fmt": pa.array(fmts, type=pa.string()),
-            "caption": pa.array(caps, type=pa.string()),
-            "phash": pa.array(phashes, type=pa.int64()),
-        }
-    )
+    trunc_mask = np.zeros(n, dtype=bool)
+    trunc_mask[v_trunc] = True
+    pmatch_mask = np.zeros(n, dtype=bool)
+    pmatch_mask[v_pmatch] = True
     img_dir = os.path.join(out_dir, "images")
     os.makedirs(img_dir, exist_ok=True)
+    jobs = []
     for f in range(fragments):
         sel = np.flatnonzero(part == f)
-        pq.write_table(table.take(pa.array(sel)), os.path.join(img_dir, f"part-{f:05d}.parquet"))
+        jobs.append(
+            (
+                os.path.join(img_dir, f"part-{f:05d}.parquet"),
+                ids[sel], content[sel], ws[sel], ws_true[sel], hs[sel],
+                fmts[sel], enc_fmt[sel], caps[sel], trunc_mask[sel], pmatch_mask[sel],
+            )
+        )
+    import ray as _ray
+
+    if n >= 4096 and _ray.is_initialized():
+        f_remote = _ray.remote(_encode_write_fragment)
+        _ray.get([f_remote.remote(*j) for j in jobs])
+    else:
+        for j in jobs:
+            _encode_write_fragment(*j)
 
     # --- captions side table (F2) --------------------------------------------
     n_dangling = max(1, k // 2)

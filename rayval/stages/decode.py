@@ -42,13 +42,20 @@ DECODE_CHECKS = [
 
 class DecodeCheck:
     """Actor-pool callable: state (codec dispatch tables, reusable buffers) is
-    set up once per actor in __init__, per-batch work in __call__."""
+    set up once per actor in __init__, per-batch work in __call__.
 
-    def __init__(self, psnr_check: bool = False):
+    ``quality=True`` additionally extracts per-image quality features from the
+    decoded pixels — luma brightness/contrast and Laplacian-variance sharpness
+    (the standard blur-detection statistic) — the feature-extraction half of
+    the multimodal pipeline; they flow into the per-partition stats sketches
+    (stages/stats.py NUMERIC_COLS)."""
+
+    def __init__(self, psnr_check: bool = False, quality: bool = True):
         # the codecs are module-level pure functions; actor state here is just
         # the config — the pattern still matters: a real decoder (libjpeg,
         # libwebp) would be loaded HERE, once per actor, not per batch.
         self.psnr_check = psnr_check
+        self.quality = quality
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -64,6 +71,9 @@ class DecodeCheck:
         h_ok = np.ones(n, dtype=bool)
         fmt_ok = np.ones(n, dtype=bool)
         ph_ok = np.ones(n, dtype=bool)
+        brightness = np.full(n, np.nan, dtype=np.float32)
+        contrast = np.full(n, np.nan, dtype=np.float32)
+        sharpness = np.full(n, np.nan, dtype=np.float32)
 
         # genuinely per-item work: each row is one opaque image payload
         for i in range(n):
@@ -81,8 +91,19 @@ class DecodeCheck:
             h_ok[i] = dh == h[i]
             fmt_ok[i] = container_fmt == fmt[i]
             ph_ok[i] = phash64(px) == ph[i]
+            if self.quality and dh >= 3 and dw >= 3:
+                gray = px.mean(axis=2, dtype=np.float32)
+                brightness[i] = gray.mean()
+                contrast[i] = gray.std()
+                core = gray[1:-1, 1:-1]
+                lap = 4 * core - gray[:-2, 1:-1] - gray[2:, 1:-1] - gray[1:-1, :-2] - gray[1:-1, 2:]
+                sharpness[i] = lap.var()
 
         batch = batch.drop_columns(["bytes"])
         for name, arr in zip(DECODE_CHECKS, (decodable, w_ok, h_ok, fmt_ok, ph_ok)):
             batch = batch.append_column(OK_PREFIX + name, pa.array(arr))
+        if self.quality:
+            batch = batch.append_column("brightness", pa.array(brightness))
+            batch = batch.append_column("contrast", pa.array(contrast))
+            batch = batch.append_column("sharpness", pa.array(sharpness))
         return batch.append_column("decodable", pa.array(decodable))

@@ -1,0 +1,86 @@
+"""Join / lookup operators.
+
+``broadcast_join``: the small-side dimension join (guide: "Joins and
+lookups") — the small table is ``ray.put`` ONCE and each batch does a
+vectorized pandas merge against it; no shuffle, no per-batch re-ship.
+
+``bucket_join``: both-sides-large equi-join as an explicit partitioned hash
+join: both sides get ``bucket = hash64(key) % B``, matching buckets join
+pairwise inside ``groupby(bucket).map_groups``.  Skew note: salt hot keys
+into sub-buckets before grouping (the hot-key split in stages/dedup.py is the
+template); B is the documented partitioning assumption.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from rayval.state.hashing import hash64
+
+
+def broadcast_join(
+    ds: "ray.data.Dataset",
+    small: pa.Table,
+    key: str,
+    how: str = "left",
+) -> "ray.data.Dataset":
+    """Enrich ``ds`` with columns from ``small`` (a driver-side Arrow table)
+    matched on ``key``.  Small side is broadcast once via the object store."""
+    small_ref = ray.put(small.to_pandas())
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        right = ray.get(small_ref)
+        return batch.merge(right, on=key, how=how)
+
+    return ds.map_batches(join, batch_format="pandas")
+
+
+def bucket_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    n_buckets: int = 32,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Explicit hash-partitioned join for two large sides (narrow columns
+    only — project before joining)."""
+
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    shared = set(lcols) & set(rcols) - {key}
+    if shared:
+        raise ValueError(f"non-key columns appear on both sides: {sorted(shared)}; project first")
+    all_cols = lcols + [c for c in rcols if c != key]
+    l_schema = dict(zip(left.schema().names, left.schema().types))
+    r_schema = dict(zip(right.schema().names, right.schema().types))
+    types = {**r_schema, **l_schema}
+
+    def tag(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            h = hash64(batch[key]) % np.uint64(n_buckets)
+            out = {}
+            for c in all_cols:
+                if c in batch.column_names:
+                    out[c] = batch[c]
+                else:
+                    out[c] = pa.nulls(batch.num_rows, types[c])
+            out["__bucket"] = pa.array(h.astype(np.int64))
+            out["__side"] = pa.array([side] * batch.num_rows)
+            return pa.table(out)
+
+        return f
+
+    both = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow")
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == "l"][lcols]
+        r = group[group["__side"] == "r"][[key] + [c for c in rcols if c != key]]
+        return l.merge(r, on=key, how=how)
+
+    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")

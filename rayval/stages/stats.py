@@ -26,7 +26,7 @@ import pyarrow as pa
 from rayval.constraints.profile import PARTITION_COL
 from rayval.state import HLL, KLL, ks_distance
 
-NUMERIC_COLS = ["w", "h", "caption_len"]
+NUMERIC_COLS = ["w", "h", "caption_len", "brightness", "contrast", "sharpness"]
 UNIQUE_COLS = ["image_id", "phash"]
 
 
@@ -149,7 +149,9 @@ def drift_violations(
                 a, b = st.numeric[c]["kll"], reference.numeric[c]["kll"]
                 if a.n == 0 or b.n == 0:
                     continue
-                crit = 1.628 * np.sqrt((a.n + b.n) / (a.n * b.n))  # KS α=0.01
+                # KS α≈0.001 — many (partition × column) tests run per job, so
+                # the per-test false-positive rate must be tight
+                crit = 1.95 * np.sqrt((a.n + b.n) / (a.n * b.n))
                 d = ks_distance(a, b)
                 if d == d and d > max(threshold, crit):  # NaN-safe
                     out.append((pid, None, f"stats.drift.{c}"))

@@ -36,6 +36,55 @@ class MetaValidate:
         return batch
 
 
+class Annotate:
+    """``with-status`` analog (parser.clj:384-400): rewrite the table so each
+    validated column becomes a struct<value, status> — the IN-BAND form of the
+    verdict, vs. the out-of-band ok__ mask columns (the metadata analog,
+    core.clj:263-270).  Adds a ``row_valid`` column (per-row AND of all
+    checks, the row-level ``valid?``)."""
+
+    def __init__(self, validator: BatchValidator):
+        from rayval.constraints.combinators import AnyOf
+
+        self.validator = validator
+        self.by_column: dict[str, list[str]] = {}
+        self.unions: list[tuple[str, "AnyOf"]] = []
+        for ch in validator.checks:
+            self.by_column.setdefault(ch.column, []).append(ch.constraint_id)
+            if isinstance(ch.constraint, AnyOf):
+                self.unions.append((ch.column, ch.constraint))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from rayval.constraints.base import ColumnView
+
+        masks = self.validator.masks(batch)
+        row_valid = np.ones(batch.num_rows, dtype=bool)
+        for m in masks.values():
+            row_valid &= m
+        out = batch
+        for col, cids in self.by_column.items():
+            if col not in out.column_names:
+                continue
+            status = np.ones(batch.num_rows, dtype=bool)
+            for cid in cids:
+                if cid in masks:
+                    status &= masks[cid]
+            struct = pa.StructArray.from_arrays(
+                [out[col].combine_chunks() if isinstance(out[col], pa.ChunkedArray) else out[col],
+                 pa.array(status)],
+                names=["value", "status"],
+            )
+            idx = out.column_names.index(col)
+            out = out.set_column(idx, col, struct)
+        # ordered first-match member index for union-typed columns — the
+        # decode-fidelity requirement flagged in SURVEY.md §7a (core.clj:73-78)
+        for col, union in self.unions:
+            if col in batch.column_names:
+                view = ColumnView(batch[col], infer_scalars=self.validator.profile.infer_scalars)
+                out = out.append_column(f"{col}__member", pa.array(union.match_index(view, self.validator.ctx)))
+        return out.append_column("row_valid", pa.array(row_valid))
+
+
 def explode_violations(batch: pa.Table, key: str = "image_id") -> pa.Table:
     """ok__* bool columns -> violation rows (partition_id, <key>, constraint_id)."""
     part = batch[PARTITION_COL].combine_chunks() if isinstance(batch[PARTITION_COL], pa.ChunkedArray) else batch[PARTITION_COL]

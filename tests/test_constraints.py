@@ -277,6 +277,20 @@ def test_allof_flattens_to_separate_ids():
     assert ids == {"s.minLength", "s.maxLength"}
 
 
+def test_annotate_with_status():
+    # with-status analog (parser.clj:384-400, parser_test.clj:474-479):
+    # in-band {value, status} structs + row_valid
+    from rayval.stages.validate import Annotate
+
+    prof = Profile("t", [Field("w", Range(min=1, max=10)), Field("fmt", Enum(["a", "b"]))], key="id")
+    out = Annotate(prof.compile())(
+        pa.table({"w": pa.array([5, 50], type=pa.int32()), "fmt": ["a", "z"]})
+    )
+    rows = out.to_pylist()
+    assert rows[0] == {"w": {"value": 5, "status": True}, "fmt": {"value": "a", "status": True}, "row_valid": True}
+    assert rows[1]["w"]["status"] is False and rows[1]["fmt"]["status"] is False and rows[1]["row_valid"] is False
+
+
 def test_nulls_pass_value_constraints():
     assert run_mask(Range(min=0, max=10), [None, 5, 20], typ=pa.int64()) == [True, True, False]
     assert run_mask(Enum(["a"]), [None, "a", "b"]) == [True, True, False]

@@ -1,0 +1,52 @@
+"""Join/lookup operators: broadcast dimension join + partitioned hash join."""
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def facts(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 2, 9], type=pa.int64()),
+                "v": pa.array([10.0, 20.0, 30.0, 21.0, 99.0]),
+            }
+        )
+    )
+
+
+DIM = pa.table({"k": pa.array([1, 2, 3], type=pa.int64()), "name": ["a", "b", "c"]})
+
+
+def test_broadcast_join_left(facts):
+    from rayval.stages.join import broadcast_join
+
+    out = broadcast_join(facts, DIM, key="k").to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    assert len(out) == 5
+    assert out[out.k == 2].name.tolist() == ["b", "b"]
+    assert out[out.k == 9].name.isna().all()  # left join keeps unmatched
+
+
+def test_bucket_join_inner(facts, ray_session):
+    import ray.data
+
+    from rayval.stages.join import bucket_join
+
+    right = ray.data.from_arrow(DIM)
+    out = bucket_join(facts, right, key="k", n_buckets=4).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    assert len(out) == 4  # k=9 dropped (inner)
+    assert set(out.columns) == {"k", "v", "name"}
+    assert out[out.k == 3].name.tolist() == ["c"]
+
+
+def test_bucket_join_rejects_ambiguous_columns(facts, ray_session):
+    import ray.data
+
+    from rayval.stages.join import bucket_join
+
+    right = ray.data.from_arrow(pa.table({"k": pa.array([1], type=pa.int64()), "v": [5.0]}))
+    with pytest.raises(ValueError):
+        bucket_join(facts, right, key="k")
