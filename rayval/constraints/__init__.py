@@ -14,6 +14,7 @@ from rayval.constraints.leaves import (  # noqa: F401
     Predicate,
     Range,
 )
+from rayval.constraints.dsl import constraint_from_spec, profile_from_dict, profile_from_json  # noqa: F401
 from rayval.constraints.predefined import PREDEFINED, TypeCheck  # noqa: F401
 from rayval.constraints.profile import (  # noqa: F401
     PARTITION_COL,
