@@ -58,30 +58,34 @@ def png_encode(pixels: np.ndarray) -> bytes:
     return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def png_decode(data: bytes) -> np.ndarray:
-    if data[:8] != PNG_SIG:
+def png_decode(data) -> np.ndarray:
+    """Accepts bytes or any buffer (memoryview slices from an Arrow binary
+    column decode zero-copy — no per-row payload copy)."""
+    data = memoryview(data)
+    if bytes(data[:8]) != PNG_SIG:
         raise CodecError("not a PNG")
     pos = 8
     ihdr = None
-    idat = b""
+    idat_parts: list = []
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
+        tag = bytes(data[pos + 4 : pos + 8])
         payload = data[pos + 8 : pos + 8 + length]
         if len(payload) != length:
             raise CodecError("truncated chunk")
         crc = data[pos + 8 + length : pos + 12 + length]
-        if len(crc) != 4 or struct.unpack(">I", crc)[0] != (zlib.crc32(tag + payload) & 0xFFFFFFFF):
+        if len(crc) != 4 or struct.unpack(">I", crc)[0] != (zlib.crc32(payload, zlib.crc32(tag)) & 0xFFFFFFFF):
             raise CodecError(f"bad CRC in {tag!r}")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", payload)
         elif tag == b"IDAT":
-            idat += payload
+            idat_parts.append(payload)
         elif tag == b"IEND":
             break
         pos += 12 + length
-    if ihdr is None or not idat:
+    if ihdr is None or not idat_parts:
         raise CodecError("missing IHDR/IDAT")
+    idat = idat_parts[0] if len(idat_parts) == 1 else b"".join(bytes(p) for p in idat_parts)
     w, h, depth, color, _, _, interlace = ihdr
     if depth != 8 or color != 2 or interlace != 0:
         raise CodecError(f"unsupported PNG variant depth={depth} color={color}")
@@ -108,8 +112,9 @@ def lossy_encode(pixels: np.ndarray, fmt: str) -> bytes:
     return FAKE_MAGIC_REV[fmt] + struct.pack(">IIB", w, h, _QSTEP) + payload
 
 
-def lossy_decode(data: bytes) -> tuple[np.ndarray, str]:
-    magic = data[:4]
+def lossy_decode(data) -> tuple[np.ndarray, str]:
+    data = memoryview(data)
+    magic = bytes(data[:4])
     fmt = FAKE_MAGIC.get(magic)
     if fmt is None:
         raise CodecError("not an RVL lossy container")
@@ -136,11 +141,12 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     raise CodecError(f"unknown fmt {fmt!r}")
 
 
-def decode_image(data: bytes) -> tuple[np.ndarray, str]:
-    """bytes -> ((h, w, 3) uint8, fmt). Raises CodecError on any malformation."""
-    if len(data) >= 8 and data[:8] == PNG_SIG:
+def decode_image(data) -> tuple[np.ndarray, str]:
+    """buffer -> ((h, w, 3) uint8, fmt). Raises CodecError on malformation."""
+    data = memoryview(data)
+    if len(data) >= 8 and bytes(data[:8]) == PNG_SIG:
         return png_decode(data), "png"
-    if len(data) >= 4 and data[:4] in FAKE_MAGIC:
+    if len(data) >= 4 and bytes(data[:4]) in FAKE_MAGIC:
         return lossy_decode(data)
     raise CodecError("unrecognized image container")
 

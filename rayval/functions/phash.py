@@ -23,11 +23,8 @@ def phash64(pixels: np.ndarray) -> int:
     xs = np.linspace(0, w - 1, 8).round().astype(int)
     cells = gray[np.ix_(ys, xs)]
     bits = (cells > cells.mean()).ravel()
-    val = np.uint64(0)
-    for i, b in enumerate(bits):
-        if b:
-            val |= np.uint64(1) << np.uint64(i)
-    return int(val.astype(np.int64))
+    packed = np.packbits(bits, bitorder="little")  # bit i -> 1 << i
+    return int(packed.view(np.uint64)[0].astype(np.int64))
 
 
 def hamming64(a: np.ndarray, b: int) -> np.ndarray:

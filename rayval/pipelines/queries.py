@@ -144,30 +144,38 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
     """TPC-H Q1-shaped grouped sums, carried in exact integer fixed-point."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
 
-    def to_int(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
+        # partial (combiner) aggregation INSIDE the map task: one row per
+        # group per batch leaves the task, so the groupby shuffle moves
+        # ~6 rows/batch instead of every input row (guide: "Aggregation at
+        # scale" — pre-aggregate before a groupby)
         qty = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
         cents = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         disc = np.round(batch["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        return pa.table(
+        t = pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
                 "qty": pa.array(qty),
                 "price_cents": pa.array(cents),
                 "disc_e4": pa.array(cents * (100 - disc)),
+                "one": pa.array(np.ones(len(qty), dtype=np.int64)),
             }
         )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_cents", "sum"), ("disc_e4", "sum"), ("one", "sum")]
+        )
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     out = (
-        ds.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("price_cents", alias_name="sum_price_cents"),
-            Sum("disc_e4", alias_name="sum_disc_e4"),
-            Count(alias_name="n"),
+            Sum("qty_sum", alias_name="sum_qty"),
+            Sum("price_cents_sum", alias_name="sum_price_cents"),
+            Sum("disc_e4_sum", alias_name="sum_disc_e4"),
+            Sum("one_sum", alias_name="n"),
         )
     )
     return _collect(
@@ -544,6 +552,49 @@ ON a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= 0
 """
 
 
+def q_events_with_prev(sf_dir: str) -> pa.Table:
+    """Per-user previous-event lookup (LAG) — the as-of/ordered-log shape:
+    hash-partition by user (groupby), sort within group by ts, shift.  The
+    canonical per-key sorted-window op Ray Data lacks natively."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prev(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "prev_event_id": g["event_id"].shift(1),
+                "gap_us": pd.Series(ts).diff(),
+            }
+        )
+        out["prev_event_id"] = out["prev_event_id"].astype("Int64")
+        out["gap_us"] = out["gap_us"].astype("Int64")
+        return out
+
+    out = ds.groupby("user_id").map_groups(prev, batch_format="pandas")
+    return _collect(
+        out,
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("prev_event_id", pa.int64()),
+                ("gap_us", pa.int64()),
+            ]
+        ),
+    )
+
+
+SQL_EVENTS_WITH_PREV = """
+SELECT event_id, user_id,
+       LAG(event_id) OVER w AS prev_event_id,
+       CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS BIGINT) AS gap_us
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_sample_documents(sf_dir: str) -> pa.Table:
     """Deterministic ~10% hash sample: md5(doc_id-as-string) prefix bucket —
     reproducible across engines, so even SAMPLING gets a DuckDB oracle."""
@@ -670,6 +721,7 @@ QUERIES = {
     "events_by_type": (q_events_by_type, SQL_EVENTS_BY_TYPE),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "events_with_prev": (q_events_with_prev, SQL_EVENTS_WITH_PREV),
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "dedup_first_per_group": (q_dedup_first_per_group, SQL_DEDUP_FIRST),
     "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),

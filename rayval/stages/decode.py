@@ -57,10 +57,24 @@ class DecodeCheck:
         self.psnr_check = psnr_check
         self.quality = quality
 
+    @staticmethod
+    def _row_buffers(arr: pa.Array):
+        """Zero-copy per-row memoryviews into the Arrow binary column's data
+        buffer (avoids one full payload copy per row vs ``.as_py()``)."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if arr.null_count or not isinstance(arr, (pa.BinaryArray, pa.LargeBinaryArray)):
+            return arr, None, None  # fall back to as_py for exotic cases
+        bufs = arr.buffers()
+        off_dtype = np.int64 if isinstance(arr, pa.LargeBinaryArray) else np.int32
+        offs = np.frombuffer(bufs[-2], dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1]
+        return arr, offs, memoryview(bufs[-1])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         payloads = batch["bytes"]
         payloads = payloads.combine_chunks() if isinstance(payloads, pa.ChunkedArray) else payloads
+        payloads, offs, data_mv = self._row_buffers(payloads)
         w = batch["w"].to_numpy(zero_copy_only=False)
         h = batch["h"].to_numpy(zero_copy_only=False)
         fmt = batch["fmt"].to_pylist()
@@ -77,8 +91,11 @@ class DecodeCheck:
 
         # genuinely per-item work: each row is one opaque image payload
         for i in range(n):
-            data = payloads[i].as_py()
-            if data is None:
+            if offs is not None:
+                data = data_mv[offs[i] : offs[i + 1]]
+            else:
+                data = payloads[i].as_py()
+            if data is None or len(data) == 0:
                 decodable[i] = False
                 continue
             try:

@@ -1,0 +1,71 @@
+"""Skew-aware aggregation utilities (north_rule: "skew-aware repartitioning
+on hot pHash buckets").
+
+Two complementary strategies live in this engine:
+
+1. **Hot-key bypass** (stages/dedup.py): detect hot keys from cheap partial
+   counts and resolve their membership by broadcast filter — hot keys never
+   enter a shuffle at all.  Preferred when the downstream op is a
+   filter/flag (dedup violations).
+2. **Salting** (here): when hot keys MUST be aggregated through a groupby
+   (e.g. a per-key metric), append ``salt = hash(row) % S`` for hot keys
+   only, aggregate by (key, salt) — splitting each hot key across S reducers
+   — then run a second tiny groupby over the S partials per hot key.
+   Correct for any commutative-associative aggregate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from rayval.state.hashing import rehash
+
+
+def salted_group_counts(
+    ds: "ray.data.Dataset",
+    key: str,
+    hot_keys: Optional[np.ndarray] = None,
+    n_salts: int = 16,
+) -> pa.Table:
+    """Exact per-key counts with hot keys salted across ``n_salts`` reducers.
+
+    ``hot_keys``: int64 array of keys known (e.g. from a sampled pre-count) to
+    be heavy; rows with other keys use salt 0.  Result: (key, n).
+    """
+    hot = np.asarray(hot_keys if hot_keys is not None else [], dtype=np.int64)
+    hot_ref = ray.put(hot)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        h = ray.get(hot_ref)
+        salt = np.zeros(len(k), dtype=np.int64)
+        if h.size:
+            is_hot = np.isin(k, h)
+            if is_hot.any():
+                # per-row salt from a row hash so each hot key spreads evenly
+                salt[is_hot] = (rehash(k[is_hot].view(np.uint64), 0x5A17) % np.uint64(n_salts)).astype(np.int64)
+                # vary by position too (same key -> different reducers)
+                salt[is_hot] = (salt[is_hot] + np.arange(int(is_hot.sum()))) % n_salts
+        return pa.table(
+            {
+                key: batch[key],
+                "salt": pa.array(salt),
+                "n": pa.array(np.ones(len(k), dtype=np.int64)),
+            }
+        )
+
+    # level 1: aggregate by (key, salt) — hot keys split across n_salts groups
+    lvl1 = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).groupby([key, "salt"]).sum("n")
+    rows = lvl1.take_all()
+    if not rows:
+        return pa.table({key: pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())})
+    # level 2: tiny — collapse salts per key (at most n_salts rows per key)
+    import pandas as pd
+
+    df = pd.DataFrame(rows).groupby(key, as_index=False)["sum(n)"].sum()
+    return pa.table({key: pa.array(df[key].to_numpy()), "n": pa.array(df["sum(n)"].to_numpy(), type=pa.int64())})

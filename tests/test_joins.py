@@ -50,3 +50,20 @@ def test_bucket_join_rejects_ambiguous_columns(facts, ray_session):
     right = ray.data.from_arrow(pa.table({"k": pa.array([1], type=pa.int64()), "v": [5.0]}))
     with pytest.raises(ValueError):
         bucket_join(facts, right, key="k")
+
+
+def test_salted_group_counts(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.skew import salted_group_counts
+
+    # one hot key (80% of rows) + uniform tail
+    keys = np.concatenate([np.full(8000, 7, dtype=np.int64), np.arange(2000, dtype=np.int64)])
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)}))
+    out = salted_group_counts(ds, "k", hot_keys=np.array([7]), n_salts=8).to_pandas()
+    got = dict(zip(out.k, out.n))
+    assert got[7] == 8000 + 1  # 8000 hot + the one tail row with k=7
+    assert got[1999] == 1
+    assert out.n.sum() == len(keys)
