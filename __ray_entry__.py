@@ -24,6 +24,33 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def _ensure_workers_can_run_rayval() -> None:
+    """Ray workers resolve modules via the driver's cwd or PYTHONPATH — not
+    the driver's sys.path.  If neither points at this repo, register every
+    rayval module with cloudpickle for BY-VALUE serialization so map_batches
+    callables ship their code instead of an import reference."""
+    if os.getcwd() == _REPO or _REPO in os.environ.get("PYTHONPATH", ""):
+        return
+    try:
+        import importlib
+        import pkgutil
+
+        from ray import cloudpickle
+
+        import rayval
+
+        for m in [rayval] + [
+            importlib.import_module(mi.name)
+            for mi in pkgutil.walk_packages(rayval.__path__, prefix="rayval.")
+        ]:
+            cloudpickle.register_pickle_by_value(m)
+    except Exception:
+        pass  # best-effort: the common case (cwd == repo) needs nothing
+
+
+_ensure_workers_can_run_rayval()
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: compiled constraint profiles over
     lineitem/part/orders -> combined violation listing (stable schema

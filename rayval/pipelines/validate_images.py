@@ -177,7 +177,9 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
     if captions_path:
         bloom = _merged_bloom(manifest, entries)
         captions = ray.data.read_parquet(captions_path)
-        ref = referential_violations(captions, results, bloom, key="caption_id", n_buckets=cfg.ref_buckets)
+        ref = referential_violations(
+            captions, results, bloom, key="caption_id", n_buckets=cfg.ref_buckets, compare_col="caption"
+        )
         if ref.num_rows:
             ref = pa.table(
                 {

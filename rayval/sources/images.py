@@ -54,7 +54,7 @@ MAX_CAPTION = 120
 FMTS = np.array(["png", "jpeg", "webp"])
 
 
-GEN_VERSION = 2  # bump when pixel content changes (invalidates cached dirs)
+GEN_VERSION = 3  # bump when generated content changes (invalidates cached dirs)
 
 
 def make_pixels(i: int, w: int, h: int) -> np.ndarray:
@@ -194,6 +194,7 @@ def generate_images(
     v_clong = carve(k)
     v_trunc = carve(k)
     v_pmatch = carve(k)
+    v_cfid = carve(k)  # caption-table text mutated -> caption.fidelity
 
     # dims used for ENCODING (ground truth); stored metadata mutates separately
     ws_true = ws.copy()
@@ -243,6 +244,7 @@ def generate_images(
     n_dangling = max(1, k // 2)
     cap_img_ids = np.concatenate([ids, np.array([f"img-miss-{j:06d}" for j in range(n_dangling)], dtype=object)])
     cap_texts = np.concatenate([caps, np.array(["dangling"] * n_dangling, dtype=object)])
+    cap_texts[v_cfid] = [str(cap_texts[r]) + " [edited]" for r in v_cfid]  # byte-inequality
     cap_ids = np.array([f"cap-{j:09d}" for j in range(len(cap_img_ids))], dtype=object)
     pq.write_table(
         pa.table(
@@ -287,6 +289,10 @@ def generate_images(
         exp_part.append(-1)
         exp_key.append(str(cap_ids[r]))
         exp_cid.append("image_id.ref")
+    for r in v_cfid:  # mutated caption-table text -> byte-equality violation
+        exp_part.append(-1)
+        exp_key.append(str(cap_ids[r]))
+        exp_cid.append("caption.fidelity")
     pq.write_table(
         pa.table(
             {

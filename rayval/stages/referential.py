@@ -1,6 +1,8 @@
-"""Referential integrity: every caption row must resolve to a DECODABLE image
-(north_star).  Implemented as the north_rule's "broadcast Bloom-filter join
-with explicit hash-partitioned shuffle", in ONE pass over captions:
+"""Referential integrity + caption fidelity: every caption row must resolve
+to a DECODABLE image (north_star), and the caption text must BYTE-EQUAL the
+image row's caption (input_hint per-row fidelity).  One pass over captions,
+one hash-partitioned exchange, implementing the north_rule's "broadcast
+Bloom-filter join with explicit hash-partitioned shuffle":
 
 1. build — per-batch partial Bloom filters over decodable image_ids
    (map_batches emits one serialized partial per batch), OR-merged small-side
@@ -11,17 +13,20 @@ with explicit hash-partitioned shuffle", in ONE pass over captions:
    routed to the degenerate bucket -1, skipping the real shuffle work.
    Bloom-POSITIVE rows may be false positives, so they shuffle to their hash
    bucket for exact verification.
-3. exact verify — the decodable image_id column (narrow) is tagged with the
-   same bucket hash; ``groupby(bucket).map_groups`` anti-joins caption
-   candidates against the ids per bucket.  Bucket -1 has no right side, so
-   its rows all come out violations — no special casing.
+3. exact verify — the decodable image rows (narrow: id + caption) are tagged
+   with the same bucket hash; ``groupby(bucket).map_groups`` anti-joins
+   caption candidates against the ids per bucket (bucket -1 has no right
+   side, so its rows all come out violations — no special casing) AND
+   byte-compares captions for resolved rows (``caption.fidelity``).
 
-Payload bytes never move; only (bucket, image_id, key) shuffles.  The result
-is EXACT: bloom false positives are caught by the join; bloom negatives are
-provably dangling.
+Payload bytes never move; only (bucket, image_id, key, caption) shuffles.
+The result is EXACT: bloom false positives are caught by the join; bloom
+negatives are provably dangling.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import numpy as np
 import pyarrow as pa
@@ -32,6 +37,7 @@ from rayval.constraints.profile import PARTITION_COL
 from rayval.state import Bloom, hash64
 
 REF_CONSTRAINT = "image_id.ref"
+FIDELITY_CONSTRAINT = "caption.fidelity"
 
 
 def build_bloom(results: "ray.data.Dataset", n_expected: int, fpp: float = 0.01) -> Bloom:
@@ -60,10 +66,16 @@ def referential_violations(
     bloom: Bloom,
     key: str = "caption_id",
     n_buckets: int = 32,
+    compare_col: Optional[str] = None,
 ) -> pa.Table:
-    """Violation rows (partition_id=-1, <key>, 'image_id.ref') for captions
-    whose image_id has no decodable image.  Exact (see module doc)."""
+    """Violation rows (partition_id=-1, <key>, constraint_id) — 'image_id.ref'
+    for unresolvable captions, plus 'caption.fidelity' for resolved rows whose
+    ``compare_col`` differs between the caption row and the image row."""
     bloom_ref = ray.put(bloom.to_bytes())
+    cap_cols = [key, "image_id"] + ([compare_col] if compare_col else [])
+    res_cols = [c for c in ["image_id", "decodable"] if c in results.schema().names]
+    if compare_col and compare_col in results.schema().names:
+        res_cols.append(compare_col)
 
     def tag_captions(batch: pa.Table) -> pa.Table:
         b = Bloom.from_bytes(ray.get(bloom_ref))
@@ -76,44 +88,67 @@ def referential_violations(
             hit = b.contains(ids)  # nulls hash to something; masked below
             keep = valid & hit
             bucket[keep] = h.astype(np.int64)[keep]  # positives -> real bucket
-        return pa.table(
-            {
-                "bucket": pa.array(bucket, type=pa.int64()),
-                "image_id": ids,
-                "side_key": batch[key],
-            }
-        )
+        out = {
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "image_id": ids,
+            "side_key": batch[key],
+        }
+        if compare_col:
+            out["cmp"] = batch[compare_col]
+        return pa.table(out)
 
     def tag_ids(batch: pa.Table) -> pa.Table:
         t = batch.filter(batch["decodable"]) if "decodable" in batch.column_names else batch
         h = hash64(t["image_id"]) % np.uint64(n_buckets)
-        return pa.table(
-            {
-                "bucket": pa.array(h.astype(np.int64), type=pa.int64()),
-                "image_id": t["image_id"],
-                "side_key": pa.nulls(t.num_rows, pa.string()),
-            }
-        )
+        out = {
+            "bucket": pa.array(h.astype(np.int64), type=pa.int64()),
+            "image_id": t["image_id"],
+            "side_key": pa.nulls(t.num_rows, pa.string()),
+        }
+        if compare_col:
+            out["cmp"] = t[compare_col] if compare_col in t.column_names else pa.nulls(t.num_rows, pa.string())
+        return pa.table(out)
 
-    cols = [c for c in ("image_id", "decodable") if c in results.schema().names]
-    left = captions.select_columns([key, "image_id"]).map_batches(tag_captions, batch_format="pyarrow")
-    right = results.select_columns(cols).map_batches(tag_ids, batch_format="pyarrow")
+    left = captions.select_columns(cap_cols).map_batches(tag_captions, batch_format="pyarrow")
+    right = results.select_columns(res_cols).map_batches(tag_ids, batch_format="pyarrow")
 
     def per_bucket(group: pa.Table) -> pa.Table:
         is_cand = group["side_key"].is_valid().to_numpy(zero_copy_only=False)
         all_ids = np.asarray(group["image_id"].to_pylist(), dtype=object)
         cand_keys = np.asarray(group["side_key"].to_pylist(), dtype=object)[is_cand]
         cand_ids = all_ids[is_cand]
-        valid_ids = set(all_ids[~is_cand])
-        missing = [k for k, i in zip(cand_keys, cand_ids) if i not in valid_ids]
-        return pa.table({"side_key": pa.array(missing, type=pa.string())})
+        bad_keys: list = []
+        bad_cids: list = []
+        if compare_col:
+            cmps = np.asarray(group["cmp"].to_pylist(), dtype=object)
+            valid_caption = dict(zip(all_ids[~is_cand], cmps[~is_cand]))
+            cand_cmp = cmps[is_cand]
+            for k, i, c in zip(cand_keys, cand_ids, cand_cmp):
+                if i not in valid_caption:
+                    bad_keys.append(k)
+                    bad_cids.append(REF_CONSTRAINT)
+                elif c != valid_caption[i]:
+                    bad_keys.append(k)
+                    bad_cids.append(FIDELITY_CONSTRAINT)
+        else:
+            valid_ids = set(all_ids[~is_cand])
+            for k, i in zip(cand_keys, cand_ids):
+                if i not in valid_ids:
+                    bad_keys.append(k)
+                    bad_cids.append(REF_CONSTRAINT)
+        return pa.table(
+            {
+                "side_key": pa.array(bad_keys, type=pa.string()),
+                "cid": pa.array(bad_cids, type=pa.string()),
+            }
+        )
 
     out = left.union(right).groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
-    bad_keys = sorted(r["side_key"] for r in out.take_all())
+    rows = sorted(((r["side_key"], r["cid"]) for r in out.take_all()))
     return pa.table(
         {
-            PARTITION_COL: pa.array([-1] * len(bad_keys), type=pa.int64()),
-            key: pa.array(bad_keys, type=pa.string()),
-            "constraint_id": pa.array([REF_CONSTRAINT] * len(bad_keys), type=pa.string()),
+            PARTITION_COL: pa.array([-1] * len(rows), type=pa.int64()),
+            key: pa.array([k for k, _ in rows], type=pa.string()),
+            "constraint_id": pa.array([c for _, c in rows], type=pa.string()),
         }
     )
