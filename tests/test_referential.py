@@ -1,0 +1,62 @@
+"""Referential stage in isolation: Bloom false positives MUST be caught by
+the exact hash-partitioned join, and the fidelity compare must be byte-exact."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rayval.state import Bloom
+
+
+@pytest.fixture()
+def tiny(ray_session):
+    import ray.data
+
+    results = ray.data.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array([f"img-{i}" for i in range(50)]),
+                "decodable": pa.array([i % 10 != 0 for i in range(50)]),  # every 10th undecodable
+                "caption": pa.array([f"cap {i}" for i in range(50)]),
+            }
+        )
+    )
+    captions = ray.data.from_arrow(
+        pa.table(
+            {
+                "caption_id": pa.array([f"c{i}" for i in range(60)]),
+                "image_id": pa.array([f"img-{i}" for i in range(50)] + [f"ghost-{j}" for j in range(10)]),
+                "caption": pa.array([f"cap {i}" if i != 7 else "tampered" for i in range(50)] + ["x"] * 10),
+            }
+        )
+    )
+    return results, captions
+
+
+def test_bloom_false_positives_caught_exactly(tiny):
+    from rayval.stages.referential import build_bloom, referential_violations
+
+    results, captions = tiny
+    # pathologically small bloom -> massive false-positive rate: ghosts and
+    # undecodable refs will often probe positive, so the exact join is the
+    # only thing standing between us and missed violations
+    bloom = Bloom(4, fpp=0.5)
+    for r in results.take_all():
+        if r["decodable"]:
+            bloom.add(np.array([r["image_id"]], dtype=object))
+    out = referential_violations(captions, results, bloom, key="caption_id", n_buckets=4, compare_col="caption").to_pandas()
+    got = {(r.caption_id, r.constraint_id) for r in out.itertuples()}
+    expected_ref = {(f"c{i}", "image_id.ref") for i in range(0, 50, 10)}  # undecodable images
+    expected_ref |= {(f"c{50+j}", "image_id.ref") for j in range(10)}  # ghosts
+    expected_fid = {("c7", "caption.fidelity")}
+    assert got == expected_ref | expected_fid
+
+
+def test_bloom_negative_shortcut_still_exact(tiny):
+    from rayval.stages.referential import build_bloom, referential_violations
+
+    results, captions = tiny
+    bloom = build_bloom(results, n_expected=1000, fpp=0.001)  # accurate bloom
+    out = referential_violations(captions, results, bloom, key="caption_id", n_buckets=4, compare_col="caption").to_pandas()
+    assert (out.constraint_id == "image_id.ref").sum() == 15
+    assert (out.constraint_id == "caption.fidelity").sum() == 1
