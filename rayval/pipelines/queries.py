@@ -552,6 +552,32 @@ ON a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= 0
 """
 
 
+def q_top_orders(sf_dir: str) -> pa.Table:
+    """Distributed sort + limit: top-10 orders by price (ds.sort is a full
+    range-partitioned shuffle; fine here, demonstrated deliberately)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    t = _collect(out, pa.schema([("o_orderkey", pa.int64()), ("o_totalprice", pa.float64())]))
+    return t
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct_priorities(sf_dir: str) -> pa.Table:
+    """Distinct values of one column (ds.unique — a shuffle de-dup)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority"])
+    vals = sorted(ds.unique("o_orderpriority"))
+    return pa.table({"o_orderpriority": pa.array(vals, type=pa.string())})
+
+
+SQL_DISTINCT_PRIORITIES = """
+SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
+"""
+
+
 def q_events_with_prev(sf_dir: str) -> pa.Table:
     """Per-user previous-event lookup (LAG) — the as-of/ordered-log shape:
     hash-partition by user (groupby), sort within group by ts, shift.  The
@@ -723,6 +749,8 @@ QUERIES = {
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_with_prev": (q_events_with_prev, SQL_EVENTS_WITH_PREV),
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
+    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "distinct_priorities": (q_distinct_priorities, SQL_DISTINCT_PRIORITIES),
     "dedup_first_per_group": (q_dedup_first_per_group, SQL_DEDUP_FIRST),
     "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
