@@ -685,6 +685,25 @@ def q_lsh_topk(sf_dir: str) -> pa.Table:
     return pa.table({"vec_id": out["vec_id"]}).cast(pa.schema([("vec_id", pa.int64())]))
 
 
+def q_ivf_topk(sf_dir: str) -> pa.Table:
+    from rayval.stages.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    # n_probe=8/16: the synthetic embeddings are near-orthogonal (no cluster
+    # structure), so a higher probe fraction is the honest default here
+    out = ivf_topk(ds, np.asarray(q), k=10, n_lists=16, n_probe=8)
+    return pa.table({"vec_id": out["vec_id"]}).cast(pa.schema([("vec_id", pa.int64())]))
+
+
+def q_minhash_dup_groups(sf_dir: str) -> pa.Table:
+    """Near-dup candidate pairs -> connected-component groups."""
+    from rayval.stages.docdedup import dup_groups_from_pairs
+
+    pairs = q_minhash_neardups(sf_dir)
+    return dup_groups_from_pairs(pairs)
+
+
 def q_images_validation(sf_dir: str) -> pa.Table:
     """Flagship pipeline over a deterministic synthetic images dir (seeded;
     /root/testdata has no binary image table).  Rows-only check: the output
@@ -766,6 +785,8 @@ QUERIES = {
     "minhash_neardups": (q_minhash_neardups, None),
     "simhash_neardups": (q_simhash_neardups, None),
     "lsh_topk": (q_lsh_topk, None),
+    "ivf_topk": (q_ivf_topk, None),
+    "minhash_dup_groups": (q_minhash_dup_groups, None),
     "images_validation": (q_images_validation, None),
     "image_resize": (q_image_resize, None),
 }

@@ -155,6 +155,48 @@ def minhash_lsh_candidates(
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# ------------------------------------------------------ duplicate grouping
+def dup_groups_from_pairs(pairs: pa.Table, a_col: str = "a", b_col: str = "b") -> pa.Table:
+    """Connected components over candidate near-dup pairs -> (key, group)
+    where ``group`` is the lexicographically-smallest member (the canonical
+    keep-representative for dedup).
+
+    Driver-side union-find — valid while the candidate-PAIR set is small
+    (pairs are already the filtered output of LSH + verify, a tiny fraction
+    of the corpus).  The scale path is iterative min-label propagation:
+    repeat (groupby key -> min(label) -> join back) until fixpoint, each
+    round a narrow shuffle; same result, no driver materialization.
+    """
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx == ry:
+            return
+        lo, hi = (rx, ry) if str(rx) <= str(ry) else (ry, rx)
+        parent[hi] = lo
+
+    a_vals = pairs[a_col].to_pylist()
+    b_vals = pairs[b_col].to_pylist()
+    for x, y in zip(a_vals, b_vals):
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        union(x, y)
+    keys = sorted(parent, key=str)
+    return pa.table(
+        {
+            "key": pa.array([str(k) for k in keys], type=pa.string()),
+            "group": pa.array([str(find(k)) for k in keys], type=pa.string()),
+        }
+    )
+
+
 # ----------------------------------------------------------------- SimHash
 def simhash_neardups(
     ds: "ray.data.Dataset", text_col: str, key_col: str, max_hamming: int = 3

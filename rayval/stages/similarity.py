@@ -158,6 +158,95 @@ def lsh_topk(
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def kmeans_centroids(
+    ds: "ray.data.Dataset",
+    k: int = 16,
+    emb_col: str = "embedding",
+    iters: int = 5,
+    seed: int = 13,
+    sample_rows: int = 4096,
+) -> np.ndarray:
+    """Deterministic mini-kmeans (driver-side over a bounded sample) for the
+    IVF coarse quantizer.  The sample bound is the documented small-side
+    assumption; at 10^12 rows you train on a hash-sample the same way."""
+    sample = ds.limit(sample_rows).take_all()
+    m = _normalize(np.array([np.asarray(r[emb_col], dtype=np.float64) for r in sample]))
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(len(m), size=min(k, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = (m @ cents.T).argmax(axis=1)
+        for j in range(len(cents)):
+            members = m[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cents[j] = c / n
+    return cents
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    centroids: Optional[np.ndarray] = None,
+) -> pa.Table:
+    """IVF approximate top-k: kmeans coarse quantizer -> per-batch list
+    assignment -> only vectors in the query's n_probe nearest lists are
+    scored exactly.  The scale path alongside ``lsh_topk``: centroids are the
+    broadcast small side; candidate scoring stays a per-batch matmul."""
+    if centroids is None:
+        centroids = kmeans_centroids(ds, k=n_lists, emb_col=emb_col)
+    qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    probe_lists = np.unique(
+        np.argsort(-(qn @ centroids.T), axis=1)[:, : min(n_probe, len(centroids))].ravel()
+    )
+    cents_ref = ray.put((centroids, probe_lists))
+    q_ref = ray.put(qn)
+
+    def local(batch: pa.Table) -> pa.Table:
+        cents, probes = ray.get(cents_ref)
+        q = ray.get(q_ref)
+        m = _normalize(_matrix(batch[emb_col]))
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        lists = (m @ cents.T).argmax(axis=1)
+        keep = np.isin(lists, probes)
+        m, keys = m[keep], keys[keep]
+        if not len(keys):
+            return pa.table({"query_id": pa.array([], type=pa.int32()), key_col: pa.array([], batch[key_col].type),
+                             "score": pa.array([], type=pa.float64())})
+        scores = m @ q.T
+        qi, ki, sc = [], [], []
+        kk = min(k, len(keys))
+        for j in range(q.shape[0]):
+            idx = np.argpartition(-scores[:, j], kk - 1)[:kk]
+            for i in idx:
+                qi.append(j)
+                ki.append(keys[i])
+                sc.append(scores[i, j])
+        return pa.table({"query_id": pa.array(qi, type=pa.int32()), key_col: pa.array(ki),
+                         "score": pa.array(sc, type=pa.float64())})
+
+    partials = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    import pandas as pd
+
+    if not partials:
+        return pa.table({"query_id": pa.array([], type=pa.int32()), key_col: pa.array([]),
+                         "score": pa.array([], type=pa.float64())})
+    df = pd.DataFrame(partials)
+    df = (
+        df.sort_values(["query_id", "score", key_col], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def embedding_neardups(
     ds: "ray.data.Dataset",
     threshold: float,

@@ -170,3 +170,31 @@ def test_embedding_neardups(emb_ds):
 
     out = embedding_neardups(emb_ds, threshold=0.99).to_pandas()
     assert set(zip(out.a, out.b)) == {(0, 5)}
+
+
+def test_dup_groups_from_pairs():
+    import pyarrow as pa
+
+    from rayval.stages.docdedup import dup_groups_from_pairs
+
+    pairs = pa.table({"a": ["d1", "d2", "d7"], "b": ["d2", "d3", "d8"]})
+    out = dup_groups_from_pairs(pairs).to_pandas()
+    groups = dict(zip(out.key, out.group))
+    assert groups["d1"] == groups["d2"] == groups["d3"] == "d1"  # transitive chain
+    assert groups["d7"] == groups["d8"] == "d7"
+    assert len(set(groups.values())) == 2
+
+
+def test_ivf_topk(emb_ds):
+    import numpy as np
+
+    from rayval.stages.similarity import brute_topk, ivf_topk
+
+    rows = {r["vec_id"]: r["embedding"] for r in emb_ds.take_all()}
+    exact = brute_topk(emb_ds, np.array(rows[0]), k=3).to_pandas()
+    approx = ivf_topk(emb_ds, np.array(rows[0]), k=3, n_lists=4, n_probe=2).to_pandas()
+    # the planted near-dup (5) and the query itself must survive the probe
+    assert 0 in set(approx.vec_id) and 5 in set(approx.vec_id)
+    assert approx.score.is_monotonic_decreasing
+    # recall vs exact top-3 is at least 2/3 on this tiny set
+    assert len(set(approx.vec_id) & set(exact.vec_id)) >= 2
