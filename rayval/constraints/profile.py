@@ -156,31 +156,57 @@ class BatchValidator:
 
     # -- schema-level (structural) --------------------------------------------
     def schema_violations(self, schema: pa.Schema) -> list[str]:
-        """Structural constraint_ids violated by this batch/fragment schema."""
+        """Structural constraint_ids violated by this batch/fragment schema.
+        Dotted (nested) field names participate via their ROOT column for the
+        sequence/all set checks and via struct descent for presence."""
         names = [n for n in schema.names if n != PARTITION_COL]
+        roots: list[str] = []
+        for c in self.columns:
+            r = c.split(".")[0]
+            if r not in roots:
+                roots.append(r)
         out = []
         if self.profile.kind == "sequence":
             # ordered exact-key equality (core.clj:143 "TODO order!" — array-map
             # ordering is load-bearing in the reference; we pin it as declared order)
-            declared = self.columns
-            present = [n for n in names if n in set(declared)]
-            if present != declared or set(names) - set(declared):
+            present = [n for n in names if n in set(roots)]
+            if present != roots or set(names) - set(roots):
                 out.append("__schema__.sequence")
         elif self.profile.kind == "all":
-            if set(names) != set(self.columns):
+            if set(names) != set(roots):
                 out.append("__schema__.all")
-        missing = [c for c in self.columns if c not in set(names)]
-        for c in missing:
-            out.append(f"{c}.missing")
+        for c in self.columns:
+            if not _schema_has(schema, c):
+                out.append(f"{c}.missing")
         return out
 
     # -- per-batch -------------------------------------------------------------
+    @staticmethod
+    def _resolve(table: pa.Table, name: str):
+        """Column by name, with dotted paths descending struct columns — the
+        nested-element analog (reference documents are trees; nested XML maps
+        to Arrow struct columns, SURVEY.md §1.5).  Returns None if absent."""
+        if name in table.column_names:
+            return table[name]
+        if "." in name:
+            root, *rest = name.split(".")
+            if root not in table.column_names:
+                return None
+            col = table[root]
+            try:
+                for part in rest:
+                    col = pc.struct_field(col, part)
+            except (KeyError, pa.ArrowInvalid, pa.ArrowTypeError):
+                return None
+            return col
+        return None
+
     def _views(self, table: pa.Table) -> dict[str, ColumnView]:
         views = {}
         for name in self.columns:
-            if name not in table.column_names:
+            col = self._resolve(table, name)
+            if col is None:
                 continue
-            col = table[name]
             if name in self.defaults:
                 col = pc.fill_null(col, self.defaults[name])  # attr default (core.clj:197-202)
             views[name] = ColumnView(col, infer_scalars=self.profile.infer_scalars)
@@ -279,6 +305,21 @@ class BatchValidator:
     def verdict(self, table: pa.Table) -> bool:
         """``valid?`` analog (core.clj:279-285): every check passes."""
         return bool(self.violations(table).num_rows == 0)
+
+
+def _schema_has(schema: pa.Schema, name: str) -> bool:
+    parts = name.split(".")
+    if parts[0] not in schema.names:
+        return False
+    t = schema.field(parts[0]).type
+    for p in parts[1:]:
+        if not pa.types.is_struct(t):
+            return False
+        idx = t.get_field_index(p)
+        if idx < 0:
+            return False
+        t = t.field(idx).type
+    return True
 
 
 def _validate_refs(c: Constraint, ctx: CompileContext, _depth: int = 0) -> None:

@@ -296,3 +296,55 @@ def test_nulls_pass_value_constraints():
     assert run_mask(Enum(["a"]), [None, "a", "b"]) == [True, True, False]
     assert run_mask(Pattern("a+"), [None, "aa", "b"]) == [True, True, False]
     assert run_mask(NotNull(), [None, "a"]) == [False, True]
+
+
+def test_nested_struct_fields():
+    # nested inline elements (parser_test.clj:434-528): the document tree maps
+    # to Arrow struct columns; constraints bind to dotted paths
+    prof = Profile(
+        "nested",
+        [
+            Field("id", required=True),
+            Field("person.age", Restriction("integer", [Range(min=0, max=150)])),
+            Field("person.name.first", MinLength(1)),
+        ],
+        kind="all",
+        key="id",
+    )
+    v = prof.compile()
+    t = pa.table(
+        {
+            "id": ["a", "b", "c"],
+            "person": pa.array(
+                [
+                    {"age": 30, "name": {"first": "ann", "last": "x"}},
+                    {"age": 200, "name": {"first": "bo", "last": "y"}},
+                    {"age": 4, "name": {"first": "", "last": "z"}},
+                ]
+            ),
+        }
+    )
+    masks = v.masks(t)
+    assert list(masks["person.age.range"]) == [True, False, True]
+    assert list(masks["person.name.first.minLength"]) == [True, True, False]
+    assert v.schema_violations(t.schema) == []
+    # missing nested path -> structural violation, value checks skipped
+    t2 = pa.table({"id": ["a"], "person": pa.array([{"age": 3}])})
+    sv = v.schema_violations(t2.schema)
+    assert "person.name.first.missing" in sv and "person.age.missing" not in sv
+
+
+def test_nested_violations_rows():
+    prof = Profile(
+        "n", [Field("id", required=True), Field("meta.score", Range(min=0, max=1))], key="id"
+    )
+    v = prof.compile()
+    t = pa.table(
+        {
+            "partition_id": pa.array([0, 0], type=pa.int64()),
+            "id": ["r1", "r2"],
+            "meta": pa.array([{"score": 0.5}, {"score": 7.0}]),
+        }
+    )
+    viol = v.violations(t, key="id")
+    assert viol.to_pylist() == [{"partition_id": 0, "id": "r2", "constraint_id": "meta.score.range"}]
