@@ -24,8 +24,9 @@ import pyarrow.compute as pc
 import ray.data
 
 from rayval.constraints import Enum, Field as F, MinLength, Pattern, Predicate, Profile, Range
+from rayval.constraints.combinators import AnyOf, Restriction
 from rayval.constraints.profile import PARTITION_COL
-from rayval.stages.validate import MetaValidate, explode_violations
+from rayval.stages.validate import Annotate, MetaValidate, explode_violations
 
 STOP_SQL = "('the','a','of','and','to','in','is','it','you','that','he','was','for','on','are','with','as')"
 
@@ -136,6 +137,237 @@ UNION ALL
 SELECT CAST(o_orderkey AS VARCHAR), 'o_orderstatus.enum' FROM orders WHERE NOT (o_orderstatus IN ('O','F'))
 UNION ALL
 SELECT CAST(o_orderkey AS VARCHAR), 'o_totalprice.range' FROM orders WHERE NOT (o_totalprice >= 1)
+"""
+
+
+# ===================================================== combinator layer
+# Oracle-backed coverage for the reference's core compositional semantics
+# (SURVEY.md §2.3): union ordered-first-match (core.clj:73-78), choice
+# exactly-one-non-null (core.clj:150-159), attribute fixed/default/required
+# (core.clj:197-202), predefined-type range chains (core.clj:220-242),
+# named-type registry refs (core.clj:37-41), and extension (core.clj:173-195).
+
+# union members in declared order: enum first, then the pattern — src0-4
+# match member 0, src10-19 member 1, src5-9 match nothing (violations).
+_UNION_SRC_ENUM = ["src0", "src1", "src2", "src3", "src4"]
+_UNION_SOURCE = AnyOf([Enum(_UNION_SRC_ENUM), Pattern(r"src1[0-9]")])
+_SQL_SRC_ENUM = "('src0','src1','src2','src3','src4')"
+_SQL_UNION_OK = f"(source IN {_SQL_SRC_ENUM} OR regexp_full_match(source, 'src1[0-9]'))"
+
+
+def q_union_violations(sf_dir: str) -> pa.Table:
+    """xs:union (AnyOf): value valid iff ANY member accepts (core.clj:73-78)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    prof = Profile("documents_union", [F("source", _UNION_SOURCE)], key="row_key")
+    return _violations_query(ds, prof, ["doc_id"])
+
+
+SQL_UNION_VIOLATIONS = f"""
+SELECT CAST(doc_id AS VARCHAR) AS row_key, 'source.union' AS constraint_id
+FROM documents WHERE NOT {_SQL_UNION_OK}
+"""
+
+
+def q_union_annotate(sf_dir: str) -> pa.Table:
+    """``with-status`` in-band annotation (parser.clj:384-400) + the union
+    FIRST-MATCH member index (core.clj:73-78, the decode-fidelity hard part):
+    struct<value,status> flattened back out so DuckDB can mirror it."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    prof = Profile("documents_union", [F("source", _UNION_SOURCE)], key="doc_id")
+    out = ds.map_batches(Annotate(prof.compile()), batch_format="pyarrow", zero_copy_batch=True)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source_ok": pc.struct_field(batch["source"], "status"),
+                "source_member": pc.cast(batch["source__member"], pa.int64()),
+                "row_valid": batch["row_valid"],
+            }
+        )
+
+    out = out.map_batches(flatten, batch_format="pyarrow")
+    return _collect(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("source_ok", pa.bool_()),
+                ("source_member", pa.int64()),
+                ("row_valid", pa.bool_()),
+            ]
+        ),
+    )
+
+
+SQL_UNION_ANNOTATE = f"""
+SELECT doc_id,
+       {_SQL_UNION_OK} AS source_ok,
+       CASE WHEN source IN {_SQL_SRC_ENUM} THEN 0
+            WHEN regexp_full_match(source, 'src1[0-9]') THEN 1
+            ELSE -1 END AS source_member,
+       {_SQL_UNION_OK} AS row_valid
+FROM documents
+"""
+
+
+def q_choice_violations(sf_dir: str) -> pa.Table:
+    """xs:choice: exactly one non-null among the declared columns
+    (core.clj:150-159).  Two derived nullable columns overlap on
+    100 <= value < 150 (both non-null -> violation)."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    null_f64 = pa.scalar(None, pa.float64())
+
+    def derive(batch: pa.Table) -> pa.Table:
+        v = batch["value"]
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "big": pc.if_else(pc.greater_equal(v, 100.0), v, null_f64),
+                "small": pc.if_else(pc.less(v, 150.0), v, null_f64),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    prof = Profile("events_choice", [F("big"), F("small")], kind="choice", key="row_key")
+    return _violations_query(ds, prof, ["event_id"])
+
+
+SQL_CHOICE_VIOLATIONS = """
+SELECT CAST(event_id AS VARCHAR) AS row_key, '__schema__.choice' AS constraint_id
+FROM events
+WHERE NOT ((CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)
+         + (CASE WHEN value < 150.0 THEN 1 ELSE 0 END) = 1)
+"""
+
+
+def q_fixed_default_violations(sf_dir: str) -> pa.Table:
+    """Attribute fixed= / default= / use="required" semantics
+    (core.clj:197-202): ``fixed`` must equal the constant; ``default`` fills
+    nulls BEFORE the check; ``required`` fails on null."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    null_str = pa.scalar(None, pa.string())
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pri = batch["o_orderpriority"]
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderstatus": batch["o_orderstatus"],
+                # null where '3-MEDIUM' -> the default must restore it
+                "pri_opt": pc.if_else(pc.equal(pri, "3-MEDIUM"), null_str, pri),
+                # null where '5-LOW' -> required violation
+                "pri_req": pc.if_else(pc.equal(pri, "5-LOW"), null_str, pri),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    prof = Profile(
+        "orders_fixed_default",
+        [
+            F("o_orderstatus", fixed="O"),
+            F("pri_opt", Enum(["1-URGENT", "2-HIGH", "3-MEDIUM"]), default="3-MEDIUM"),
+            F("pri_req", required=True),
+        ],
+        key="row_key",
+    )
+    return _violations_query(ds, prof, ["o_orderkey"])
+
+
+SQL_FIXED_DEFAULT_VIOLATIONS = """
+SELECT CAST(o_orderkey AS VARCHAR) AS row_key, 'o_orderstatus.fixed' AS constraint_id
+FROM orders WHERE NOT (o_orderstatus = 'O')
+UNION ALL
+SELECT CAST(o_orderkey AS VARCHAR), 'pri_opt.enum' FROM orders
+WHERE NOT (COALESCE(CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL ELSE o_orderpriority END,
+                    '3-MEDIUM') IN ('1-URGENT','2-HIGH','3-MEDIUM'))
+UNION ALL
+SELECT CAST(o_orderkey AS VARCHAR), 'pri_req.required' FROM orders
+WHERE o_orderpriority = '5-LOW'
+"""
+
+
+def q_typechain_violations(sf_dir: str) -> pa.Table:
+    """Predefined-type def-base range chain (core.clj:17-20, 220-242):
+    ``unsignedShort`` = integer narrowed to [0, 65535], further restricted by
+    a facet — base and facet report separate constraint_ids."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "bal_int": pc.cast(pc.floor(batch["c_acctbal"]), pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    prof = Profile(
+        "customer_typechain",
+        [F("bal_int", Restriction("unsignedShort", [Range(max=9000)]))],
+        key="row_key",
+    )
+    return _violations_query(ds, prof, ["c_custkey"])
+
+
+SQL_TYPECHAIN_VIOLATIONS = """
+SELECT CAST(c_custkey AS VARCHAR) AS row_key, 'bal_int.type' AS constraint_id
+FROM customer WHERE NOT (CAST(FLOOR(c_acctbal) AS BIGINT) BETWEEN 0 AND 65535)
+UNION ALL
+SELECT CAST(c_custkey AS VARCHAR), 'bal_int.range' FROM customer
+WHERE NOT (CAST(FLOOR(c_acctbal) AS BIGINT) <= 9000)
+"""
+
+
+def q_ref_restriction_violations(sf_dir: str) -> pa.Table:
+    """Named-simpleType registry reference (``ref=`` / named-type env,
+    core.clj:37-41, parser.clj:186-190): the field binds to a registry NAME,
+    resolved at compile time to a Restriction over a predefined base with
+    exclusive-range facets (parser.clj:140-143)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "price_int": pc.cast(pc.floor(batch["o_totalprice"]), pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    registry = {
+        "price_band": Restriction(
+            "nonNegativeInteger", [Range(min_exclusive=2000, max_exclusive=400000)]
+        )
+    }
+    prof = Profile("orders_ref", [F("price_int", "price_band")], registry=registry, key="row_key")
+    return _violations_query(ds, prof, ["o_orderkey"])
+
+
+SQL_REF_RESTRICTION_VIOLATIONS = """
+SELECT CAST(o_orderkey AS VARCHAR) AS row_key, 'price_int.type' AS constraint_id
+FROM orders
+WHERE NOT (CAST(FLOOR(o_totalprice) AS BIGINT) >= 0
+       AND CAST(FLOOR(o_totalprice) AS BIGINT) > 2000
+       AND CAST(FLOOR(o_totalprice) AS BIGINT) < 400000)
+"""
+
+
+def q_extension_violations(sf_dir: str) -> pa.Table:
+    """extension/complexContent (core.clj:173-195): the extended profile is
+    the UNION of base + extension field bindings; both field sets validate."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+    base = Profile("customer_base", [F("c_acctbal", Range(min=0))], key="row_key")
+    prof = base.extend([F("c_mktsegment", Enum(["AUTOMOBILE", "BUILDING", "FURNITURE"]))])
+    return _violations_query(ds, prof, ["c_custkey"])
+
+
+SQL_EXTENSION_VIOLATIONS = """
+SELECT CAST(c_custkey AS VARCHAR) AS row_key, 'c_acctbal.range' AS constraint_id
+FROM customer WHERE NOT (c_acctbal >= 0)
+UNION ALL
+SELECT CAST(c_custkey AS VARCHAR), 'c_mktsegment.enum' FROM customer
+WHERE NOT (c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE'))
 """
 
 
@@ -760,6 +992,13 @@ QUERIES = {
     "lineitem_violations": (q_lineitem_violations, SQL_LINEITEM_VIOLATIONS),
     "part_violations": (q_part_violations, SQL_PART_VIOLATIONS),
     "orders_violations": (q_orders_violations, SQL_ORDERS_VIOLATIONS),
+    "union_violations": (q_union_violations, SQL_UNION_VIOLATIONS),
+    "union_annotate": (q_union_annotate, SQL_UNION_ANNOTATE),
+    "choice_violations": (q_choice_violations, SQL_CHOICE_VIOLATIONS),
+    "fixed_default_violations": (q_fixed_default_violations, SQL_FIXED_DEFAULT_VIOLATIONS),
+    "typechain_violations": (q_typechain_violations, SQL_TYPECHAIN_VIOLATIONS),
+    "ref_restriction_violations": (q_ref_restriction_violations, SQL_REF_RESTRICTION_VIOLATIONS),
+    "extension_violations": (q_extension_violations, SQL_EXTENSION_VIOLATIONS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "customer_stats": (q_customer_stats, SQL_CUSTOMER_STATS),
     "acctbal_median": (q_acctbal_median, SQL_ACCTBAL_MEDIAN),

@@ -15,6 +15,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from rayval.constraints.base import ColumnView
+from rayval.constraints.combinators import AnyOf
 from rayval.constraints.profile import PARTITION_COL, BatchValidator
 
 OK_PREFIX = "ok__"
@@ -44,8 +46,6 @@ class Annotate:
     checks, the row-level ``valid?``)."""
 
     def __init__(self, validator: BatchValidator):
-        from rayval.constraints.combinators import AnyOf
-
         self.validator = validator
         self.by_column: dict[str, list[str]] = {}
         self.unions: list[tuple[str, "AnyOf"]] = []
@@ -55,8 +55,9 @@ class Annotate:
                 self.unions.append((ch.column, ch.constraint))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from rayval.constraints.base import ColumnView
-
+        # NOTE: no lazy `import rayval...` here — a runtime import executes on
+        # the WORKER, which may not have the repo on its path (the by-value
+        # cloudpickle fallback in __ray_entry__ ships code, not importability)
         masks = self.validator.masks(batch)
         row_valid = np.ones(batch.num_rows, dtype=bool)
         for m in masks.values():
