@@ -20,6 +20,33 @@ Top-level surface:
   text analysis, minhash/simhash).
 """
 
+def _stub_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` importable even without aiohttp.
+
+    Ray Data's path resolution imports it on EVERY read/write path resolve,
+    swallowing only ``ModuleNotFoundError``.  In this environment the module
+    exists but its own ``import aiohttp`` fails; under concurrent imports from
+    multiple driver threads (concurrent fragment groups) the failed partial
+    import can surface as a plain ``ImportError`` that Ray does not catch.
+    Registering a benign stub once makes the import deterministic; the stub
+    class is only ever isinstance-checked for local-path workloads."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # pragma: no cover - sentinel, never instantiated
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+_stub_fsspec_http()
+
 from rayval.constraints import (  # noqa: F401
     AllOf,
     AnyOf,

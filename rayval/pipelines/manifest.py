@@ -54,6 +54,7 @@ class Manifest:
         return {
             "results": os.path.join(self.out_dir, "results", g),
             "violations": os.path.join(self.out_dir, "violations", g),
+            "annotated": os.path.join(self.out_dir, "annotated", g),
             "sketches": os.path.join(self.out_dir, "sketches", f"{g}.pkl"),
             "bloom": os.path.join(self.out_dir, "blooms", f"{g}.bin"),
         }

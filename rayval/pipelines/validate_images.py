@@ -31,6 +31,8 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -48,7 +50,8 @@ from rayval.stages.decode import DecodeCheck
 from rayval.stages.dedup import duplicate_violations, phash_counts, top_hot_buckets
 from rayval.stages.referential import referential_violations
 from rayval.stages.stats import ColumnStats, drift_violations, global_stats, merge_partials, sketch_partials
-from rayval.stages.validate import MetaValidate, explode_violations
+from rayval.stages.validate import MetaValidate, annotate_from_masks, explode_violations
+from rayval.state import Bloom
 
 VIOLATION_SCHEMA = pa.schema(
     [(PARTITION_COL, pa.int64()), ("image_id", pa.string()), ("constraint_id", pa.string())]
@@ -77,29 +80,48 @@ def images_profile() -> Profile:
 class RunConfig:
     group_size: int = 4          # fragments per checkpoint group
     decode_batch_size: Optional[int] = 256  # wide binary rows -> small batches; None = block-sized
-    decode_concurrency: int = 4   # actor pool size
+    decode_concurrency: int = 4   # actor pool size (per in-flight group)
     read_blocks_per_fragment: int = 1  # >1 splits fragments into more blocks: smoother actor-pool packing
+    group_parallelism: int = 2    # fragment groups processed concurrently: overlaps
+    # one group's driver-side read-back/merge with the next group's decode, so
+    # the per-group fixed costs (Ray job launch, actor-pool spinup, parquet
+    # footer scans) don't serialize — the phase-1 serial fraction that capped
+    # 8->32 scaling.  Total decode actors = group_parallelism x decode_concurrency.
     hot_threshold: int = 1000
     drift_threshold: float = 0.15
     ref_buckets: int = 32
     bloom_expected: int = 1_000_000  # FIXED per run: partials must share (m, k) to merge
     profile: Optional[Profile] = None
     extra_meta_cols: list = field(default_factory=list)
+    annotated_output: bool = False  # also write annotated/group-N: the in-band
+    # struct<value,status> form of every validated column + row_valid — the
+    # reference's primary output shape (to-hiccup-meta / with-status,
+    # parser.clj:345-371, 384-400) — derived from the narrow results read-back,
+    # no extra decode pass
 
 
 def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Manifest:
-    """Validate+decode all UNCOMMITTED fragment groups; commit each."""
+    """Validate+decode all UNCOMMITTED fragment groups; commit each.
+
+    Groups are dispatched on a small thread pool (``cfg.group_parallelism``);
+    each thread drives its own Ray Data pipeline, so the cluster sees
+    overlapping groups and no idle gap between one group's driver-side merge
+    and the next group's read+decode.  Publish (rename + manifest commit) is
+    serialized under a lock."""
     manifest = Manifest(out_dir)
     profile = cfg.profile or images_profile()
     validator = profile.compile()
+    _gc_uncommitted(manifest)  # stale dirs are provably from uncommitted
+    # attempts (write-ahead ordering) — removing them up front keeps the
+    # publish renames collision-free even after a mid-publish kill
     done = manifest.committed_fragments()
     todo = [f for f in list_fragments(img_dir) if os.path.basename(f) not in done]
+    groups = [todo[s : s + cfg.group_size] for s in range(0, len(todo), cfg.group_size)]
+    base_gid = manifest.next_group_id()
+    publish_lock = threading.Lock()
 
-    for start in range(0, len(todo), cfg.group_size):
-        group = todo[start : start + cfg.group_size]
-        gid = manifest.next_group_id()
+    def process(gid: int, group: list[str]) -> None:
         paths = manifest.group_paths(gid)
-
         ds = read_fragments(group, override_num_blocks=len(group) * cfg.read_blocks_per_fragment)
         ds = ds.map_batches(MetaValidate(validator), batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         ds = ds.map_batches(
@@ -130,14 +152,21 @@ def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Mani
         pq.write_table(viol_all, os.path.join(tmp_viol, "part-0.parquet"))
         n_viol = viol_all.num_rows
 
+        tmp_annot = None
+        if cfg.annotated_output:
+            tmp_annot = paths["annotated"] + ".tmp"
+            _clean(tmp_annot)
+            annotated = ray.data.read_parquet(_expand([tmp_results])).map_batches(
+                lambda b: annotate_from_masks(b, drop_masks=True), batch_format="pyarrow"
+            )
+            annotated.write_parquet(tmp_annot)
+
         merged = merge_partials(_rows_to_table([r for r in partials if r["stats"] is not None]))
         os.makedirs(os.path.dirname(paths["sketches"]), exist_ok=True)
         with open(paths["sketches"] + ".tmp", "wb") as fh:
             pickle.dump({pid: st.to_bytes() for pid, st in merged.items()}, fh)
 
         bloom = None
-        from rayval.state import Bloom
-
         for r in partials:
             if r["bloom"] is not None:
                 b = Bloom.from_bytes(r["bloom"])
@@ -149,12 +178,68 @@ def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Mani
             fh.write(bloom.to_bytes())
 
         # atomic publish, then commit line (write-ahead ordering)
-        os.rename(tmp_results, paths["results"])
-        os.rename(tmp_viol, paths["violations"])
-        os.rename(paths["sketches"] + ".tmp", paths["sketches"])
-        os.rename(paths["bloom"] + ".tmp", paths["bloom"])
-        manifest.commit(gid, group, rows=n_rows, violations=n_viol)
+        with publish_lock:
+            _clean(paths["results"])  # belt-and-braces: any existing target
+            _clean(paths["violations"])  # dir is from an uncommitted attempt
+            os.rename(tmp_results, paths["results"])
+            os.rename(tmp_viol, paths["violations"])
+            os.rename(paths["sketches"] + ".tmp", paths["sketches"])
+            os.rename(paths["bloom"] + ".tmp", paths["bloom"])
+            if tmp_annot is not None:
+                _clean(paths["annotated"])
+                os.rename(tmp_annot, paths["annotated"])
+            manifest.commit(gid, group, rows=n_rows, violations=n_viol)
+
+    par = _effective_group_parallelism(cfg)
+    if par <= 1 or len(groups) <= 1:
+        for i, group in enumerate(groups):
+            process(base_gid + i, group)
+    else:
+        with ThreadPoolExecutor(max_workers=par) as ex:
+            futures = [ex.submit(process, base_gid + i, g) for i, g in enumerate(groups)]
+            for f in futures:
+                f.result()
     return manifest
+
+
+def _effective_group_parallelism(cfg: RunConfig) -> int:
+    """Cap concurrent groups so each in-flight group keeps at least one CPU
+    for its read/write tasks beyond its decode actor pool — two groups whose
+    actors alone fill the cluster would starve each other's reads (deadlock
+    at small num_cpus)."""
+    par = cfg.group_parallelism
+    if par <= 1:
+        return par
+    import ray as _ray
+
+    if not _ray.is_initialized():
+        return par
+    cpus = int(_ray.cluster_resources().get("CPU", 0))
+    if cpus:
+        par = max(1, min(par, cpus // (cfg.decode_concurrency + 1)))
+    return par
+
+
+def _gc_uncommitted(manifest: Manifest) -> None:
+    """Remove group outputs (and .tmp leftovers) whose group_id never
+    committed — they are partial state from a killed run."""
+    import glob as _glob
+
+    committed_gids = {e["group_id"] for e in manifest.committed()}
+    for sub, is_dir in (("results", True), ("violations", True), ("annotated", True),
+                        ("sketches", False), ("blooms", False)):
+        for path in _glob.glob(os.path.join(manifest.out_dir, sub, "group-*")):
+            name = os.path.basename(path)
+            gid_str = name.split("-")[1].split(".")[0]
+            try:
+                gid = int(gid_str)
+            except ValueError:
+                continue
+            if gid not in committed_gids or name.endswith(".tmp"):
+                if os.path.isdir(path):
+                    _clean(path)
+                else:
+                    os.remove(path)
 
 
 def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_profile: Optional[ColumnStats] = None,
@@ -284,8 +369,6 @@ def _derive_group_outputs(results: "ray.data.Dataset", cfg: RunConfig) -> list[d
     bloom_expected = cfg.bloom_expected
 
     def fused(batch: pa.Table) -> pa.Table:
-        from rayval.state import Bloom
-
         part_rows = sketch_partials(batch)
         stats_blobs = part_rows["stats"].to_pylist()
         pids = part_rows[PARTITION_COL].to_pylist()
@@ -340,8 +423,6 @@ def _ds_tables(ds: "ray.data.Dataset") -> list[pa.Table]:
 
 
 def _merged_bloom(manifest: Manifest, entries: list[dict]):
-    from rayval.state import Bloom
-
     merged = None
     for e in entries:
         with open(manifest.group_paths(e["group_id"])["bloom"], "rb") as fh:

@@ -30,6 +30,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -60,17 +61,23 @@ def build_bloom(results: "ray.data.Dataset", n_expected: int, fpp: float = 0.01)
     return merged
 
 
-def referential_violations(
+def referential_violations_ds(
     captions: "ray.data.Dataset",
     results: "ray.data.Dataset",
     bloom: Bloom,
     key: str = "caption_id",
     n_buckets: int = 32,
     compare_col: Optional[str] = None,
-) -> pa.Table:
-    """Violation rows (partition_id=-1, <key>, constraint_id) — 'image_id.ref'
-    for unresolvable captions, plus 'caption.fidelity' for resolved rows whose
-    ``compare_col`` differs between the caption row and the image row."""
+) -> "ray.data.Dataset":
+    """Violation rows (partition_id=-1, <key>, constraint_id) as a streaming
+    Dataset — 'image_id.ref' for unresolvable captions, plus
+    'caption.fidelity' for resolved rows whose ``compare_col`` differs between
+    the caption row and the image row.
+
+    Scale notes: the per-bucket exact verify is fully vectorized (one Arrow
+    hash-join + is_in per bucket, no per-row Python); size ``n_buckets`` so a
+    bucket's candidates + reference ids fit one reducer's heap (rule of thumb:
+    ``n_buckets ~ total_rows / 5M``, min 32)."""
     bloom_ref = ray.put(bloom.to_bytes())
     cap_cols = [key, "image_id"] + ([compare_col] if compare_col else [])
     res_cols = [c for c in ["image_id", "decodable"] if c in results.schema().names]
@@ -112,43 +119,94 @@ def referential_violations(
     left = captions.select_columns(cap_cols).map_batches(tag_captions, batch_format="pyarrow")
     right = results.select_columns(res_cols).map_batches(tag_ids, batch_format="pyarrow")
 
+    empty = pa.table({"side_key": pa.array([], pa.string()), "cid": pa.array([], pa.string())})
+
     def per_bucket(group: pa.Table) -> pa.Table:
-        is_cand = group["side_key"].is_valid().to_numpy(zero_copy_only=False)
-        all_ids = np.asarray(group["image_id"].to_pylist(), dtype=object)
-        cand_keys = np.asarray(group["side_key"].to_pylist(), dtype=object)[is_cand]
-        cand_ids = all_ids[is_cand]
-        bad_keys: list = []
-        bad_cids: list = []
-        if compare_col:
-            cmps = np.asarray(group["cmp"].to_pylist(), dtype=object)
-            valid_caption = dict(zip(all_ids[~is_cand], cmps[~is_cand]))
-            cand_cmp = cmps[is_cand]
-            for k, i, c in zip(cand_keys, cand_ids, cand_cmp):
-                if i not in valid_caption:
-                    bad_keys.append(k)
-                    bad_cids.append(REF_CONSTRAINT)
-                elif c != valid_caption[i]:
-                    bad_keys.append(k)
-                    bad_cids.append(FIDELITY_CONSTRAINT)
-        else:
-            valid_ids = set(all_ids[~is_cand])
-            for k, i in zip(cand_keys, cand_ids):
-                if i not in valid_ids:
-                    bad_keys.append(k)
-                    bad_cids.append(REF_CONSTRAINT)
+        # vectorized exact verify: Arrow is_in (no-compare path) or one Arrow
+        # hash-join per bucket (compare path) — no per-row Python anywhere.
+        is_cand = group["side_key"].is_valid()
+        cand = group.filter(is_cand)
+        if cand.num_rows == 0:
+            return empty
+        ref = group.filter(pc.invert(is_cand))
+        if not compare_col:
+            miss = pc.invert(pc.is_in(cand["image_id"], value_set=ref["image_id"].combine_chunks()))
+            bad = cand.filter(pc.fill_null(miss, True))
+            return pa.table(
+                {
+                    "side_key": bad["side_key"],
+                    "cid": pa.array([REF_CONSTRAINT] * bad.num_rows, type=pa.string()),
+                }
+            )
+        # dedupe the reference side per image_id (deterministic: min caption
+        # wins on duplicate decodable ids) + a presence marker so a null
+        # reference caption still counts as resolved
+        ref_tbl = (
+            pa.table({"image_id": ref["image_id"], "ref_cmp": ref["cmp"]})
+            .group_by("image_id")
+            .aggregate([("ref_cmp", "min")])
+        )
+        ref_tbl = pa.table(
+            {
+                "image_id": ref_tbl["image_id"],
+                "ref_cmp_min": ref_tbl["ref_cmp_min"],
+                "present": pa.array(np.ones(ref_tbl.num_rows, dtype=np.int8)),
+            }
+        )
+        cand_tbl = pa.table(
+            {"side_key": cand["side_key"], "image_id": cand["image_id"], "cmp": cand["cmp"]}
+        )
+        joined = cand_tbl.join(ref_tbl, keys="image_id", join_type="left outer")
+        present = pc.fill_null(pc.equal(joined["present"], pa.scalar(1, pa.int8())), False)
+        eq = pc.equal(joined["cmp"], joined["ref_cmp_min"])
+        both_null = pc.and_(pc.is_null(joined["cmp"]), pc.is_null(joined["ref_cmp_min"]))
+        equal_total = pc.or_(pc.fill_null(eq, False), both_null)
+        bad_miss = joined.filter(pc.invert(present))
+        bad_mm = joined.filter(pc.and_(present, pc.invert(equal_total)))
         return pa.table(
             {
-                "side_key": pa.array(bad_keys, type=pa.string()),
-                "cid": pa.array(bad_cids, type=pa.string()),
+                "side_key": pa.concat_arrays(
+                    [bad_miss["side_key"].combine_chunks(), bad_mm["side_key"].combine_chunks()]
+                ),
+                "cid": pa.array(
+                    [REF_CONSTRAINT] * bad_miss.num_rows + [FIDELITY_CONSTRAINT] * bad_mm.num_rows,
+                    type=pa.string(),
+                ),
             }
         )
 
     out = left.union(right).groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
-    rows = sorted(((r["side_key"], r["cid"]) for r in out.take_all()))
-    return pa.table(
-        {
-            PARTITION_COL: pa.array([-1] * len(rows), type=pa.int64()),
-            key: pa.array([k for k, _ in rows], type=pa.string()),
-            "constraint_id": pa.array([c for _, c in rows], type=pa.string()),
-        }
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                PARTITION_COL: pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+                key: batch["side_key"],
+                "constraint_id": batch["cid"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def referential_violations(
+    captions: "ray.data.Dataset",
+    results: "ray.data.Dataset",
+    bloom: Bloom,
+    key: str = "caption_id",
+    n_buckets: int = 32,
+    compare_col: Optional[str] = None,
+) -> pa.Table:
+    """Driver-side convenience: collect the (violation-sized, small) output of
+    :func:`referential_violations_ds` into one sorted Table."""
+    ds = referential_violations_ds(
+        captions, results, bloom, key=key, n_buckets=n_buckets, compare_col=compare_col
     )
+    tables = [t for t in map(ray.get, ds.to_arrow_refs()) if t.num_rows]
+    schema = pa.schema(
+        [(PARTITION_COL, pa.int64()), (key, pa.string()), ("constraint_id", pa.string())]
+    )
+    if not tables:
+        return schema.empty_table()
+    t = pa.concat_tables([t.cast(schema) for t in tables])
+    return t.sort_by([(key, "ascending"), ("constraint_id", "ascending")])

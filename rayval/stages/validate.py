@@ -86,6 +86,41 @@ class Annotate:
         return out.append_column("row_valid", pa.array(row_valid))
 
 
+def annotate_from_masks(batch: pa.Table, drop_masks: bool = False) -> pa.Table:
+    """Rewrite a table that already carries ``ok__<col>.<kind>`` mask columns
+    into the in-band ``with-status`` form (parser.clj:384-400): each checked
+    column becomes struct<value, status> (status = AND of its masks) and a
+    ``row_valid`` column is appended.  Used to derive the annotated output
+    from the flagship's narrow results without re-running any checks."""
+    n = batch.num_rows
+    by_col: dict[str, list[str]] = {}
+    mask_cols = [c for c in batch.column_names if c.startswith(OK_PREFIX)]
+    for name in mask_cols:
+        cid = name[len(OK_PREFIX):]
+        col = cid.rsplit(".", 1)[0]
+        if col in batch.column_names:
+            by_col.setdefault(col, []).append(name)
+    row_valid = np.ones(n, dtype=bool)
+    masks_np = {}
+    for name in mask_cols:
+        m = batch[name]
+        m = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+        masks_np[name] = m.to_numpy(zero_copy_only=False)
+        row_valid &= masks_np[name]
+    out = batch
+    for col, names in by_col.items():
+        status = np.ones(n, dtype=bool)
+        for name in names:
+            status &= masks_np[name]
+        vals = out[col]
+        vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+        struct = pa.StructArray.from_arrays([vals, pa.array(status)], names=["value", "status"])
+        out = out.set_column(out.column_names.index(col), col, struct)
+    if drop_masks:
+        out = out.drop_columns(mask_cols)
+    return out.append_column("row_valid", pa.array(row_valid))
+
+
 def explode_violations(batch: pa.Table, key: str = "image_id") -> pa.Table:
     """ok__* bool columns -> violation rows (partition_id, <key>, constraint_id)."""
     part = batch[PARTITION_COL].combine_chunks() if isinstance(batch[PARTITION_COL], pa.ChunkedArray) else batch[PARTITION_COL]

@@ -134,3 +134,60 @@ def test_report_written(finished_run):
     # hot bucket present in skew report: top phash has ~1% of rows
     top = report["hot_phash_top10"]
     assert top[0]["n"] >= 4
+
+
+def test_annotated_output(data_dir, tmp_path, ray_session):
+    """with-status analog in the flagship (parser.clj:345-371, 384-400): the
+    annotated/ parquet carries struct<value,status> per validated column plus
+    row_valid, and round-trips a planted violation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = str(tmp_path / "annot_run")
+    cfg = RunConfig(group_size=3, decode_concurrency=2, hot_threshold=3,
+                    bloom_expected=10_000, annotated_output=True)
+    run_phase1(data_dir + "/images", out, cfg)
+    m = Manifest(out)
+    annot_dirs = [m.group_paths(e["group_id"])["annotated"] for e in m.committed()]
+    assert all(os.path.isdir(d) for d in annot_dirs)
+    t = pa.concat_tables(
+        pq.read_table(os.path.join(d, f)) for d in annot_dirs for f in sorted(os.listdir(d))
+    )
+    assert t.num_rows == 400
+    # every validated metadata column is struct<value, status>
+    for col in ("w", "h", "fmt", "caption", "image_id"):
+        ft = t.schema.field(col).type
+        assert pa.types.is_struct(ft) and ft.num_fields == 2, col
+    assert "row_valid" in t.column_names
+    # planted w-range violations (stored w = 0 or 1e6) must carry status=False
+    w_val = pc.struct_field(t["w"], "value")
+    w_ok = pc.struct_field(t["w"], "status")
+    bad = t.filter(pc.or_(pc.equal(w_val, 0), pc.equal(w_val, 1_000_000)))
+    assert bad.num_rows > 0
+    assert not pc.any(pc.struct_field(bad["w"], "status")).as_py()
+    # row_valid == AND of all statuses for the checked columns where present
+    row_valid = t["row_valid"].to_pandas()
+    assert (~row_valid[~w_ok.to_pandas()]).all()
+
+
+def test_resume_after_mid_publish_kill(data_dir, tmp_path, ray_session):
+    """ADVICE fix: a kill between the results rename and the manifest commit
+    leaves a published-but-uncommitted group; resume must redo it cleanly
+    (no ENOTEMPTY) and converge to the same violation listing."""
+    out = str(tmp_path / "crash_run")
+    run_phase1(data_dir + "/images", out, CFG)
+    m = Manifest(out)
+    # simulate the crash window: results/violations dirs exist for a group
+    # whose manifest line is missing
+    lines = open(m.path).read().strip().splitlines()
+    with open(m.path, "w") as fh:
+        fh.write("\n".join(lines[:-1]) + "\n")
+    # rerun: must not raise, must recommit the group
+    run_phase1(data_dir + "/images", out, CFG)
+    m2 = Manifest(out)
+    assert m2.committed_fragments() == {os.path.basename(f) for f in
+                                        sorted(os.listdir(data_dir + "/images"))}
+    report = run_phase2(out, captions_path=data_dir + "/captions.parquet", cfg=CFG)
+    got = _violations_set(os.path.join(out, "final_violations"))
+    exp = _violations_set(os.path.join(data_dir, "expected_violations.parquet"))
+    assert got == exp
