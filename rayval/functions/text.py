@@ -16,9 +16,16 @@ import pandas as pd
 
 from rayval.state.hashing import hash64, rehash
 
-TOKEN_RE = re.compile(r"\S+")
-WORD_RE = re.compile(r"[\w']+")
-_WS_RE = re.compile(r"\s+")
+# Regex classes pinned to RE2 (DuckDB) semantics so oracle comparisons hold on
+# NON-ascii text too: RE2's \s is [\t\n\f\r ] and \w is [0-9A-Za-z_], while
+# Python's are Unicode-aware — e.g. NBSP is Python-\s but not RE2-\s, and 'é'
+# is Python-\w but not RE2-\w.  The oracle SQL uses \s/\w, so the Python side
+# spells out the RE2 classes explicitly.
+RE2_WS = "\t\n\f\r "
+TOKEN_RE = re.compile(rf"[^{RE2_WS}]+")         # RE2 \S+
+PUNCT_RE = re.compile(rf"[^0-9A-Za-z_{RE2_WS}]")  # RE2 [^\w\s]
+WORD_RE = re.compile(r"[\w']+")                 # internal only (langid/simhash)
+_WS_RE = re.compile(rf"[{RE2_WS}]+")            # RE2 \s+
 
 # tiny per-language stopword profiles (public common-word lists); scoring is a
 # plain hit-count — deterministic, vocabulary-based, no model download
@@ -46,7 +53,7 @@ def quality_scores(texts: pd.Series) -> pd.DataFrame:
     t = texts.fillna("")
     n_chars = t.str.len().to_numpy(dtype=np.int64)
     n_tokens = t.str.count(TOKEN_RE).to_numpy(dtype=np.int64)
-    n_punct = t.str.count(r"[^\w\s]").to_numpy(dtype=np.int64)
+    n_punct = t.str.count(PUNCT_RE).to_numpy(dtype=np.int64)
     toks = t.str.lower().str.findall(TOKEN_RE)
     n_stop = toks.map(lambda ws: sum(1 for w in ws if w in STOPWORDS)).to_numpy(dtype=np.int64)
     denom = np.maximum(n_tokens, 1)
@@ -65,17 +72,26 @@ def quality_scores(texts: pd.Series) -> pd.DataFrame:
 
 def langid(texts: pd.Series) -> np.ndarray:
     """N-gram/stopword heuristic language ID: the language whose profile has
-    the most token hits wins; ties and zero-hit rows -> 'und'.  Deterministic
-    (profiles are frozen; tie-break is lexicographic)."""
-    toks = texts.fillna("").str.lower().str.findall(WORD_RE)
-    langs = sorted(LANG_PROFILES)
+    the most hits wins; ties and zero-hit rows -> 'und'.  Deterministic
+    (profiles are frozen; tie-break is lexicographic).
+
+    Space-separated languages score by profile-token hits.  ``zh`` scores by
+    profile-CHARACTER hits — WORD_RE cannot segment unspaced CJK text, so a
+    token-based zh profile would be dead weight (it could never match)."""
+    lowered = texts.fillna("").str.lower()
+    toks = lowered.str.findall(WORD_RE)
+    token_langs = sorted(k for k in LANG_PROFILES if k != "zh")
+    zh_chars = LANG_PROFILES["zh"]
     out = np.empty(len(texts), dtype=object)
-    for i, ws in enumerate(toks):
+    for i, (ws, raw) in enumerate(zip(toks, lowered)):
         best, best_n = "und", 0
-        for lang in langs:
+        for lang in token_langs:
             n = sum(1 for w in ws if w in LANG_PROFILES[lang])
             if n > best_n:
                 best, best_n = lang, n
+        n_zh = sum(1 for ch in raw if ch in zh_chars)
+        if n_zh > best_n:
+            best = "zh"
         out[i] = best
     return out
 

@@ -757,7 +757,7 @@ def q_embedding_topk(sf_dir: str) -> pa.Table:
     from rayval.stages.similarity import brute_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    q = ds.filter(expr="vec_id == 0").take(1)[0]["embedding"]
     out = brute_topk(ds, np.asarray(q), k=10)
     return pa.table({"vec_id": out["vec_id"]}).cast(pa.schema([("vec_id", pa.int64())]))
 
@@ -912,7 +912,7 @@ def q_lsh_topk(sf_dir: str) -> pa.Table:
     from rayval.stages.similarity import lsh_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    q = ds.filter(expr="vec_id == 0").take(1)[0]["embedding"]
     out = lsh_topk(ds, np.asarray(q), k=10)
     return pa.table({"vec_id": out["vec_id"]}).cast(pa.schema([("vec_id", pa.int64())]))
 
@@ -921,7 +921,7 @@ def q_ivf_topk(sf_dir: str) -> pa.Table:
     from rayval.stages.similarity import ivf_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    q = ds.filter(expr="vec_id == 0").take(1)[0]["embedding"]
     # n_probe=8/16: the synthetic embeddings are near-orthogonal (no cluster
     # structure), so a higher probe fraction is the honest default here
     out = ivf_topk(ds, np.asarray(q), k=10, n_lists=16, n_probe=8)

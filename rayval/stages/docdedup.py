@@ -20,6 +20,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -50,9 +51,14 @@ def exact_dup_members(ds: "ray.data.Dataset", text_col: str, key_col: str) -> pa
         vals, counts = np.unique(np.asarray(batch["h"].to_pylist(), dtype=object), return_counts=True)
         return pa.table({"h": pa.array(vals, type=pa.string()), "n": pa.array(counts, type=pa.int64())})
 
-    counts = hashed.map_batches(partial, batch_format="pyarrow").groupby("h").sum("n")
-    dup = counts.filter(lambda r: r["sum(n)"] > 1).take_all()
-    dup_set = {r["h"] for r in dup}
+    counts = (
+        hashed.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .sum("n")
+        .map_batches(lambda b: b.rename_columns(["h", "n_total"]), batch_format="pyarrow")
+        .filter(expr="n_total > 1")
+    )
+    dup_set = {r["h"] for r in counts.take_all()}
     key_type = dict(zip(ds.schema().names, ds.schema().types))[key_col]
     empty = pa.table({key_col: pa.array([], type=key_type), "h": pa.array([], type=pa.string())})
     if not dup_set:
@@ -76,6 +82,73 @@ def keep_first_per_key(ds: "ray.data.Dataset", group_cols: list[str], key_col: s
 
 
 # ----------------------------------------------------------- MinHash + LSH
+def _sig_matrix(group: pa.Table, key_col: str, num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    """(keys: object[n], sigs: uint64[n, num_perm]) — signatures decoded from
+    the binary column via its raw Arrow buffers (constant row width), no
+    per-row frombuffer."""
+    keys = group[key_col].to_numpy(zero_copy_only=False)
+    arr = group["sig"]
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=n + 1 + arr.offset)[arr.offset :]
+    flat = np.frombuffer(
+        arr.buffers()[2], dtype=np.uint64, offset=int(offs[0]), count=n * num_perm
+    )
+    return keys, flat.reshape(n, num_perm)
+
+
+def _bucket_pair_indices(keys: np.ndarray, sig_mat: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate pair indices (i, j) within one LSH band bucket, with
+    keys[i] < keys[j], FULLY vectorized, with a hot-bucket guard:
+
+    - bucket size <= cap: all pairs (upper triangle over key-sorted order).
+    - bucket size >  cap (the 1%-duplicated-document skew case): O(b^2) is no
+      longer acceptable, so (a) rows with IDENTICAL signatures — est_jaccard
+      1.0, provably candidate dups — emit representative->member chain edges
+      (same connected components as the full clique, b-1 edges instead of
+      b^2/2); (b) one representative per distinct signature pairs all-vs-all
+      only if the distinct count still fits the cap — a band bucket with
+      cap+ DISTINCT signatures is degenerate (that band carries ~no
+      information) and contributes no cross-signature candidates.
+    """
+    n = len(keys)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if n < 2:
+        return empty
+    if n <= cap:
+        order = np.argsort(keys, kind="stable")
+        iu, ju = np.triu_indices(n, k=1)
+        i_idx, j_idx = order[iu], order[ju]
+        neq = keys[i_idx] != keys[j_idx]
+        return i_idx[neq], j_idx[neq]
+    # hot bucket: group rows by identical signature (row-wise unique)
+    _, inv = np.unique(sig_mat, axis=0, return_inverse=True)
+    order2 = np.lexsort((keys, inv))  # by signature group, then key
+    inv_s = inv[order2]
+    starts = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])
+    run_lens = np.diff(np.r_[starts, n])
+    run_ids = np.repeat(np.arange(len(starts)), run_lens)
+    rep_for_row = order2[starts][run_ids]  # group representative (min key)
+    chain_mask = rep_for_row != order2
+    i_parts = [rep_for_row[chain_mask]]
+    j_parts = [order2[chain_mask]]
+    reps = order2[starts]
+    if len(reps) <= cap:
+        r_ord = reps[np.argsort(keys[reps], kind="stable")]
+        iu, ju = np.triu_indices(len(r_ord), k=1)
+        i_parts.append(r_ord[iu])
+        j_parts.append(r_ord[ju])
+    i_idx = np.concatenate(i_parts) if i_parts else empty[0]
+    j_idx = np.concatenate(j_parts) if j_parts else empty[1]
+    if not len(i_idx):
+        return empty
+    # enforce keys[i] < keys[j] and drop same-key self pairs
+    swap = keys[i_idx] > keys[j_idx]
+    i_idx[swap], j_idx[swap] = j_idx[swap], i_idx[swap].copy()
+    neq = keys[i_idx] != keys[j_idx]
+    return i_idx[neq], j_idx[neq]
+
+
 def minhash_lsh_candidates(
     ds: "ray.data.Dataset",
     text_col: str,
@@ -86,11 +159,13 @@ def minhash_lsh_candidates(
     est_threshold: float = 0.5,
     texts_for_verify: Optional[dict] = None,
     exact_threshold: Optional[float] = None,
+    hot_cap: int = 256,
 ) -> pa.Table:
     """Candidate near-dup pairs (a, b, est_jaccard[, jaccard]) with a < b.
 
     shingle→minhash per doc (map_batches), explode to band rows, groupby band
-    bucket, pair within bucket, dedupe pairs, verify by signature Jaccard —
+    bucket, pair within bucket (vectorized; hot buckets guarded — see
+    ``_bucket_pair_indices``), dedupe pairs, verify by signature Jaccard —
     and by exact shingle Jaccard when ``exact_threshold`` is set (texts for
     the small candidate set are broadcast via ``texts_for_verify``).
     """
@@ -121,25 +196,22 @@ def minhash_lsh_candidates(
     exploded = ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs(group: pa.Table) -> pa.Table:
-        keys = group[key_col].to_pylist()
-        sigs_ = [np.frombuffer(b.as_py(), dtype=np.uint64) for b in group["sig"]]
-        out_a, out_b, out_j = [], [], []
-        order = np.argsort(np.asarray(keys, dtype=object), kind="stable")
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                a, b = order[ii], order[jj]
-                if keys[a] == keys[b]:
-                    continue
-                j = minhash_jaccard(sigs_[a], sigs_[b])
-                if j >= est_threshold:
-                    out_a.append(keys[a])
-                    out_b.append(keys[b])
-                    out_j.append(round(j, 6))
+        keys, sig_mat = _sig_matrix(group, key_col, num_perm)
+        pair_i, pair_j = _bucket_pair_indices(keys, sig_mat, hot_cap)
+        if not len(pair_i):
+            return pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+                 "est_jaccard": pa.array([], pa.float64())}
+            )
+        # vectorized estimate: fraction of agreeing permutations per pair
+        est = (sig_mat[pair_i] == sig_mat[pair_j]).mean(axis=1)
+        keep = est >= est_threshold
+        pair_i, pair_j, est = pair_i[keep], pair_j[keep], est[keep]
         return pa.table(
             {
-                "a": pa.array(out_a, type=pa.string()),
-                "b": pa.array(out_b, type=pa.string()),
-                "est_jaccard": pa.array(out_j, type=pa.float64()),
+                "a": pa.array(keys[pair_i], type=pa.string()),
+                "b": pa.array(keys[pair_j], type=pa.string()),
+                "est_jaccard": pa.array(np.round(est, 6), type=pa.float64()),
             }
         )
 
@@ -156,17 +228,21 @@ def minhash_lsh_candidates(
 
 
 # ------------------------------------------------------ duplicate grouping
-def dup_groups_from_pairs(pairs: pa.Table, a_col: str = "a", b_col: str = "b") -> pa.Table:
+def dup_groups_from_pairs(
+    pairs: pa.Table, a_col: str = "a", b_col: str = "b", scale_threshold: int = 500_000
+) -> pa.Table:
     """Connected components over candidate near-dup pairs -> (key, group)
     where ``group`` is the lexicographically-smallest member (the canonical
     keep-representative for dedup).
 
-    Driver-side union-find — valid while the candidate-PAIR set is small
-    (pairs are already the filtered output of LSH + verify, a tiny fraction
-    of the corpus).  The scale path is iterative min-label propagation:
-    repeat (groupby key -> min(label) -> join back) until fixpoint, each
-    round a narrow shuffle; same result, no driver materialization.
+    Small pair sets (below ``scale_threshold``) use driver-side union-find;
+    larger ones switch to :func:`dup_groups_propagate` — distributed
+    iterative min-label propagation, each round a narrow shuffle — which
+    produces the identical (key, group) table without holding the edge set
+    on the driver.
     """
+    if pairs.num_rows > scale_threshold:
+        return dup_groups_propagate(ray.data.from_arrow(pairs), a_col=a_col, b_col=b_col)
     parent: dict = {}
 
     def find(x):
@@ -197,54 +273,165 @@ def dup_groups_from_pairs(pairs: pa.Table, a_col: str = "a", b_col: str = "b") -
     )
 
 
+def dup_groups_propagate(
+    pairs: "ray.data.Dataset", a_col: str = "a", b_col: str = "b", max_iters: int = 64
+) -> pa.Table:
+    """Distributed connected components: iterative min-label propagation.
+
+    Each round: (1) union(current labels, undirected edges) -> groupby(key)
+    sends the node's label to every neighbor; (2) groupby(key) takes the min
+    of own + incoming labels and flags whether it changed.  Labels only
+    decrease, so the loop converges in <= diameter rounds; both steps are
+    narrow (key, label) shuffles — nothing driver-sized.  Output matches
+    driver union-find exactly: (key, group=min-reachable-key), sorted.
+    """
+    edges = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [pc.cast(b[a_col], pa.string()).combine_chunks(),
+                     pc.cast(b[b_col], pa.string()).combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [pc.cast(b[b_col], pa.string()).combine_chunks(),
+                     pc.cast(b[a_col], pa.string()).combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    # initial labels: own key (nbr=null marks the label row in the union)
+    labels = edges.map_batches(
+        lambda b: pa.table({"key": b["key"], "label": b["key"]}), batch_format="pyarrow"
+    ).groupby("key").min("label").map_batches(
+        lambda b: b.rename_columns(["key", "label"]), batch_format="pyarrow"
+    )
+
+    def send(group: pa.Table) -> pa.Table:
+        # group = one node's label row(s) (nbr null) + its outgoing edges
+        nbrs = group["nbr"]
+        lab_rows = group.filter(pc.is_null(nbrs))
+        if lab_rows.num_rows == 0:  # isolated label row with no edges
+            return pa.table({"key": pa.array([], pa.string()), "label": pa.array([], pa.string()),
+                             "own": pa.array([], pa.int8())})
+        label = pc.min_max(lab_rows["label"])["min"]
+        edge_rows = group.filter(pc.is_valid(nbrs))
+        n_out = edge_rows.num_rows
+        return pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [edge_rows["nbr"].combine_chunks(), lab_rows["key"].combine_chunks().slice(0, 1)]
+                ),
+                "label": pa.array([label.as_py()] * (n_out + 1), type=pa.string()),
+                "own": pa.array([0] * n_out + [1], type=pa.int8()),
+            }
+        )
+
+    def reduce_min(group: pa.Table) -> pa.Table:
+        mm = pc.min_max(group["label"])["min"]
+        own_rows = group.filter(pc.equal(group["own"], pa.scalar(1, pa.int8())))
+        old = pc.min_max(own_rows["label"])["min"] if own_rows.num_rows else None
+        changed = old is None or old.as_py() != mm.as_py()
+        return pa.table(
+            {
+                "key": group["key"].combine_chunks().slice(0, 1),
+                "label": pa.array([mm.as_py()], type=pa.string()),
+                "changed": pa.array([1 if changed else 0], type=pa.int64()),
+            }
+        )
+
+    for _ in range(max_iters):
+        tagged_labels = labels.map_batches(
+            lambda b: pa.table(
+                {"key": b["key"], "label": b["label"],
+                 "nbr": pa.nulls(b.num_rows, pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+        tagged_edges = edges.map_batches(
+            lambda b: pa.table(
+                {"key": b["key"], "label": pa.nulls(b.num_rows, pa.string()), "nbr": b["nbr"]}
+            ),
+            batch_format="pyarrow",
+        )
+        msgs = tagged_labels.union(tagged_edges).groupby("key").map_groups(
+            send, batch_format="pyarrow"
+        )
+        new_labels = msgs.groupby("key").map_groups(reduce_min, batch_format="pyarrow").materialize()
+        n_changed = new_labels.sum("changed")
+        labels = new_labels.select_columns(["key", "label"])
+        if not n_changed:
+            break
+    out = [t for t in map(ray.get, labels.to_arrow_refs()) if t.num_rows]
+    schema = pa.schema([("key", pa.string()), ("group", pa.string())])
+    if not out:
+        return schema.empty_table()
+    t = pa.concat_tables(
+        [t.rename_columns(["key", "group"]).cast(schema) for t in out]
+    )
+    return t.sort_by([("key", "ascending")])
+
+
 # ----------------------------------------------------------------- SimHash
 def simhash_neardups(
-    ds: "ray.data.Dataset", text_col: str, key_col: str, max_hamming: int = 3
+    ds: "ray.data.Dataset", text_col: str, key_col: str, max_hamming: int = 3,
+    hot_cap: int = 256,
 ) -> pa.Table:
     """Pairs (a, b, hamming) with hamming(simhash) <= max_hamming, a < b.
-    Bucketed by the 4 16-bit bands (pigeonhole: distance<=3 pairs share one)."""
+
+    Bucketed by ``max_hamming + 1`` bit-bands (pigeonhole: a pair at distance
+    <= max_hamming must agree on at least one band), so recall is exact for
+    any ``max_hamming`` <= 63; the default 3 gives the classic 4 x 16-bit
+    scheme.  Per-bucket pairing is vectorized with the same hot-bucket guard
+    as MinHash (identical-signature chains + capped representative pairing).
+    """
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+    band_los = [b * band_bits for b in range(n_bands)]
+    band_widths = [band_bits] * (n_bands - 1) + [64 - band_los[-1]]
 
     def sigs(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pandas().fillna("")
-        keys = batch[key_col].to_pylist()
-        band, bh, doc, sig = [], [], [], []
-        for k, t in zip(keys, texts):
-            s = simhash64(t)
-            u = np.uint64(np.int64(s).astype(np.uint64))
-            for b in range(4):
-                band.append(b)
-                bh.append(int((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
-                doc.append(k)
-                sig.append(s)
+        keys = batch[key_col]
+        n = batch.num_rows
+        s = np.fromiter((simhash64(t) for t in texts), dtype=np.int64, count=n)
+        u = s.view(np.uint64)
+        bands_out, bh_out, key_idx = [], [], []
+        for b in range(n_bands):
+            mask = np.uint64((1 << band_widths[b]) - 1)
+            bh = ((u >> np.uint64(band_los[b])) & mask).astype(np.int64)
+            bands_out.append(np.full(n, b, dtype=np.int32))
+            bh_out.append(bh)
+            key_idx.append(np.arange(n))
+        key_arr = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        idx = pa.array(np.concatenate(key_idx), type=pa.int64())
         return pa.table(
             {
-                "band": pa.array(band, type=pa.int32()),
-                "bh": pa.array(bh, type=pa.int32()),
-                key_col: pa.array(doc, type=pa.string()),
-                "sig": pa.array(sig, type=pa.int64()),
+                "band": pa.array(np.concatenate(bands_out)),
+                "bh": pa.array(np.concatenate(bh_out)),
+                key_col: key_arr.take(idx),
+                "sig": pa.array(np.tile(s, n_bands), type=pa.int64()),
             }
         )
 
     def pairs(group: pa.Table) -> pa.Table:
-        keys = group[key_col].to_pylist()
+        keys = group[key_col].to_numpy(zero_copy_only=False)
         s = group["sig"].to_numpy(zero_copy_only=False)
-        out_a, out_b, out_h = [], [], []
-        order = np.argsort(np.asarray(keys, dtype=object), kind="stable")
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                a, b = order[ii], order[jj]
-                if keys[a] == keys[b]:
-                    continue
-                d = int(_popcount64(np.array([np.int64(s[a]) ^ np.int64(s[b])]).view(np.uint64))[0])
-                if d <= 3:
-                    out_a.append(keys[a])
-                    out_b.append(keys[b])
-                    out_h.append(d)
+        i_idx, j_idx = _bucket_pair_indices(keys, s.reshape(-1, 1), hot_cap)
+        if not len(i_idx):
+            return pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+                 "hamming": pa.array([], pa.int32())}
+            )
+        x = (s[i_idx] ^ s[j_idx]).view(np.uint64)
+        d = _popcount64(x)
+        keep = d <= max_hamming
+        i_idx, j_idx, d = i_idx[keep], j_idx[keep], d[keep]
         return pa.table(
             {
-                "a": pa.array(out_a, type=pa.string()),
-                "b": pa.array(out_b, type=pa.string()),
-                "hamming": pa.array(out_h, type=pa.int32()),
+                "a": pa.array(keys[i_idx], type=pa.string()),
+                "b": pa.array(keys[j_idx], type=pa.string()),
+                "hamming": pa.array(d.astype(np.int32)),
             }
         )
 
@@ -258,5 +445,4 @@ def simhash_neardups(
         return pa.table({"a": pa.array([], type=pa.string()), "b": pa.array([], type=pa.string()),
                          "hamming": pa.array([], type=pa.int32())})
     df = pd.DataFrame(cand).drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
-    df = df[df.hamming <= max_hamming].reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)

@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pyarrow as pa
 
@@ -252,35 +254,77 @@ def embedding_neardups(
     threshold: float,
     key_col: str = "vec_id",
     emb_col: str = "embedding",
+    n_blocks: int = 4,
 ) -> pa.Table:
-    """(a, b, cos) pairs with cosine >= threshold, a < b.  The full normalized
-    matrix is broadcast (small-side assumption; see module doc)."""
-    rows = ds.select_columns([key_col, emb_col]).take_all()
-    keys = np.array([r[key_col] for r in rows])
-    m = _normalize(np.array([np.asarray(r[emb_col], dtype=np.float64) for r in rows]))
-    order = np.argsort(keys)
-    keys, m = keys[order], m[order]
-    m_ref = ray.put((keys, m))
+    """(a, b, cos) pairs with cosine >= threshold, a < b — EXACT, via a
+    block-partitioned distributed pair join; the driver never materializes the
+    table and nothing is broadcast.
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        all_keys, all_m = ray.get(m_ref)
-        bm = _normalize(_matrix(batch[emb_col]))
-        bkeys = batch[key_col].to_numpy(zero_copy_only=False)
-        scores = bm @ all_m.T
-        ai, bi, sc = [], [], []
-        for i in range(len(bkeys)):
-            hits = np.flatnonzero(scores[i] >= threshold)
-            for j in hits:
-                if bkeys[i] < all_keys[j]:  # a < b, no self-pairs
-                    ai.append(bkeys[i])
-                    bi.append(all_keys[j])
-                    sc.append(scores[i, j])
-        return pa.table({"a": pa.array(ai), "b": pa.array(bi), "cos": pa.array(sc, type=pa.float64())})
+    Rows hash into ``n_blocks`` buckets; each row is fanned out to the
+    ``n_blocks`` join cells (p, q) its bucket participates in, then one
+    ``groupby(cell).map_groups`` computes the within-cell pairwise cosines as
+    a single matmul.  Every pair meets in exactly one cell, so no dedup pass
+    is needed.  Costs: shuffle volume = n_blocks x input rows; per-cell work
+    O((n/n_blocks)^2) — pick ``n_blocks ~ sqrt(n) / rows_per_cell_budget`` at
+    scale.  (An LSH prefilter would cut the shuffle but gives up exactness —
+    this operator backs an exact-threshold oracle.)"""
+    from rayval.state import hash64
 
-    out = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    import pandas as pd
+    def fanout(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = batch[key_col]
+        bucket = (hash64(keys) % np.uint64(n_blocks)).astype(np.int64)
+        idx = np.repeat(np.arange(n), n_blocks)
+        other = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+        b = np.repeat(bucket, n_blocks)
+        p = np.minimum(b, other)
+        q = np.maximum(b, other)
+        taken = batch.select([key_col, emb_col]).take(pa.array(idx))
+        return (
+            taken.append_column("cell", pa.array(p * n_blocks + q))
+            .append_column("bucket", pa.array(b))
+        )
 
-    if not out:
-        return pa.table({"a": pa.array([]), "b": pa.array([]), "cos": pa.array([], type=pa.float64())})
-    df = pd.DataFrame(out).sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    def cell_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "cos": pa.array([], pa.float64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        cell = g["cell"][0].as_py()
+        p, q = divmod(cell, n_blocks)
+        keys = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_matrix(g[emb_col]))
+        if p == q:
+            scores = m @ m.T
+            iu, ju = np.triu_indices(len(keys), k=1)
+            hit = scores[iu, ju] >= threshold
+            ka, kb = keys[iu[hit]], keys[ju[hit]]
+            sc = scores[iu, ju][hit]
+        else:
+            side = g["bucket"].to_numpy(zero_copy_only=False) == p
+            ma, mb = m[side], m[~side]
+            if not len(ma) or not len(mb):
+                return empty
+            scores = ma @ mb.T
+            ii, jj = np.nonzero(scores >= threshold)
+            ka, kb = keys[side][ii], keys[~side][jj]
+            sc = scores[ii, jj]
+        a = np.minimum(ka, kb)
+        b = np.maximum(ka, kb)
+        return pa.table({"a": pa.array(a), "b": pa.array(b), "cos": pa.array(sc, type=pa.float64())})
+
+    out = (
+        ds.select_columns([key_col, emb_col])
+        .map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pyarrow")
+    )
+    tables = [t for t in map(ray.get, out.to_arrow_refs()) if t.num_rows]
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())])
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables([t.cast(schema) for t in tables]).sort_by(
+        [("a", "ascending"), ("b", "ascending")]
+    )

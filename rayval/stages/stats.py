@@ -138,9 +138,11 @@ def drift_violations(
     """(partition_id, None, 'stats.drift.<col>') for drifted partitions.
 
     The effective threshold per (partition, column) is
-    ``max(threshold, c(α=0.01) * sqrt((n1+n2)/(n1*n2)))`` — the two-sample
-    Kolmogorov–Smirnov critical value — so small partitions aren't flagged on
-    sampling noise while large ones still catch subtle shifts.
+    ``max(threshold, c(α) * sqrt((n1+n2)/(n1*n2)))`` — the two-sample
+    Kolmogorov–Smirnov critical value with c=1.95, i.e. α≈0.001 (many
+    partition×column tests run per job, so the per-test false-positive rate
+    is kept tight) — so small partitions aren't flagged on sampling noise
+    while large ones still catch subtle shifts.
     """
     out = []
     for pid, st in sorted(per_partition.items()):

@@ -198,3 +198,127 @@ def test_ivf_topk(emb_ds):
     assert approx.score.is_monotonic_decreasing
     # recall vs exact top-3 is at least 2/3 on this tiny set
     assert len(set(approx.vec_id) & set(exact.vec_id)) >= 2
+
+
+def test_hot_bucket_guard_minhash(ray_session):
+    """A 1%-duplicated corpus (one text repeated 40x among 400 docs) must not
+    trigger an O(b^2) pair blowup: the hot band buckets short-circuit to
+    representative chains, and the dup cluster's connected component is
+    preserved."""
+    import time
+
+    import ray.data
+
+    from rayval.stages.docdedup import dup_groups_from_pairs, minhash_lsh_candidates
+
+    dup_text = "the same duplicated document body repeated verbatim " * 4
+    texts = [dup_text if i % 10 == 0 else f"unique doc {i} with distinct words {i*7} {i*13}"
+             for i in range(400)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([f"d{i:04d}" for i in range(400)]), "text": pa.array(texts)})
+    )
+    t0 = time.time()
+    out = minhash_lsh_candidates(ds, "text", "doc_id", est_threshold=0.5, hot_cap=8)
+    dt = time.time() - t0
+    groups = dup_groups_from_pairs(out).to_pandas()
+    dup_ids = {f"d{i:04d}" for i in range(400) if i % 10 == 0}
+    comp = groups[groups.key.isin(dup_ids)]
+    # all 40 copies land in ONE component rooted at the smallest key
+    assert set(comp.key) == dup_ids
+    assert set(comp.group) == {"d0000"}
+    # guarded: emitted pairs stay near-linear in the cluster size, not b^2/2
+    cluster_pairs = out.to_pandas()
+    cluster_pairs = cluster_pairs[cluster_pairs.a.isin(dup_ids) & cluster_pairs.b.isin(dup_ids)]
+    assert len(cluster_pairs) < 40 * 3, len(cluster_pairs)
+    assert dt < 60
+
+
+def test_hot_bucket_guard_small_buckets_unchanged(doc_ds):
+    """Below the cap the guard must be a no-op: same candidate set with a
+    tiny cap-free run."""
+    from rayval.stages.docdedup import minhash_lsh_candidates
+
+    a = minhash_lsh_candidates(doc_ds, "text", "doc_id", est_threshold=0.5, hot_cap=256).to_pandas()
+    b = minhash_lsh_candidates(doc_ds, "text", "doc_id", est_threshold=0.5, hot_cap=10**9).to_pandas()
+    assert set(zip(a.a, a.b)) == set(zip(b.a, b.b))
+
+
+def test_simhash_max_hamming_respected(doc_ds):
+    """ADVICE fix: max_hamming > 3 must widen the filter (bands derived from
+    max_hamming keep pigeonhole recall), not silently clamp to 3."""
+    from rayval.stages.docdedup import simhash_neardups
+
+    tight = simhash_neardups(doc_ds, "text", "doc_id", max_hamming=0).to_pandas()
+    wide = simhash_neardups(doc_ds, "text", "doc_id", max_hamming=10).to_pandas()
+    assert (tight.hamming == 0).all()
+    assert (wide.hamming <= 10).all()
+    # d0/d4 identical -> present even at max_hamming=0
+    assert ("d0", "d4") in set(zip(tight.a, tight.b))
+    # the wide run keeps everything the tight run found
+    assert set(zip(tight.a, tight.b)) <= set(zip(wide.a, wide.b))
+
+
+def test_dup_groups_propagate_matches_union_find(ray_session):
+    """Distributed min-label propagation == driver union-find, exactly."""
+    import ray.data
+
+    from rayval.stages.docdedup import dup_groups_from_pairs, dup_groups_propagate
+
+    pairs = pa.table(
+        {
+            "a": pa.array(["d1", "d2", "d5", "d7", "d8", "d2"]),
+            "b": pa.array(["d2", "d3", "d6", "d8", "d9", "d1"]),
+        }
+    )
+    uf = dup_groups_from_pairs(pairs)
+    prop = dup_groups_propagate(ray.data.from_arrow(pairs))
+    assert uf.to_pydict() == prop.to_pydict()
+
+
+def test_langid_chinese():
+    """zh scores by profile-character hits (WORD_RE can't segment unspaced
+    CJK) — Chinese text must classify as zh, not 'und'."""
+    from rayval.functions.text import langid
+
+    s = pd.Series([
+        "我是一个人他在中国这是一个大的地方",   # unspaced Chinese
+        "the quick brown fox is on the hill with a dog",
+        "",
+    ])
+    out = langid(s)
+    assert out[0] == "zh"
+    assert out[1] == "en"
+    assert out[2] == "und"
+
+
+def test_quality_scores_non_ascii_matches_duckdb():
+    """Regex classes are pinned to RE2 semantics: punct/token counts agree
+    with DuckDB on accented letters, CJK, and NBSP."""
+    import duckdb
+
+    from rayval.functions.text import quality_scores, token_count, normalize_text
+    import hashlib
+
+    rows = [
+        "héllo wörld — déjà vu!",
+        "中文文本，没有空格。",
+        "nbsp separated tokens",
+        "plain ascii text, with punct...",
+    ]
+    q = quality_scores(pd.Series(rows))
+    tc = token_count(pd.Series(rows))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    for r in rows:
+        con.execute("INSERT INTO t VALUES (?)", [r])
+    exp = con.execute(r"""
+        SELECT len(regexp_extract_all(s, '\S+')) AS n_tokens,
+               len(regexp_extract_all(s, '[^\w\s]')) AS n_punct,
+               md5(trim(regexp_replace(lower(s), '\s+', ' ', 'g'))) AS fp
+        FROM t
+    """).df()
+    assert list(q["n_tokens"]) == list(exp["n_tokens"]), (list(q["n_tokens"]), list(exp["n_tokens"]))
+    assert list(tc) == list(exp["n_tokens"])
+    assert list(q["n_punct"]) == list(exp["n_punct"]), (list(q["n_punct"]), list(exp["n_punct"]))
+    got_fp = [hashlib.md5(s.encode()).hexdigest() for s in normalize_text(pd.Series(rows))]
+    assert got_fp == list(exp["fp"])
