@@ -36,10 +36,9 @@ def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
 
 
 def _collect(ds: "ray.data.Dataset", schema: pa.Schema) -> pa.Table:
-    import ray as _ray
+    from rayval.util import collect_tables
 
-    tables = [t for t in map(_ray.get, ds.to_arrow_refs()) if t.num_rows]
-    return pa.concat_tables([t.cast(schema) for t in tables]) if tables else schema.empty_table()
+    return collect_tables(ds, schema)
 
 
 def _violations_query(ds: "ray.data.Dataset", profile: Profile, key_sql_cols: list[str]) -> pa.Table:
@@ -350,6 +349,49 @@ FROM orders
 WHERE NOT (CAST(FLOOR(o_totalprice) AS BIGINT) >= 0
        AND CAST(FLOOR(o_totalprice) AS BIGINT) > 2000
        AND CAST(FLOOR(o_totalprice) AS BIGINT) < 400000)
+"""
+
+
+_SUPPLIER_XSD = """<schema>
+  <element name="supplier">
+    <complexType>
+      <all>
+        <element name="s_acctbal">
+          <simpleType>
+            <restriction base="decimal"><minInclusive value="0"/></restriction>
+          </simpleType>
+        </element>
+        <element name="s_name">
+          <simpleType>
+            <restriction base="string">
+              <pattern value="Supplier#00000000[0-9]"/>
+            </restriction>
+          </simpleType>
+        </element>
+      </all>
+    </complexType>
+  </element>
+</schema>"""
+
+
+def q_xsd_supplier_violations(sf_dir: str) -> pa.Table:
+    """The XSD front door end-to-end: the reference's schema dialect parsed by
+    rayval.constraints.xsd (validation-fn-of analog, parser.clj:331-341),
+    compiled to the same Profile/BatchValidator, run distributed."""
+    from rayval.constraints.xsd import profile_from_xsd
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"])
+    prof = profile_from_xsd(_SUPPLIER_XSD, infer_scalars=False)
+    prof.key = "row_key"
+    return _violations_query(ds, prof, ["s_suppkey"])
+
+
+SQL_XSD_SUPPLIER_VIOLATIONS = """
+SELECT CAST(s_suppkey AS VARCHAR) AS row_key, 's_acctbal.range' AS constraint_id
+FROM supplier WHERE NOT (s_acctbal >= 0)
+UNION ALL
+SELECT CAST(s_suppkey AS VARCHAR), 's_name.pattern' FROM supplier
+WHERE NOT regexp_full_match(s_name, 'Supplier#00000000[0-9]')
 """
 
 
@@ -999,6 +1041,7 @@ QUERIES = {
     "typechain_violations": (q_typechain_violations, SQL_TYPECHAIN_VIOLATIONS),
     "ref_restriction_violations": (q_ref_restriction_violations, SQL_REF_RESTRICTION_VIOLATIONS),
     "extension_violations": (q_extension_violations, SQL_EXTENSION_VIOLATIONS),
+    "xsd_supplier_violations": (q_xsd_supplier_violations, SQL_XSD_SUPPLIER_VIOLATIONS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "customer_stats": (q_customer_stats, SQL_CUSTOMER_STATS),
     "acctbal_median": (q_acctbal_median, SQL_ACCTBAL_MEDIAN),

@@ -253,27 +253,39 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
     viol_dirs = [manifest.group_paths(e["group_id"])["violations"] for e in entries]
     results = ray.data.read_parquet(_expand(result_dirs))
 
-    # --- dedup (phash.unique) -------------------------------------------------
-    counts = phash_counts(results)
-    dup_ds = duplicate_violations(results, hot_threshold=cfg.hot_threshold, counts=counts)
-    extra_violations = [t for t in _ds_tables(dup_ds) if t.num_rows]
+    # dedup and referential are independent DAGs over the same narrow results;
+    # dispatch them concurrently so their (mostly fixed) all-to-all overheads
+    # overlap instead of serializing — phase 2 is the flagship's serial tail.
+    def _dedup_job():
+        counts = phash_counts(results)
+        dup_ds = duplicate_violations(results, hot_threshold=cfg.hot_threshold, counts=counts)
+        return counts, [t for t in _ds_tables(dup_ds) if t.num_rows]
 
-    # --- referential (image_id.ref) ------------------------------------------
-    if captions_path:
+    def _ref_job():
+        if not captions_path:
+            return None
         bloom = _merged_bloom(manifest, entries)
         captions = ray.data.read_parquet(captions_path)
-        ref = referential_violations(
+        return referential_violations(
             captions, results, bloom, key="caption_id", n_buckets=cfg.ref_buckets, compare_col="caption"
         )
-        if ref.num_rows:
-            ref = pa.table(
-                {
-                    PARTITION_COL: ref[PARTITION_COL],
-                    "image_id": ref["caption_id"],
-                    "constraint_id": ref["constraint_id"],
-                }
-            )
-            extra_violations.append(ref)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_dedup = ex.submit(_dedup_job)
+        f_ref = ex.submit(_ref_job)
+        counts, extra_violations = f_dedup.result()
+        ref = f_ref.result()
+
+    # --- referential (image_id.ref) ------------------------------------------
+    if ref is not None and ref.num_rows:
+        ref = pa.table(
+            {
+                PARTITION_COL: ref[PARTITION_COL],
+                "image_id": ref["caption_id"],
+                "constraint_id": ref["constraint_id"],
+            }
+        )
+        extra_violations.append(ref)
 
     # --- stats + drift --------------------------------------------------------
     per_partition: dict[int, ColumnStats] = {}
@@ -419,7 +431,9 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
 def _ds_tables(ds: "ray.data.Dataset") -> list[pa.Table]:
     import ray as _ray
 
-    return [_ray.get(r) for r in ds.to_arrow_refs()]
+    # materialize first: to_arrow_refs on a lazy plan would execute it twice
+    # (full pass + an internal limit-1 schema probe)
+    return [_ray.get(r) for r in ds.materialize().to_arrow_refs()]
 
 
 def _merged_bloom(manifest: Manifest, entries: list[dict]):

@@ -46,13 +46,13 @@ def phash_counts(results: "ray.data.Dataset") -> pa.Table:
         vals, counts = np.unique(t["phash"].to_numpy(zero_copy_only=False), return_counts=True)
         return pa.table({"phash": pa.array(vals, type=pa.int64()), "n": pa.array(counts, type=pa.int64())})
 
+    from rayval.util import collect_tables
+
     partials = results.select_columns([c for c in ("phash", "decodable") if c in results.schema().names]) \
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     merged = partials.groupby("phash").sum("n")
-    t = merged.to_arrow_refs()
-    tables = [ray.get(r) for r in t]
-    tbl = pa.concat_tables([tb for tb in tables if tb.num_rows], promote_options="default") if tables else None
-    if tbl is None or tbl.num_rows == 0:
+    tbl = collect_tables(merged)
+    if tbl.num_rows == 0:
         return pa.table({"phash": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())})
     col = "sum(n)" if "sum(n)" in tbl.column_names else "n"
     return pa.table({"phash": tbl["phash"], "n": tbl[col]})

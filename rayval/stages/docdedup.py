@@ -70,9 +70,10 @@ def exact_dup_members(ds: "ray.data.Dataset", text_col: str, key_col: str) -> pa
         mask = np.array([h in ds_ for h in batch["h"].to_pylist()])
         return batch.filter(pa.array(mask))
 
-    refs = hashed.map_batches(members, batch_format="pyarrow").to_arrow_refs()
-    tables = [t for t in map(ray.get, refs) if t.num_rows]
-    return pa.concat_tables(tables) if tables else empty
+    from rayval.util import collect_tables
+
+    t = collect_tables(hashed.map_batches(members, batch_format="pyarrow"))
+    return t if t.num_rows else empty
 
 
 def keep_first_per_key(ds: "ray.data.Dataset", group_cols: list[str], key_col: str) -> "ray.data.Dataset":
@@ -362,12 +363,12 @@ def dup_groups_propagate(
         labels = new_labels.select_columns(["key", "label"])
         if not n_changed:
             break
-    out = [t for t in map(ray.get, labels.to_arrow_refs()) if t.num_rows]
+    from rayval.util import collect_tables
+
     schema = pa.schema([("key", pa.string()), ("group", pa.string())])
-    if not out:
-        return schema.empty_table()
-    t = pa.concat_tables(
-        [t.rename_columns(["key", "group"]).cast(schema) for t in out]
+    t = collect_tables(
+        labels.map_batches(lambda b: b.rename_columns(["key", "group"]), batch_format="pyarrow"),
+        schema,
     )
     return t.sort_by([("key", "ascending")])
 

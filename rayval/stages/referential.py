@@ -199,14 +199,13 @@ def referential_violations(
 ) -> pa.Table:
     """Driver-side convenience: collect the (violation-sized, small) output of
     :func:`referential_violations_ds` into one sorted Table."""
+    from rayval.util import collect_tables
+
     ds = referential_violations_ds(
         captions, results, bloom, key=key, n_buckets=n_buckets, compare_col=compare_col
     )
-    tables = [t for t in map(ray.get, ds.to_arrow_refs()) if t.num_rows]
     schema = pa.schema(
         [(PARTITION_COL, pa.int64()), (key, pa.string()), ("constraint_id", pa.string())]
     )
-    if not tables:
-        return schema.empty_table()
-    t = pa.concat_tables([t.cast(schema) for t in tables])
+    t = collect_tables(ds, schema)
     return t.sort_by([(key, "ascending"), ("constraint_id", "ascending")])

@@ -321,10 +321,7 @@ def embedding_neardups(
         .groupby("cell")
         .map_groups(cell_pairs, batch_format="pyarrow")
     )
-    tables = [t for t in map(ray.get, out.to_arrow_refs()) if t.num_rows]
+    from rayval.util import collect_tables
+
     schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())])
-    if not tables:
-        return schema.empty_table()
-    return pa.concat_tables([t.cast(schema) for t in tables]).sort_by(
-        [("a", "ascending"), ("b", "ascending")]
-    )
+    return collect_tables(out, schema).sort_by([("a", "ascending"), ("b", "ascending")])

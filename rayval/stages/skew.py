@@ -59,13 +59,21 @@ def salted_group_counts(
             }
         )
 
+    from rayval.util import collect_tables
+
     # level 1: aggregate by (key, salt) — hot keys split across n_salts groups
     lvl1 = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).groupby([key, "salt"]).sum("n")
-    rows = lvl1.take_all()
-    if not rows:
-        return pa.table({key: pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())})
-    # level 2: tiny — collapse salts per key (at most n_salts rows per key)
-    import pandas as pd
-
-    df = pd.DataFrame(rows).groupby(key, as_index=False)["sum(n)"].sum()
-    return pa.table({key: pa.array(df[key].to_numpy()), "n": pa.array(df["sum(n)"].to_numpy(), type=pa.int64())})
+    # level 2: collapse salts per key, STILL distributed — the level-1 output
+    # is distinct-keys x salts, which is not driver-sized for high-cardinality
+    # keys; only the final per-key counts come back to the caller
+    lvl2 = (
+        lvl1.map_batches(
+            lambda b: pa.table({key: b[key], "n": b["sum(n)"]}), batch_format="pyarrow"
+        )
+        .groupby(key)
+        .sum("n")
+        .map_batches(lambda b: b.rename_columns([key, "n"]), batch_format="pyarrow")
+    )
+    return collect_tables(
+        lvl2, pa.schema([(key, pa.int64()), ("n", pa.int64())])
+    )
