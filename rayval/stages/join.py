@@ -45,9 +45,18 @@ def bucket_join(
     key: str,
     n_buckets: int = 32,
     how: str = "inner",
+    hot_keys=None,
+    n_salts: int = 8,
 ) -> "ray.data.Dataset":
     """Explicit hash-partitioned join for two large sides (narrow columns
-    only — project before joining)."""
+    only — project before joining).
+
+    Skew: pass ``hot_keys`` (array of key values known to be heavy, e.g. from
+    a sampled pre-count) to SALT them — hot LEFT rows spread over ``n_salts``
+    sub-buckets, hot RIGHT rows replicate into every sub-bucket, so one hot
+    key's probe side never lands on a single reducer.  Non-hot keys pay
+    nothing.  Exact for inner/left joins (each left row still meets each
+    matching right row exactly once)."""
 
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)
@@ -58,19 +67,42 @@ def bucket_join(
     l_schema = dict(zip(left.schema().names, left.schema().types))
     r_schema = dict(zip(right.schema().names, right.schema().types))
     types = {**r_schema, **l_schema}
+    hot = np.asarray(hot_keys if hot_keys is not None else [])
+    hot_ref = ray.put(hot)
 
     def tag(side: str):
         def f(batch: pa.Table) -> pa.Table:
             h = hash64(batch[key]) % np.uint64(n_buckets)
+            n = batch.num_rows
             out = {}
             for c in all_cols:
                 if c in batch.column_names:
                     out[c] = batch[c]
                 else:
-                    out[c] = pa.nulls(batch.num_rows, types[c])
-            out["__bucket"] = pa.array(h.astype(np.int64))
-            out["__side"] = pa.array([side] * batch.num_rows)
-            return pa.table(out)
+                    out[c] = pa.nulls(n, types[c])
+            t = pa.table(out)
+            bucket = h.astype(np.int64)
+            hk = ray.get(hot_ref)
+            salt = np.zeros(n, dtype=np.int64)
+            if hk.size:
+                is_hot = np.isin(batch[key].to_numpy(zero_copy_only=False), hk)
+                if side == "l":
+                    # spread hot probe rows across sub-buckets
+                    salt[is_hot] = np.arange(int(is_hot.sum())) % n_salts
+                elif is_hot.any():
+                    # replicate hot build rows into EVERY sub-bucket
+                    rep_idx = np.flatnonzero(is_hot)
+                    keep_idx = np.flatnonzero(~is_hot)
+                    idx = np.concatenate([keep_idx, np.repeat(rep_idx, n_salts)])
+                    t = t.take(pa.array(idx))
+                    bucket = bucket[idx]
+                    salt = np.concatenate(
+                        [salt[keep_idx],
+                         np.tile(np.arange(n_salts, dtype=np.int64), len(rep_idx))]
+                    )
+                    n = len(idx)
+            t = t.append_column("__bucket", pa.array(bucket * n_salts + salt))
+            return t.append_column("__side", pa.array([side] * n, type=pa.string()))
 
         return f
 

@@ -67,3 +67,28 @@ def test_salted_group_counts(ray_session):
     assert got[7] == 8000 + 1  # 8000 hot + the one tail row with k=7
     assert got[1999] == 1
     assert out.n.sum() == len(keys)
+
+
+def test_bucket_join_salted_hot_key(ray_session):
+    """Hot-key salting: result identical to the unsalted join, with the hot
+    key's rows spread over multiple sub-buckets."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from rayval.stages.join import bucket_join
+
+    keys = ["hot"] * 500 + [f"k{i}" for i in range(50)]
+    left = ray.data.from_arrow(pa.table({"k": pa.array(keys), "lval": pa.array(range(550))}))
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array(["hot"] + [f"k{i}" for i in range(50)]),
+                  "rval": pa.array(range(51))})
+    )
+    plain = bucket_join(left, right, key="k", n_buckets=4).take_all()
+    salted = bucket_join(
+        left, right, key="k", n_buckets=4, hot_keys=np.array(["hot"], dtype=object), n_salts=4
+    ).take_all()
+    norm = lambda rows: sorted((r["k"], r["lval"], r["rval"]) for r in rows)
+    assert norm(plain) == norm(salted)
+    assert len(salted) == 550
