@@ -413,6 +413,95 @@ WHERE NOT (c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE'))
 """
 
 
+def q_partition_verdicts(sf_dir: str) -> pa.Table:
+    """``valid?`` per partition (core.clj:279-285 -> per-partition all()):
+    events hash-partitioned by user_id%8, one boolean verdict per partition
+    (the north_rule's per-partition pass/fail, SQL-checkable)."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    prof = Profile("events_vals", [F("value", Range(min=0.02, max=400))], key="row_key")
+    validator = prof.compile()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(batch["user_id"], pa.scalar(7, pa.int64())), pa.int64())
+        bad = pc.invert(pa.array(validator.masks(batch)["value.range"]))
+        return (
+            pa.table({"partition_id": part, "n_bad": pc.cast(bad, pa.int64())})
+            .group_by("partition_id")
+            .aggregate([("n_bad", "sum")])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("partition_id")
+        .aggregate(Sum("n_bad_sum", alias_name="total_bad"))
+        .map_batches(
+            lambda b: pa.table(
+                {"partition_id": b["partition_id"], "valid": pc.equal(b["total_bad"], 0)}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return _collect(out, pa.schema([("partition_id", pa.int64()), ("valid", pa.bool_())]))
+
+
+SQL_PARTITION_VERDICTS = """
+SELECT user_id % 8 AS partition_id,
+       (COUNT(*) FILTER (WHERE NOT (value BETWEEN 0.02 AND 400)) = 0) AS valid
+FROM events GROUP BY user_id % 8
+"""
+
+
+def q_jsonl_events_by_type(sf_dir: str) -> pa.Table:
+    """Second source format: the events table round-tripped through JSONL
+    (json.dumps repr floats -> exact double round-trip), read with
+    ``ray.data.read_json``, then the same grouped aggregate as
+    events_by_type — proving the engine is source-format-agnostic."""
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/events.parquet"
+    tag = _hashlib.md5(_os.path.abspath(src).encode()).hexdigest()[:8]
+    jdir = f"/tmp/rayval_jsonl_{tag}"
+    jpath = f"{jdir}/events.jsonl"
+    if not _os.path.exists(jpath):
+        _os.makedirs(jdir, exist_ok=True)
+        t = pq.read_table(src, columns=["event_type", "value"])
+        tmp = jpath + ".tmp"
+        with open(tmp, "w") as fh:
+            for et, v in zip(t["event_type"].to_pylist(), t["value"].to_pylist()):
+                fh.write(_json.dumps({"event_type": et, "value": v}) + "\n")
+        _os.replace(tmp, jpath)
+
+    ds = ray.data.read_json(jpath)
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        e3 = np.round(batch["value"].to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"], "value_e3": pa.array(e3)})
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value_e3", alias_name="sum_value_e3"))
+    )
+    return _collect(
+        out, pa.schema([("event_type", pa.string()), ("n", pa.int64()), ("sum_value_e3", pa.int64())])
+    )
+
+
+SQL_JSONL_EVENTS_BY_TYPE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_e3
+FROM events GROUP BY event_type
+"""
+
+
 # ============================================================== aggregations
 def q_pricing_summary(sf_dir: str) -> pa.Table:
     """TPC-H Q1-shaped grouped sums, carried in exact integer fixed-point."""
@@ -1042,6 +1131,8 @@ QUERIES = {
     "ref_restriction_violations": (q_ref_restriction_violations, SQL_REF_RESTRICTION_VIOLATIONS),
     "extension_violations": (q_extension_violations, SQL_EXTENSION_VIOLATIONS),
     "xsd_supplier_violations": (q_xsd_supplier_violations, SQL_XSD_SUPPLIER_VIOLATIONS),
+    "partition_verdicts": (q_partition_verdicts, SQL_PARTITION_VERDICTS),
+    "jsonl_events_by_type": (q_jsonl_events_by_type, SQL_JSONL_EVENTS_BY_TYPE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "customer_stats": (q_customer_stats, SQL_CUSTOMER_STATS),
     "acctbal_median": (q_acctbal_median, SQL_ACCTBAL_MEDIAN),

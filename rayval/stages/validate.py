@@ -70,9 +70,14 @@ class Annotate:
             for cid in cids:
                 if cid in masks:
                     status &= masks[cid]
+            vals = out[col].combine_chunks() if isinstance(out[col], pa.ChunkedArray) else out[col]
+            if col in self.validator.defaults:
+                # with-status shows the FILLED default, not the null — default
+                # substitution happens before validation (core.clj:197-202;
+                # golden parser_test.clj:574)
+                vals = pc.fill_null(vals, self.validator.defaults[col])
             struct = pa.StructArray.from_arrays(
-                [out[col].combine_chunks() if isinstance(out[col], pa.ChunkedArray) else out[col],
-                 pa.array(status)],
+                [vals, pa.array(status)],
                 names=["value", "status"],
             )
             idx = out.column_names.index(col)

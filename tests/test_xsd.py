@@ -449,3 +449,21 @@ def test_min_max_occurs_ignored():
            </complexType></element></schema>"""
     )
     assert one_col(p, "f1", [1, 128]) == [True, False]
+
+
+def test_with_status_shows_filled_default():
+    # golden parser_test.clj:574: missing attr with default -> with-status
+    # shows {:value "SV", :status true}
+    from rayval.stages.validate import Annotate
+
+    p = profile_from_xsd(
+        """<schema><element name="udr"><complexType>
+             <attribute name="language" type="string" default="SV"/>
+           </complexType></element></schema>"""
+    )
+    t = pa.table({"language": pa.array(["EN", None])})
+    out = Annotate(p.compile())(t)
+    assert out["language"].to_pylist() == [
+        {"value": "EN", "status": True},
+        {"value": "SV", "status": True},
+    ]
