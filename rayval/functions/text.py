@@ -121,13 +121,58 @@ def fingerprint_rolling(texts: pd.Series, base: int = 1_000_003) -> np.ndarray:
 
 
 # ---------------------------------------------------------------- shingles
+def _norm_for_shingles(text: str, k: int) -> str:
+    s = _WS_RE.sub(" ", (text or "").lower()).strip()
+    return s if len(s) >= k else s.ljust(k)
+
+
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """uint64 hashes of the k-char shingle set of the normalized text."""
-    s = _WS_RE.sub(" ", text.lower()).strip()
-    if len(s) < k:
-        s = s.ljust(k)
-    views = [s[i : i + k] for i in range(len(s) - k + 1)]
-    return np.unique(hash64(np.array(views, dtype=object)))
+    """uint64 hashes of the k-char shingle set of the normalized text —
+    sliding-window polynomial hashes over the UTF-32 codepoints (ONE
+    vectorized pass, no per-window substring objects)."""
+    from rayval.state.hashing import window_hashes
+
+    s = _norm_for_shingles(text, k)
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    return np.unique(window_hashes(codes, k))
+
+
+def batch_minhash_signatures(
+    texts, num_perm: int = 64, k: int = 5, seed: int = 7
+) -> np.ndarray:
+    """uint64[n_docs, num_perm] MinHash signatures for a whole batch in one
+    vectorized pass: all documents' shingle hashes come from ONE sliding-
+    window sweep over the concatenated normalized corpus, and each
+    permutation's minimum is a single ``np.minimum.reduceat`` over document
+    boundaries — no per-document Python loop.
+
+    Identical output to ``minhash_signature(char_shingles(t, k), num_perm)``
+    row by row (same window hash, same salted rehash, min over multiset ==
+    min over set).
+    """
+    from rayval.state.hashing import window_hashes
+
+    norm = [_norm_for_shingles(t, k) for t in texts]
+    n_docs = len(norm)
+    if n_docs == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    lens = np.fromiter((len(s) for s in norm), dtype=np.int64, count=n_docs)
+    codes = np.frombuffer("".join(norm).encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    counts = lens - k + 1  # >= 1 (padded)
+    # full sweep produces windows at every position incl. ones crossing doc
+    # boundaries; select each doc's own [start, start+count) window range
+    all_win = window_hashes(codes, k)
+    win_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    sel = np.repeat(doc_starts - win_off, counts) + np.arange(total, dtype=np.int64)
+    win = all_win[sel]
+
+    salts = np.arange(num_perm, dtype=np.uint64) + np.uint64(seed * 1_000_003)
+    sig = np.empty((n_docs, num_perm), dtype=np.uint64)
+    for j in range(num_perm):
+        sig[:, j] = np.minimum.reduceat(rehash(win, int(salts[j])), win_off)
+    return sig
 
 
 def minhash_signature(shingles: np.ndarray, num_perm: int = 64, seed: int = 7) -> np.ndarray:

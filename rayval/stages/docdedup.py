@@ -173,24 +173,37 @@ def minhash_lsh_candidates(
     rows_per_band = num_perm // bands
 
     def sigs(batch: pa.Table) -> pa.Table:
+        """Fully vectorized: batch MinHash signatures (one sliding-window
+        sweep + reduceat, functions/text.py), band hashes via salted-rehash
+        folding of each band's signature rows, band explosion via take."""
+        from rayval.functions.text import batch_minhash_signatures
+        from rayval.state.hashing import rehash as _rehash
+
         texts = batch[text_col].to_pandas().fillna("")
-        keys = batch[key_col].to_pylist()
-        band_key, band_hash, doc, sig_col = [], [], [], []
-        for k, t in zip(keys, texts):
-            sig = minhash_signature(char_shingles(t, shingle_k), num_perm)
-            rows = sig.reshape(bands, rows_per_band)
-            for b in range(bands):
-                digest = hashlib.blake2b(rows[b].tobytes(), digest_size=8).digest()
-                band_key.append(b)
-                band_hash.append(int.from_bytes(digest, "little", signed=True))
-                doc.append(k)
-                sig_col.append(sig.tobytes())
+        n = batch.num_rows
+        sig_mat = batch_minhash_signatures(texts, num_perm=num_perm, k=shingle_k)
+        # one 64-bit hash per (doc, band): fold the band's signature rows
+        bh = np.zeros((n, bands), dtype=np.uint64)
+        for b in range(bands):
+            h = np.zeros(n, dtype=np.uint64)
+            for j in range(rows_per_band):
+                h = _rehash(h ^ sig_mat[:, b * rows_per_band + j], 0xBADC0DE + j)
+            bh[:, b] = h
+        keys = batch[key_col]
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
+        sig_bytes = sig_mat.tobytes()
+        width = num_perm * 8
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * width)
+        sig_arr = pa.Array.from_buffers(
+            pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(sig_bytes)]
+        )
         return pa.table(
             {
-                "band": pa.array(band_key, type=pa.int32()),
-                "bh": pa.array(band_hash, type=pa.int64()),
-                key_col: pa.array(doc, type=pa.string()),
-                "sig": pa.array(sig_col, type=pa.binary()),
+                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+                "bh": pa.array(bh.T.reshape(-1).view(np.int64)),
+                key_col: keys.take(idx),
+                "sig": sig_arr.take(idx),
             }
         )
 

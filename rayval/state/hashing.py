@@ -128,6 +128,42 @@ def _hash_string_chunk(arr: pa.Array) -> np.ndarray:
     return h
 
 
+def window_hashes(codes: np.ndarray, k: int) -> np.ndarray:
+    """uint64 hashes of ALL length-k sliding windows of ``codes`` (uint64
+    code units, e.g. UTF-32 codepoints) — the same polynomial/segment scheme
+    as :func:`_hash_string_chunk`, so every window hashes as if it started at
+    position 0.  Returns ``len(codes) - k + 1`` hashes (empty if shorter).
+
+    Used by the vectorized MinHash shingler: one pass over the concatenated
+    corpus instead of per-document substring loops.
+    """
+    n = len(codes)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    n_win = n - k + 1
+    out = np.empty(n_win, dtype=np.uint64)
+    step = max(k, _CHUNK_BYTES // 8)
+    pos = 0
+    with np.errstate(over="ignore"):
+        while pos < n_win:
+            hi = min(pos + step, n_win)
+            seg_codes = codes[pos : hi + k - 1].astype(np.uint64, copy=False)
+            m = len(seg_codes)
+            hi_n = (m >> 16) + 1
+            high = _pow_table(_P_BLOCK, hi_n + 1)
+            ihigh = _pow_table(_IP_BLOCK, hi_n + 1)
+            pw = (high[:hi_n, None] * _LOW[None, :]).ravel()[:m]
+            s = np.empty(m + 1, dtype=np.uint64)
+            s[0] = 0
+            np.cumsum(seg_codes * pw, out=s[1:])
+            starts = np.arange(hi - pos, dtype=np.int64)
+            ipw_s = ihigh[starts >> 16] * _ILOW[starts & (_BLOCK - 1)]
+            seg = (s[starts + k] - s[starts]) * ipw_s
+            out[pos:hi] = _splitmix(seg ^ (np.uint64(k) * np.uint64(0xC2B2AE3D27D4EB4F)))
+            pos = hi
+    return out
+
+
 def hash64(values) -> np.ndarray:
     """uint64[n] deterministic hash of an arrow/numpy/list column."""
     if isinstance(values, pa.ChunkedArray):
