@@ -929,6 +929,25 @@ SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderk
 """
 
 
+def q_top_orders_combiner(sf_dir: str) -> pa.Table:
+    """Same top-10 as ``top_orders`` via the SCALE shape: per-batch local
+    top-k combiner inside map_batches, tiny k x num_batches final merge —
+    no range-partitioned full sort (the ds.sort variant is kept alongside
+    deliberately; this is what you run at 10^12 rows)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        return batch.sort_by(
+            [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+        ).slice(0, 10)
+
+    out = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    t = _collect(out, pa.schema([("o_orderkey", pa.int64()), ("o_totalprice", pa.float64())]))
+    return t.sort_by(
+        [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+    ).slice(0, 10)
+
+
 def q_distinct_priorities(sf_dir: str) -> pa.Table:
     """Distinct values of one column (ds.unique — a shuffle de-dup)."""
     ds = _read(sf_dir, "orders", ["o_orderpriority"])
@@ -1142,6 +1161,7 @@ QUERIES = {
     "events_with_prev": (q_events_with_prev, SQL_EVENTS_WITH_PREV),
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "top_orders_combiner": (q_top_orders_combiner, SQL_TOP_ORDERS),
     "distinct_priorities": (q_distinct_priorities, SQL_DISTINCT_PRIORITIES),
     "dedup_first_per_group": (q_dedup_first_per_group, SQL_DEDUP_FIRST),
     "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),
