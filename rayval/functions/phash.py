@@ -16,12 +16,15 @@ import numpy as np
 
 
 def phash64(pixels: np.ndarray) -> int:
-    """(h, w, 3) uint8 -> int64 average-hash."""
-    gray = pixels.astype(np.float32).mean(axis=2)
-    h, w = gray.shape
+    """(h, w, 3) uint8 -> int64 average-hash.
+
+    Samples the 8x8 grid FIRST, then grayscales just those 64 pixels —
+    bit-identical to grayscaling the whole image (same pixels, same float32
+    channel mean) at ~1/100th the work for typical sizes."""
+    h, w = pixels.shape[0], pixels.shape[1]
     ys = np.linspace(0, h - 1, 8).round().astype(int)
     xs = np.linspace(0, w - 1, 8).round().astype(int)
-    cells = gray[np.ix_(ys, xs)]
+    cells = pixels[np.ix_(ys, xs)].astype(np.float32).mean(axis=2)
     bits = (cells > cells.mean()).ravel()
     packed = np.packbits(bits, bitorder="little")  # bit i -> 1 << i
     return int(packed.view(np.uint64)[0].astype(np.int64))

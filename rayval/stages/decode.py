@@ -112,8 +112,13 @@ class DecodeCheck:
                 gray = px.mean(axis=2, dtype=np.float32)
                 brightness[i] = gray.mean()
                 contrast[i] = gray.std()
-                core = gray[1:-1, 1:-1]
-                lap = 4 * core - gray[:-2, 1:-1] - gray[2:, 1:-1] - gray[1:-1, :-2] - gray[1:-1, 2:]
+                # in-place laplacian: same left-to-right float32 op order as
+                # `4*core - up - down - left - right`, half the temporaries
+                lap = 4.0 * gray[1:-1, 1:-1]
+                np.subtract(lap, gray[:-2, 1:-1], out=lap)
+                np.subtract(lap, gray[2:, 1:-1], out=lap)
+                np.subtract(lap, gray[1:-1, :-2], out=lap)
+                np.subtract(lap, gray[1:-1, 2:], out=lap)
                 sharpness[i] = lap.var()
 
         batch = batch.drop_columns(["bytes"])
