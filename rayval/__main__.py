@@ -1,0 +1,136 @@
+"""Command-line entry points.
+
+    python -m rayval validate --images DIR --out DIR [--captions FILE]
+        Run the flagship checkpointed validation pipeline (resumable: rerun
+        with the same --out to skip committed fragment groups).
+
+    python -m rayval check --schema FILE(.xsd|.json) --table FILE.parquet
+        [--element NAME] [--key COL]
+        Compile a schema (XSD subset or JSON DSL) and validate one parquet
+        table; prints the violation listing as CSV and exits non-zero if any.
+
+Owns its Ray session (guarded init; the driver/test harness never imports
+this module).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_validate(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from rayval.pipelines.validate_images import RunConfig, run
+
+    cfg = RunConfig(
+        group_size=args.group_size,
+        decode_concurrency=args.decode_concurrency,
+        annotated_output=args.annotated,
+    )
+    report = run(args.images, args.out, captions_path=args.captions, cfg=cfg)
+    json.dump(report, sys.stdout, indent=2)
+    print()
+    ray.shutdown()
+    return 0 if report["global_verdict"] else 1
+
+
+def cmd_check(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from rayval.constraints.profile import PARTITION_COL
+    from rayval.stages.validate import MetaValidate, explode_violations
+    from rayval.util import collect_tables
+
+    if args.schema.endswith(".xsd") or args.schema.endswith(".xml"):
+        from rayval.constraints.xsd import profile_from_xsd
+
+        profile = profile_from_xsd(
+            open(args.schema).read(), element=args.element, infer_scalars=False
+        )
+    else:
+        from rayval.constraints.dsl import profile_from_json
+
+        profile = profile_from_json(open(args.schema).read())
+    key = args.key or profile.key
+    validator = profile.compile()
+    ds = rd.read_parquet(args.table)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        if key and key in batch.column_names and key != "__row__":
+            k = pc.cast(batch[key], pa.string())
+        else:
+            k = pa.nulls(batch.num_rows, pa.string())
+        batch = batch.append_column("__key", k)
+        import numpy as np
+
+        return batch.append_column(PARTITION_COL, pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(MetaValidate(validator), batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(lambda b: explode_violations(b, key="__key"), batch_format="pyarrow")
+    )
+    t = collect_tables(
+        out,
+        pa.schema(
+            [(PARTITION_COL, pa.int64()), ("__key", pa.string()), ("constraint_id", pa.string())]
+        ),
+    )
+    print(f"{key or 'row'},constraint_id")
+    for k, cid in zip(t["__key"].to_pylist(), t["constraint_id"].to_pylist()):
+        print(f"{k},{cid}")
+    print(f"# {t.num_rows} violations", file=sys.stderr)
+    ray.shutdown()
+    return 0 if t.num_rows == 0 else 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rayval")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="run the flagship image validation pipeline")
+    v.add_argument("--images", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--captions", default=None)
+    v.add_argument("--group-size", type=int, default=4)
+    v.add_argument("--decode-concurrency", type=int, default=4)
+    v.add_argument("--annotated", action="store_true")
+    v.add_argument("--num-cpus", type=int, default=None)
+    v.set_defaults(fn=cmd_validate)
+
+    c = sub.add_parser("check", help="validate one parquet table against a schema")
+    c.add_argument("--schema", required=True, help=".xsd/.xml (XSD subset) or .json (dict DSL)")
+    c.add_argument("--table", required=True)
+    c.add_argument("--element", default=None, help="XSD top-level element to use")
+    c.add_argument("--key", default=None, help="column to report violation keys by")
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_check)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,56 @@
+"""CLI entry points (python -m rayval)."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_cli_check_xsd(tmp_path, ray_session, capsys):
+    from rayval.__main__ import main
+
+    xsd = tmp_path / "s.xsd"
+    xsd.write_text(
+        """<schema><element name="t"><complexType><all>
+             <element name="v">
+               <simpleType><restriction base="integer">
+                 <minInclusive value="0"/></restriction></simpleType>
+             </element>
+           </all></complexType></element></schema>"""
+    )
+    table = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"k": ["a", "b", "c"], "v": [1, -2, 3]}), table)
+    rc = main(["check", "--schema", str(xsd), "--table", str(table), "--key", "k"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "b,v.range" in out
+
+    rc2 = main(["check", "--schema", str(xsd), "--table", str(table), "--key", "k"])
+    assert rc2 == 1  # deterministic on rerun
+
+
+def test_cli_check_json_dsl(tmp_path, ray_session, capsys):
+    from rayval.__main__ import main
+
+    spec = {"name": "t", "key": "k", "fields": {"v": {"min": 0}}}
+    js = tmp_path / "s.json"
+    js.write_text(json.dumps(spec))
+    table = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"k": ["a"], "v": [5]}), table)
+    rc = main(["check", "--schema", str(js), "--table", str(table), "--key", "k"])
+    assert rc == 0
+
+
+def test_cli_validate(tmp_path, ray_session, capsys):
+    from rayval.__main__ import main
+    from rayval.sources.images import generate_images
+
+    data = generate_images(str(tmp_path / "imgs"), n=60, fragments=2, seed=3)
+    rc = main([
+        "validate", "--images", data + "/images", "--out", str(tmp_path / "out"),
+        "--captions", data + "/captions.parquet", "--group-size", "2",
+        "--decode-concurrency", "2",
+    ])
+    report = json.loads(capsys.readouterr().out)
+    assert rc == 1  # planted violations -> global verdict false
+    assert report["rows_scanned"] == 60
