@@ -1124,12 +1124,12 @@ def q_image_resize(sf_dir: str) -> pa.Table:
     out = ds.map_batches(ImageResize, batch_format="pyarrow", batch_size=64, concurrency=2)
 
     def project(batch: pa.Table) -> pa.Table:
-        lens = [len(b) if b is not None else -1 for b in batch["resized"].to_pylist()]
+        lens = pc.fill_null(pc.cast(pc.binary_length(batch["resized"]), pa.int64()), -1)
         return pa.table(
             {
                 "image_id": batch["image_id"],
                 "resize_ok": batch["resize_ok"],
-                "thumb_len": pa.array(lens, type=pa.int64()),
+                "thumb_len": lens,
             }
         )
 

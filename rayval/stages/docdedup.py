@@ -48,8 +48,8 @@ def exact_dup_members(ds: "ray.data.Dataset", text_col: str, key_col: str) -> pa
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals, counts = np.unique(np.asarray(batch["h"].to_pylist(), dtype=object), return_counts=True)
-        return pa.table({"h": pa.array(vals, type=pa.string()), "n": pa.array(counts, type=pa.int64())})
+        vc = pc.value_counts(batch["h"].combine_chunks() if isinstance(batch["h"], pa.ChunkedArray) else batch["h"])
+        return pa.table({"h": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())})
 
     counts = (
         hashed.map_batches(partial, batch_format="pyarrow")
@@ -58,17 +58,15 @@ def exact_dup_members(ds: "ray.data.Dataset", text_col: str, key_col: str) -> pa
         .map_batches(lambda b: b.rename_columns(["h", "n_total"]), batch_format="pyarrow")
         .filter(expr="n_total > 1")
     )
-    dup_set = {r["h"] for r in counts.take_all()}
+    dup_arr = pa.array(sorted({r["h"] for r in counts.take_all()}), type=pa.string())
     key_type = dict(zip(ds.schema().names, ds.schema().types))[key_col]
     empty = pa.table({key_col: pa.array([], type=key_type), "h": pa.array([], type=pa.string())})
-    if not dup_set:
+    if not len(dup_arr):
         return empty
-    ref = ray.put(dup_set)
+    ref = ray.put(dup_arr)
 
     def members(batch: pa.Table) -> pa.Table:
-        ds_ = ray.get(ref)
-        mask = np.array([h in ds_ for h in batch["h"].to_pylist()])
-        return batch.filter(pa.array(mask))
+        return batch.filter(pc.is_in(batch["h"], value_set=ray.get(ref)))
 
     from rayval.util import collect_tables
 
