@@ -13,6 +13,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from rayval.state.hashing import hash64, rehash
 
@@ -202,14 +203,30 @@ def exact_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over word tokens (unweighted)."""
-    words = WORD_RE.findall(text.lower())
-    if not words:
-        return 0
-    hs = hash64(np.array(words, dtype=object))
+    return int(batch_simhash64([text])[0])
+
+
+def batch_simhash64(texts) -> np.ndarray:
+    """int64[n_docs] SimHash signatures for a whole batch in one vectorized
+    pass: all documents' tokens hash together, per-bit votes accumulate with
+    ``np.add.reduceat`` over document boundaries.  Docs with no tokens -> 0.
+    """
+    tok_lists = pd.Series(texts).fillna("").str.lower().str.findall(WORD_RE)
+    counts = tok_lists.str.len().to_numpy(dtype=np.int64)
+    n_docs = len(counts)
+    out = np.zeros(n_docs, dtype=np.int64)
+    nonempty = counts > 0
+    if not nonempty.any():
+        return out
+    flat = [w for ws in tok_lists for w in ws]
+    hs = hash64(pa.array(flat, type=pa.string()))
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    votes = bits.sum(axis=0) * 2 - len(hs)
-    val = np.uint64(0)
-    for j in range(64):
-        if votes[j] > 0:
-            val |= np.uint64(1) << np.uint64(j)
-    return int(val.astype(np.int64))
+    ne_counts = counts[nonempty]
+    starts = np.concatenate([[0], np.cumsum(ne_counts)[:-1]])
+    sums = np.add.reduceat(bits, starts, axis=0)  # (n_nonempty, 64)
+    votes = sums * 2 - ne_counts[:, None]
+    vals = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nonempty] = vals.view(np.int64)
+    return out

@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 import ray
 
 from rayval.functions.text import (
+    batch_minhash_signatures,
+    batch_simhash64,
     char_shingles,
     exact_jaccard,
     minhash_jaccard,
@@ -32,6 +34,7 @@ from rayval.functions.text import (
     simhash64,
 )
 from rayval.functions.phash import _popcount64
+from rayval.state.hashing import rehash
 
 
 # ------------------------------------------------------------- exact dedup
@@ -174,9 +177,6 @@ def minhash_lsh_candidates(
         """Fully vectorized: batch MinHash signatures (one sliding-window
         sweep + reduceat, functions/text.py), band hashes via salted-rehash
         folding of each band's signature rows, band explosion via take."""
-        from rayval.functions.text import batch_minhash_signatures
-        from rayval.state.hashing import rehash as _rehash
-
         texts = batch[text_col].to_pandas().fillna("")
         n = batch.num_rows
         sig_mat = batch_minhash_signatures(texts, num_perm=num_perm, k=shingle_k)
@@ -185,7 +185,7 @@ def minhash_lsh_candidates(
         for b in range(bands):
             h = np.zeros(n, dtype=np.uint64)
             for j in range(rows_per_band):
-                h = _rehash(h ^ sig_mat[:, b * rows_per_band + j], 0xBADC0DE + j)
+                h = rehash(h ^ sig_mat[:, b * rows_per_band + j], 0xBADC0DE + j)
             bh[:, b] = h
         keys = batch[key_col]
         keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
@@ -406,7 +406,7 @@ def simhash_neardups(
         texts = batch[text_col].to_pandas().fillna("")
         keys = batch[key_col]
         n = batch.num_rows
-        s = np.fromiter((simhash64(t) for t in texts), dtype=np.int64, count=n)
+        s = batch_simhash64(texts)
         u = s.view(np.uint64)
         bands_out, bh_out, key_idx = [], [], []
         for b in range(n_bands):
