@@ -1026,6 +1026,56 @@ WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 10 =
 
 
 # ===================================================== rows-only (non-SQL)
+def q_sketch_stats(sf_dir: str) -> pa.Table:
+    """Mergeable-sketch layer as a driver-visible op: per-batch HLL (distinct
+    doc_id) + KLL (n_chars quantiles) partials, driver-merged in a
+    DETERMINISTIC order (KLL compaction is merge-order-sensitive, so partials
+    sort by their min doc_id first), plus the two-sample KS distance between
+    the even/odd doc_id halves (the drift primitive; same distribution ->
+    tiny distance).  Deterministic integer outputs; no SQL analog (estimates,
+    not exact values)."""
+    from rayval.state.hll import HLL
+    from rayval.state.kll import KLL, ks_distance
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        chars = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = HLL().add(doc)
+        even = KLL().add(chars[doc % 2 == 0])
+        odd = KLL().add(chars[doc % 2 == 1])
+        return pa.table(
+            {
+                "min_doc": pa.array([int(doc.min()) if len(doc) else -1], type=pa.int64()),
+                "n": pa.array([len(doc)], type=pa.int64()),
+                "hll": pa.array([h.to_bytes()], type=pa.binary()),
+                "kll_even": pa.array([even.to_bytes()], type=pa.binary()),
+                "kll_odd": pa.array([odd.to_bytes()], type=pa.binary()),
+            }
+        )
+
+    rows = sorted(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all(),
+        key=lambda r: r["min_doc"],
+    )
+    h, ke, ko, n = HLL(), KLL(), KLL(), 0
+    for r in rows:
+        n += r["n"]
+        h.merge(HLL.from_bytes(r["hll"]))
+        ke.merge(KLL.from_bytes(r["kll_even"]))
+        ko.merge(KLL.from_bytes(r["kll_odd"]))
+    return pa.table(
+        {
+            "n_docs": pa.array([n], type=pa.int64()),
+            "distinct_doc_est": pa.array([round(h.estimate())], type=pa.int64()),
+            "n_chars_p50_est": pa.array([int(ke.quantile(0.5))], type=pa.int64()),
+            "halves_ks_e6": pa.array([int(ks_distance(ke, ko) * 1_000_000)], type=pa.int64()),
+        }
+    )
+
+
+
 def q_langid(sf_dir: str) -> pa.Table:
     from rayval.functions.text import langid
 
@@ -1175,6 +1225,7 @@ QUERIES = {
     "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
     # rows-only (non-SQL-expressible: heuristics, sketch/LSH ops, image decode)
     "langid_predictions": (q_langid, None),
+    "sketch_stats": (q_sketch_stats, None),
     "minhash_neardups": (q_minhash_neardups, None),
     "simhash_neardups": (q_simhash_neardups, None),
     "lsh_topk": (q_lsh_topk, None),
