@@ -1,0 +1,98 @@
+"""Property tests for the vectorized polynomial hashing layer — the one
+component where a subtle indexing bug (offsets, slices, chunk boundaries,
+power-table rebasing) silently corrupts every downstream sketch and shuffle.
+No Ray needed: pure numpy/Arrow.
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rayval.state.hashing import _CHUNK_BYTES, hash64, rehash, window_hashes
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=60
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_hash_position_and_batch_independence(strs):
+    """Each string's hash is independent of its neighbors and position."""
+    arr = pa.array(strs, type=pa.string())
+    h = hash64(arr)
+    for i in [0, len(strs) // 2, len(strs) - 1]:
+        assert h[i] == hash64(pa.array([strs[i]]))[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts, st.integers(min_value=0, max_value=10), st.integers(min_value=1, max_value=10))
+def test_hash_slice_invariance(strs, off, ln):
+    arr = pa.array(strs, type=pa.string())
+    off = min(off, len(strs) - 1)
+    ln = min(ln, len(strs) - off)
+    sl = arr.slice(off, ln)
+    assert (hash64(sl) == hash64(arr)[off : off + ln]).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts)
+def test_hash_chunk_invariance(strs):
+    arr = pa.array(strs, type=pa.string())
+    if len(strs) > 1:
+        mid = len(strs) // 2
+        ch = pa.chunked_array([strs[:mid], strs[mid:]])
+        assert (hash64(ch) == hash64(arr)).all()
+    assert (hash64(arr.cast(pa.large_string())) == hash64(arr)).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(min_size=0, max_size=200), st.text(min_size=0, max_size=200))
+def test_hash_injective_on_pairs(a, b):
+    """Distinct strings hash distinct (collision ~2^-64; a hit means a bug
+    like dropping length mixing or mis-rebased powers)."""
+    ha, hb = hash64(pa.array([a, b]))
+    assert (ha == hb) == (a == b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=12),
+)
+def test_window_hash_position_independence(codes, k):
+    """window_hashes[i] == the hash of that window hashed alone at position 0."""
+    codes = np.array(codes, dtype=np.uint64)
+    if len(codes) < k:
+        return
+    wh = window_hashes(codes, k)
+    assert len(wh) == len(codes) - k + 1
+    for i in [0, len(wh) // 2, len(wh) - 1]:
+        assert wh[i] == window_hashes(codes[i : i + k], k)[0]
+
+
+def test_window_hash_chunk_boundary():
+    """Chunked evaluation (forced by a tiny internal step) must equal the
+    single-pass result across the chunk seam."""
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 2**20, size=3 * (_CHUNK_BYTES // 8) + 17).astype(np.uint64)
+    k = 7
+    wh = window_hashes(codes, k)
+    # spot-check windows straddling the internal chunk boundaries
+    step = _CHUNK_BYTES // 8
+    for pos in (step - 3, step, 2 * step - 1, len(wh) - 1):
+        assert wh[pos] == window_hashes(codes[pos : pos + k], k)[0], pos
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=50))
+def test_rehash_families_differ(vals):
+    h = np.array(vals, dtype=np.uint64)
+    a, b = rehash(h, 1), rehash(h, 2)
+    assert not np.array_equal(a, b)  # distinct salts -> distinct family
+    assert (rehash(h, 1) == a).all()  # deterministic
