@@ -1161,6 +1161,73 @@ def q_images_validation(sf_dir: str) -> pa.Table:
     return t.sort_by([("partition_id", "ascending"), ("image_id", "ascending"), ("constraint_id", "ascending")])
 
 
+def q_audio_features(sf_dir: str) -> pa.Table:
+    """Multimodal audio stage demo: deterministic synthetic WAV tones (REAL
+    stdlib PCM codec) + planted corrupt rows -> actor-pool AudioFeatures ->
+    (audio_id, duration_ms, sample_rate, rms_e6, zero_crossings, audio_ok)."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from rayval.functions.audiocodec import wav_encode
+    from rayval.stages.multimodal import AudioFeatures
+
+    path = "/tmp/rayval_q_audio/audio_v1.parquet"
+    if not _os.path.exists(path):
+        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+        rate = 16_000
+        rows_id, rows_bytes = [], []
+        for i in range(200):
+            rows_id.append(f"aud-{i:05d}")
+            if i % 40 == 7:
+                rows_bytes.append(b"corrupt-not-a-wav")
+                continue
+            freq = 100.0 + 10.0 * (i % 30)
+            amp = 0.2 + 0.002 * i
+            n = rate // 4 + 16 * (i % 5)
+            t = np.arange(n) / rate
+            rows_bytes.append(wav_encode(amp * np.sin(2 * np.pi * freq * t), rate=rate))
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.table({"audio_id": pa.array(rows_id), "bytes": pa.array(rows_bytes, type=pa.binary())}),
+            tmp,
+        )
+        _os.replace(tmp, path)
+
+    ds = ray.data.read_parquet(path)
+    out = ds.map_batches(AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        dur_ms = np.round(batch["duration_s"].to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
+        rms_e6 = np.round(batch["rms"].to_numpy(zero_copy_only=False) * 1_000_000).astype(np.int64)
+        return pa.table(
+            {
+                "audio_id": batch["audio_id"],
+                "duration_ms": pa.array(dur_ms),
+                "sample_rate": batch["sample_rate"],
+                "rms_e6": pa.array(rms_e6),
+                "zero_crossings": batch["zero_crossings"],
+                "audio_ok": batch["audio_ok"],
+            }
+        )
+
+    out = out.map_batches(project, batch_format="pyarrow")
+    t = _collect(
+        out,
+        pa.schema(
+            [
+                ("audio_id", pa.string()),
+                ("duration_ms", pa.int64()),
+                ("sample_rate", pa.int32()),
+                ("rms_e6", pa.int64()),
+                ("zero_crossings", pa.int64()),
+                ("audio_ok", pa.bool_()),
+            ]
+        ),
+    )
+    return t.sort_by("audio_id")
+
+
 def q_image_resize(sf_dir: str) -> pa.Table:
     """Multimodal actor-pool stage demo: resize the synthetic images table to
     32x32 thumbnails (real decode + numpy resample + PNG re-encode); returns
@@ -1233,4 +1300,5 @@ QUERIES = {
     "minhash_dup_groups": (q_minhash_dup_groups, None),
     "images_validation": (q_images_validation, None),
     "image_resize": (q_image_resize, None),
+    "audio_features": (q_audio_features, None),
 }

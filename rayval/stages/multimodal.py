@@ -5,12 +5,14 @@ output layout) is REAL and tested; only the codec internals differ:
 
 - ``ImageResize``: fully real — decodes with the in-repo codecs and resizes
   with numpy nearest-neighbor sampling; output is re-encoded PNG.
-- ``AudioFeatures`` / ``VideoFrameSample``: the container has no audio/video
-  libraries, so the decode step is a DETERMINISTIC FAKE clearly marked below
-  (byte-stream statistics standing in for PCM decode / frame extraction).
-  Swapping in a real decoder changes ONLY the marked function body — the
-  stage contract (binary column in, typed feature columns out, per-row error
-  capture, actor-pool state in ``__init__``) is the deliverable.
+- ``AudioFeatures``: fully real — stdlib RIFF/PCM WAV parser
+  (functions/audiocodec.py), features computed from actual samples at the
+  actual sample rate.
+- ``VideoFrameSample``: the container has no video libraries, so frame
+  extraction is a DETERMINISTIC FAKE clearly marked below (equal byte-range
+  slices standing in for keyframe extraction).  Swapping in ffmpeg changes
+  ONLY the marked loop body — the stage contract (binary column in,
+  list<binary> frames out, per-row error capture) is the deliverable.
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from rayval.functions.audiocodec import AudioCodecError, wav_decode
 from rayval.functions.imagecodec import CodecError, decode_image, png_encode
 
 
@@ -49,38 +52,43 @@ class ImageResize:
 
 
 class AudioFeatures:
-    """Actor-pool stage: audio bytes -> (duration_s, rms, zero_crossings).
+    """Actor-pool stage: WAV bytes -> (duration_s, sample_rate, rms,
+    zero_crossings, audio_ok).
 
-    DETERMINISTIC FAKE DECODE: no audio libs in this container, so ``_decode``
-    reinterprets the byte stream as int8 samples at a nominal rate.  A real
-    build replaces ``_decode`` with e.g. soundfile/ffmpeg — nothing else
-    changes."""
-
-    SAMPLE_RATE = 16_000
-
-    def _decode(self, data: bytes) -> np.ndarray:
-        # FAKE: bytes -> int8 "PCM"; deterministic, shape-correct
-        return np.frombuffer(data, dtype=np.int8).astype(np.float32) / 128.0
+    REAL DECODE: stdlib RIFF/PCM WAV parser (functions/audiocodec.py) — no
+    external audio libraries needed.  Undecodable bytes are DATA
+    (audio_ok=False), never task errors, mirroring the image decode stage."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["bytes"]
         payloads = payloads.combine_chunks() if isinstance(payloads, pa.ChunkedArray) else payloads
         n = batch.num_rows
         dur = np.zeros(n, dtype=np.float64)
+        rate_out = np.zeros(n, dtype=np.int32)
         rms = np.zeros(n, dtype=np.float64)
         zc = np.zeros(n, dtype=np.int64)
         ok = np.ones(n, dtype=bool)
         for i in range(n):
             data = payloads[i].as_py()
-            if not data:
+            try:
+                s, rate, _ch = wav_decode(data) if data else (None, 0, 0)
+            except AudioCodecError:
+                s = None
+            if s is None or not len(s):
                 ok[i] = False
                 continue
-            s = self._decode(data)
-            dur[i] = len(s) / self.SAMPLE_RATE
-            rms[i] = float(np.sqrt(np.mean(s * s)))
-            zc[i] = int(np.count_nonzero(np.diff(np.signbit(s))))
+            mono = s.mean(axis=1) if s.ndim == 2 else s
+            dur[i] = len(mono) / rate
+            rate_out[i] = rate
+            rms[i] = float(np.sqrt(np.mean(mono * mono)))
+            zc[i] = int(np.count_nonzero(np.diff(np.signbit(mono))))
         batch = batch.drop_columns(["bytes"])
-        for name, arr in (("duration_s", dur), ("rms", rms), ("zero_crossings", zc)):
+        for name, arr in (
+            ("duration_s", dur),
+            ("sample_rate", rate_out),
+            ("rms", rms),
+            ("zero_crossings", zc),
+        ):
             batch = batch.append_column(name, pa.array(arr))
         return batch.append_column("audio_ok", pa.array(ok))
 

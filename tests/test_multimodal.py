@@ -29,13 +29,41 @@ def test_image_resize_real():
     assert out["resized"][0].as_py() == out2["resized"][0].as_py()
 
 
-def test_audio_features_contract():
-    batch = pa.table({"id": ["x", "y"], "bytes": pa.array([bytes(range(256)) * 10, b""], type=pa.binary())})
+def test_audio_features_real_wav():
+    """REAL WAV decode: a 440 Hz sine at 16 kHz must yield the analytic
+    duration, RMS (A/sqrt2), and zero-crossing count (2 per cycle); non-WAV
+    and empty payloads are data failures."""
+    import numpy as np
+
+    from rayval.functions.audiocodec import wav_encode
+
+    rate, secs, freq, amp = 16_000, 0.5, 440.0, 0.5
+    t = np.arange(int(rate * secs)) / rate
+    wav = wav_encode(amp * np.sin(2 * np.pi * freq * t), rate=rate)
+    batch = pa.table(
+        {"id": ["x", "y", "z"],
+         "bytes": pa.array([wav, b"not a wav at all", b""], type=pa.binary())}
+    )
     out = AudioFeatures()(batch)
-    assert out.column_names == ["id", "duration_s", "rms", "zero_crossings", "audio_ok"]
-    assert out["audio_ok"].to_pylist() == [True, False]
-    assert out["duration_s"][0].as_py() == pytest.approx(2560 / 16000)
-    assert out["rms"][0].as_py() > 0
+    assert out.column_names == ["id", "duration_s", "sample_rate", "rms", "zero_crossings", "audio_ok"]
+    assert out["audio_ok"].to_pylist() == [True, False, False]
+    assert out["duration_s"][0].as_py() == pytest.approx(secs)
+    assert out["sample_rate"][0].as_py() == rate
+    assert out["rms"][0].as_py() == pytest.approx(amp / np.sqrt(2), rel=1e-3)
+    assert out["zero_crossings"][0].as_py() == pytest.approx(2 * freq * secs, abs=2)
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from rayval.functions.audiocodec import wav_decode, wav_encode
+
+    s = np.sin(np.linspace(0, 20, 1000)) * 0.9
+    for bits in (16, 8):
+        got, rate, ch = wav_decode(wav_encode(s, rate=8000, bits=bits))
+        assert rate == 8000 and ch == 1
+        tol = 1e-4 if bits == 16 else 1e-2
+        assert np.abs(got - s).max() < tol
 
 
 def test_video_frame_sample_contract():
