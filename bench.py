@@ -7,9 +7,10 @@ num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...per-query sec...}, "sf": ..., "num_cpus": N}
 
---scaling: run the bench twice in FRESH processes (num_cpus=8 then 32) on the
-same input — the sandbox stand-in for the north_rule's N vs 4N node clusters —
-and print both throughputs + scaling efficiency (also recorded in BASELINE.md).
+--scaling: run the bench twice in FRESH processes (num_cpus=4 then 16 by
+default; $RAYVAL_SCALING_LO/HI override) on the same input — the sandbox
+stand-in for the north_rule's N vs 4N node clusters — and print both
+throughputs + scaling efficiency (also recorded in BASELINE.md).
 
 The images flagship input is generated once (deterministic, cached in /tmp
 keyed by args) and generation is NOT timed; each run validates into a fresh
@@ -161,11 +162,17 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same flagship job at num_cpus=8 and 32 in fresh processes (the sandbox
+    """Same flagship job at num_cpus=N and 4N in fresh processes (the sandbox
     stand-in for N vs 4N nodes), min of 2 trials per level against machine
-    noise, plus a pure-CPU hardware-ceiling calibration at both levels."""
-    lo = int(os.environ.get("RAYVAL_SCALING_LO", "8"))
-    hi = int(os.environ.get("RAYVAL_SCALING_HI", "32"))
+    noise, plus a pure-CPU hardware-ceiling calibration at both levels.
+
+    Default pair is 4 -> 16: this host's 32 vCPUs are oversubscribed and
+    saturate around ~16 effective cores (16- and 32-cpu wall times are nearly
+    equal; even pure-CPU matmul only reaches ~0.76 efficiency at 8 -> 32), so
+    4 -> 16 is the window where the hardware can express 4x at all — see
+    BASELINE.md for both pairs and the full quantified breakdown."""
+    lo = int(os.environ.get("RAYVAL_SCALING_LO", "4"))
+    hi = int(os.environ.get("RAYVAL_SCALING_HI", "16"))
 
     def sub(ncpu: int) -> dict:
         env = dict(
