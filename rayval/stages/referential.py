@@ -42,7 +42,13 @@ FIDELITY_CONSTRAINT = "caption.fidelity"
 
 
 def build_bloom(results: "ray.data.Dataset", n_expected: int, fpp: float = 0.01) -> Bloom:
-    """OR-merge per-batch Bloom partials over decodable image_ids."""
+    """OR-merge per-batch Bloom partials over decodable image_ids.
+
+    Hierarchical: a distributed fan-in stage OR-merges partial blobs 32:1
+    before the driver touches them, so the driver sees num_batches/32 blobs,
+    not one per input block (each blob is m/8 bytes — sized for n_expected —
+    so the per-batch blob volume, not the final filter, is what would
+    otherwise grow with input size)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.filter(batch["decodable"]) if "decodable" in batch.column_names else batch
@@ -51,10 +57,22 @@ def build_bloom(results: "ray.data.Dataset", n_expected: int, fpp: float = 0.01)
             b.add(t["image_id"])
         return pa.table({"bloom": pa.array([b.to_bytes()], type=pa.binary())})
 
+    def fan_in(batch: pa.Table) -> pa.Table:
+        m = None
+        for blob in batch["bloom"]:
+            b = Bloom.from_bytes(blob.as_py())
+            m = b if m is None else m.merge(b)
+        if m is None:
+            m = Bloom(n_expected, fpp)
+        return pa.table({"bloom": pa.array([m.to_bytes()], type=pa.binary())})
+
     cols = [c for c in ("image_id", "decodable") if c in results.schema().names]
-    blobs = results.select_columns(cols).map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
+    blobs = (
+        results.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(fan_in, batch_format="pyarrow", batch_size=32)
+        .take_all()
+    )
     merged = Bloom(n_expected, fpp)
     for row in blobs:
         merged.merge(Bloom.from_bytes(row["bloom"]))
