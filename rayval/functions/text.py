@@ -45,6 +45,18 @@ def token_count(texts: pd.Series) -> np.ndarray:
     return texts.fillna("").str.count(TOKEN_RE).to_numpy(dtype=np.int64)
 
 
+# BPE-ish pre-tokenizer (GPT-2-style contraction/word/number/punct splits,
+# ASCII classes, NO lookahead) — RE2-compatible so the DuckDB oracle runs the
+# IDENTICAL pattern; both engines use leftmost-first alternation.
+BPE_RE_SRC = rf"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9{RE2_WS}]+|[{RE2_WS}]+"
+BPE_RE = re.compile(BPE_RE_SRC)
+
+
+def bpe_token_count(texts: pd.Series) -> np.ndarray:
+    """#BPE-ish pre-tokens per document, vectorized."""
+    return texts.fillna("").str.count(BPE_RE).to_numpy(dtype=np.int64)
+
+
 def quality_scores(texts: pd.Series) -> pd.DataFrame:
     """Heuristic quality features: length, token count, punctuation count,
     stopword count, plus derived ratios.  Raw COUNTS are the canonical

@@ -809,6 +809,33 @@ SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens 
 """
 
 
+def q_bpe_token_counts(sf_dir: str) -> pa.Table:
+    """BPE-ish pre-tokenizer counts (GPT-2-style splits, ASCII classes, no
+    lookahead — RE2-compatible so the oracle runs the identical regex)."""
+    from rayval.functions.text import bpe_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"], "n_bpe_tokens": bpe_token_count(batch["text"])})
+
+    out = ds.map_batches(f, batch_format="pandas")
+    return _collect(out, pa.schema([("doc_id", pa.int64()), ("n_bpe_tokens", pa.int64())]))
+
+
+def _sql_bpe_token_counts() -> str:
+    from rayval.functions.text import BPE_RE_SRC
+
+    pat = BPE_RE_SRC.replace("'", "''").replace("\t", "\\t").replace("\n", "\\n").replace("\f", "\\f").replace("\r", "\\r")
+    return (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, '" + pat + "')) AS BIGINT) "
+        "AS n_bpe_tokens FROM documents"
+    )
+
+
+SQL_BPE_TOKEN_COUNTS = _sql_bpe_token_counts()
+
+
 def q_quality_scores(sf_dir: str) -> pa.Table:
     from rayval.functions.text import quality_scores
 
@@ -1284,6 +1311,7 @@ QUERIES = {
     "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),

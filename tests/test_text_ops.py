@@ -322,3 +322,31 @@ def test_quality_scores_non_ascii_matches_duckdb():
     assert list(q["n_punct"]) == list(exp["n_punct"]), (list(q["n_punct"]), list(exp["n_punct"]))
     got_fp = [hashlib.md5(s.encode()).hexdigest() for s in normalize_text(pd.Series(rows))]
     assert got_fp == list(exp["fp"])
+
+
+def test_bpe_token_count_matches_duckdb_including_non_ascii():
+    """The BPE-ish pre-tokenizer pattern is RE2-compatible: identical counts
+    in Python and DuckDB, including contractions, numbers, punct runs,
+    non-ASCII letters (which fall into the punct class under ASCII classes
+    on BOTH engines), and NBSP."""
+    import duckdb
+
+    from rayval.functions.text import BPE_RE_SRC, bpe_token_count
+
+    rows = [
+        "It's 2024, isn't it? We'll see...",
+        "héllo wörld",
+        "a1b2 c3",
+        "",
+        "tab\tsep and nbsp\u00a0gap",
+    ]
+    got = list(bpe_token_count(pd.Series(rows)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    for r in rows:
+        con.execute("INSERT INTO t VALUES (?)", [r])
+    pat = BPE_RE_SRC.replace("'", "''").replace("\t", "\\t").replace("\n", "\\n").replace("\f", "\\f").replace("\r", "\\r")
+    exp = [r[0] for r in con.execute(f"SELECT len(regexp_extract_all(s, '{pat}')) FROM t").fetchall()]
+    assert got == exp, (got, exp)
+    # sanity: contractions split off ('s, 'll), words+numbers separate
+    assert got[0] > 8
