@@ -296,6 +296,13 @@ def dup_groups_propagate(
     decrease, so the loop converges in <= diameter rounds; both steps are
     narrow (key, label) shuffles — nothing driver-sized.  Output matches
     driver union-find exactly: (key, group=min-reachable-key), sorted.
+
+    Implementation note: a native ``Dataset.join`` formulation was tried and
+    reverted — Ray 2.49's hash join raises ``ArrowInvalid: no match for key
+    field`` when an aggregate upstream emits empty schema-less blocks (they
+    bypass map_batches normalization), which groupby outputs do whenever
+    partitions > distinct keys.  The union+groupby message-passing form has
+    no such edge and shuffles the same narrow rows.
     """
     edges = pairs.map_batches(
         lambda b: pa.table(
