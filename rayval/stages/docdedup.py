@@ -227,16 +227,33 @@ def minhash_lsh_candidates(
             }
         )
 
-    cand = exploded.groupby(["band", "bh"]).map_groups(pairs, batch_format="pyarrow").take_all()
-    if not cand:
-        return pa.table({"a": pa.array([], type=pa.string()), "b": pa.array([], type=pa.string()),
-                         "est_jaccard": pa.array([], type=pa.float64())})
-    df = pd.DataFrame(cand).drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    # pair dedup (a pair surfaces once per agreeing band) stays DISTRIBUTED:
+    # groupby(a,b).min collapses duplicates before anything reaches the driver
+    cand_t = _collect_dedup_pairs(
+        exploded.groupby(["band", "bh"]).map_groups(pairs, batch_format="pyarrow"),
+        value_col="est_jaccard",
+    )
+    df = cand_t.to_pandas()
     if exact_threshold is not None and texts_for_verify is not None:
         sh = {k: char_shingles(texts_for_verify.get(k, ""), shingle_k) for k in set(df.a) | set(df.b)}
         df["jaccard"] = [round(exact_jaccard(sh[a], sh[b]), 6) for a, b in zip(df.a, df.b)]
         df = df[df.jaccard >= exact_threshold].reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _collect_dedup_pairs(cand: "ray.data.Dataset", value_col: str, value_type=pa.float64()) -> pa.Table:
+    """Distributed (a, b) dedup of candidate pairs (a pair surfaces once per
+    agreeing band, with the SAME value each time, so min == any), then a
+    driver collect of the small post-filter result sorted by (a, b)."""
+    from rayval.util import collect_tables
+
+    schema = pa.schema([("a", pa.string()), ("b", pa.string()), (value_col, value_type)])
+    deduped = (
+        cand.groupby(["a", "b"])
+        .min(value_col)
+        .map_batches(lambda b: b.rename_columns(["a", "b", value_col]), batch_format="pyarrow")
+    )
+    return collect_tables(deduped, schema).sort_by([("a", "ascending"), ("b", "ascending")])
 
 
 # ------------------------------------------------------ duplicate grouping
@@ -454,14 +471,10 @@ def simhash_neardups(
             }
         )
 
-    cand = (
+    return _collect_dedup_pairs(
         ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["band", "bh"])
-        .map_groups(pairs, batch_format="pyarrow")
-        .take_all()
+        .map_groups(pairs, batch_format="pyarrow"),
+        value_col="hamming",
+        value_type=pa.int32(),
     )
-    if not cand:
-        return pa.table({"a": pa.array([], type=pa.string()), "b": pa.array([], type=pa.string()),
-                         "hamming": pa.array([], type=pa.int32())})
-    df = pd.DataFrame(cand).drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
