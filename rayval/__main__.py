@@ -38,14 +38,16 @@ def _ray_session(num_cpus: int | None):
 
 def cmd_validate(args) -> int:
     ray = _ray_session(args.num_cpus)
-    from rayval.pipelines.validate_images import RunConfig, run
+    from rayval.pipelines.validate_images import RunConfig, load_profile, run
 
     cfg = RunConfig(
         group_size=args.group_size,
         decode_concurrency=args.decode_concurrency,
         annotated_output=args.annotated,
     )
-    report = run(args.images, args.out, captions_path=args.captions, cfg=cfg)
+    ref = load_profile(args.reference) if args.reference else None
+    report = run(args.images, args.out, captions_path=args.captions,
+                 reference_profile=ref, cfg=cfg)
     json.dump(report, sys.stdout, indent=2)
     print()
     ray.shutdown()
@@ -117,6 +119,8 @@ def main(argv=None) -> int:
     v.add_argument("--group-size", type=int, default=4)
     v.add_argument("--decode-concurrency", type=int, default=4)
     v.add_argument("--annotated", action="store_true")
+    v.add_argument("--reference", default=None,
+                   help="global_profile.bin from a previous run: enables drift checks")
     v.add_argument("--num-cpus", type=int, default=None)
     v.set_defaults(fn=cmd_validate)
 

@@ -322,6 +322,14 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
     stats_table = pa.Table.from_pylist(stats_rows)
     pq.write_table(stats_table, os.path.join(out_dir, "partition_stats.parquet"))
 
+    # persist the merged global profile so THIS run can be the next run's
+    # drift reference (north_star: "distribution-drift detection against a
+    # reference profile"): load with ColumnStats.from_bytes / load_profile
+    g_prof = global_stats(per_partition)
+    if g_prof is not None:
+        with open(os.path.join(out_dir, "global_profile.bin"), "wb") as fh:
+            fh.write(g_prof.to_bytes())
+
     viol_final = viol_final_t
     bad_parts = set(viol_final[PARTITION_COL].to_pylist())
     verdicts = {pid: (pid not in bad_parts) for pid in sorted(per_partition)}
@@ -344,6 +352,13 @@ def run(img_dir: str, out_dir: str, captions_path: Optional[str] = None,
         reference_profile: Optional[ColumnStats] = None, cfg: RunConfig = RunConfig()) -> dict:
     run_phase1(img_dir, out_dir, cfg)
     return run_phase2(out_dir, captions_path, reference_profile, cfg)
+
+
+def load_profile(path: str) -> ColumnStats:
+    """Load a ``global_profile.bin`` written by a previous run (the drift
+    reference input for :func:`run` / ``--reference`` in the CLI)."""
+    with open(path, "rb") as fh:
+        return ColumnStats.from_bytes(fh.read())
 
 
 # ---------------------------------------------------------------- helpers

@@ -191,3 +191,17 @@ def test_resume_after_mid_publish_kill(data_dir, tmp_path, ray_session):
     got = _violations_set(os.path.join(out, "final_violations"))
     exp = _violations_set(os.path.join(data_dir, "expected_violations.parquet"))
     assert got == exp
+
+
+def test_profile_roundtrip_drift(data_dir, tmp_path, ray_session):
+    """A run's persisted global_profile.bin used as the NEXT run's drift
+    reference: same data -> no drift flags."""
+    from rayval.pipelines.validate_images import load_profile
+
+    out_a = str(tmp_path / "run_a")
+    run(data_dir + "/images", out_a, cfg=CFG)
+    ref = load_profile(os.path.join(out_a, "global_profile.bin"))
+    out_b = str(tmp_path / "run_b")
+    report = run(data_dir + "/images", out_b, reference_profile=ref, cfg=CFG)
+    assert not any(c.startswith("stats.drift") for c in report["violations_by_constraint"])
+    assert os.path.exists(os.path.join(out_b, "global_profile.bin"))
