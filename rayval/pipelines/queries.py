@@ -154,6 +154,29 @@ _SQL_SRC_ENUM = "('src0','src1','src2','src3','src4')"
 _SQL_UNION_OK = f"(source IN {_SQL_SRC_ENUM} OR regexp_full_match(source, 'src1[0-9]'))"
 
 
+def q_length_violations(sf_dir: str) -> pa.Table:
+    """Exact-length and maxLength facets (parser.clj:130,144-149 with the
+    core.clj direction pins) as an oracle-backed query."""
+    from rayval.constraints import Length, MaxLength
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    prof = Profile(
+        "documents_len",
+        [F("lang", Length(2)), F("text", MaxLength(300))],
+        key="row_key",
+    )
+    return _violations_query(ds, prof, ["doc_id"])
+
+
+SQL_LENGTH_VIOLATIONS = """
+SELECT CAST(doc_id AS VARCHAR) AS row_key, 'lang.length' AS constraint_id
+FROM documents WHERE NOT (length(lang) = 2)
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'text.maxLength' FROM documents
+WHERE NOT (length(text) <= 300)
+"""
+
+
 def q_union_violations(sf_dir: str) -> pa.Table:
     """xs:union (AnyOf): value valid iff ANY member accepts (core.clj:73-78)."""
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
@@ -1286,6 +1309,7 @@ QUERIES = {
     "lineitem_violations": (q_lineitem_violations, SQL_LINEITEM_VIOLATIONS),
     "part_violations": (q_part_violations, SQL_PART_VIOLATIONS),
     "orders_violations": (q_orders_violations, SQL_ORDERS_VIOLATIONS),
+    "length_violations": (q_length_violations, SQL_LENGTH_VIOLATIONS),
     "union_violations": (q_union_violations, SQL_UNION_VIOLATIONS),
     "union_annotate": (q_union_annotate, SQL_UNION_ANNOTATE),
     "choice_violations": (q_choice_violations, SQL_CHOICE_VIOLATIONS),
