@@ -418,6 +418,54 @@ WHERE NOT regexp_full_match(s_name, 'Supplier#00000000[0-9]')
 """
 
 
+def q_rules_driven_violations(sf_dir: str) -> pa.Table:
+    """The fully DECLARATIVE contract end-to-end: a dict-DSL profile declares
+    per-column constraints AND table-level rules (unique + referential); the
+    mask pass and the TableRule dispatcher (stages/rules.py) execute them,
+    and the union of both violation listings hash-matches one SQL oracle."""
+    from rayval.constraints.dsl import profile_from_dict
+    from rayval.stages.rules import run_table_rules
+
+    prof = profile_from_dict(
+        {
+            "name": "customer_rules",
+            "key": "row_key",
+            "fields": {"c_acctbal": {"min": 0}},
+            "rules": [
+                {"kind": "unique", "column": "c_custkey"},
+                {"kind": "referential", "column": "c_custkey", "to_column": "o_custkey"},
+            ],
+        }
+    )
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: b.append_column("row_key", pc.cast(b["c_custkey"], pa.string())),
+        batch_format="pyarrow",
+    )
+    mask_viol = _violations_query(
+        _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]), prof, ["c_custkey"]
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    rule_viol = run_table_rules(
+        ds, prof, key="row_key",
+        ref_sources={"c_custkey": orders},
+    )
+    rule_t = pa.table({"row_key": rule_viol["row_key"], "constraint_id": rule_viol["constraint_id"]})
+    return pa.concat_tables(
+        [mask_viol.cast(rule_t.schema), rule_t.cast(rule_t.schema)]
+    ).sort_by([("row_key", "ascending"), ("constraint_id", "ascending")])
+
+
+# rule params: referential rule's to_column defaults to the rule column; the
+# orders source is projected to o_custkey and compared as strings
+SQL_RULES_DRIVEN_VIOLATIONS = """
+SELECT CAST(c_custkey AS VARCHAR) AS row_key, 'c_acctbal.range' AS constraint_id
+FROM customer WHERE NOT (c_acctbal >= 0)
+UNION ALL
+SELECT CAST(c_custkey AS VARCHAR), 'c_custkey.referential' FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
 def q_extension_violations(sf_dir: str) -> pa.Table:
     """extension/complexContent (core.clj:173-195): the extended profile is
     the UNION of base + extension field bindings; both field sets validate."""
@@ -1317,6 +1365,7 @@ QUERIES = {
     "typechain_violations": (q_typechain_violations, SQL_TYPECHAIN_VIOLATIONS),
     "ref_restriction_violations": (q_ref_restriction_violations, SQL_REF_RESTRICTION_VIOLATIONS),
     "extension_violations": (q_extension_violations, SQL_EXTENSION_VIOLATIONS),
+    "rules_driven_violations": (q_rules_driven_violations, SQL_RULES_DRIVEN_VIOLATIONS),
     "xsd_supplier_violations": (q_xsd_supplier_violations, SQL_XSD_SUPPLIER_VIOLATIONS),
     "partition_verdicts": (q_partition_verdicts, SQL_PARTITION_VERDICTS),
     "jsonl_events_by_type": (q_jsonl_events_by_type, SQL_JSONL_EVENTS_BY_TYPE),

@@ -1,0 +1,200 @@
+"""Execute a Profile's ``TableRule`` declarations over a Dataset.
+
+The Profile carries the whole validation contract declaratively: per-column
+constraints (compiled to the batch mask pass) AND table-level rules
+(``TableRule(kind, column, params)``, rayval/constraints/profile.py:60).
+This module is the dispatcher for the table-level half — each rule kind maps
+onto the engine's scale-shaped stage:
+
+- ``unique``       -> partial value counts + broadcast dup-set flagging (the
+                      phash-dedup shape generalized to any column; hot keys
+                      never enter a shuffle).
+- ``referential``  -> Bloom probe + hash-partitioned exact anti-join
+                      (stages/referential.py) against a valid-values source.
+- ``drift``        -> per-partition KLL sketches + two-sample KS against a
+                      reference profile (stages/stats.py).
+
+All three produce violation rows ``(partition_id, <key>, constraint_id)``
+with the rule's ``constraint_id`` (e.g. ``c_custkey.referential``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from rayval.constraints.profile import PARTITION_COL, Profile
+from rayval.stages.referential import build_bloom, referential_violations
+from rayval.stages.stats import ColumnStats, drift_violations
+from rayval.util import collect_tables
+
+
+def unique_violations(
+    ds: "ray.data.Dataset", column: str, key: str, hot_threshold: int = 1000
+) -> pa.Table:
+    """(partition_id, key, '<column>.unique') for every member of every
+    duplicate group of ``column`` — partial counts, tiny groupby, broadcast
+    dup-set membership (no row-level shuffle; the dedup.py shape for any
+    column/key)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vc = pc.value_counts(col.drop_null() if col.null_count else col)
+        return pa.table({"v": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = (
+        ds.select_columns([column])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .sum("n")
+        .map_batches(lambda b: b.rename_columns(["v", "n_total"]), batch_format="pyarrow")
+        .filter(expr="n_total > 1")
+    )
+    dup_rows = counts.take_all()
+    schema = pa.schema(
+        [(PARTITION_COL, pa.int64()), (key, pa.string()), ("constraint_id", pa.string())]
+    )
+    if not dup_rows:
+        return schema.empty_table()
+    dup_arr = pa.array([r["v"] for r in dup_rows])
+    ref = ray.put(dup_arr)
+    cid = f"{column}.unique"
+
+    def members(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.is_in(batch[column], value_set=ray.get(ref)))
+        n = hit.num_rows
+        if PARTITION_COL in hit.column_names:
+            part = hit[PARTITION_COL]
+        else:
+            part = pa.array(np.full(n, -1, dtype=np.int64))
+        return pa.table(
+            {
+                PARTITION_COL: part,
+                key: pc.cast(hit[key], pa.string()),
+                "constraint_id": pa.array([cid] * n, type=pa.string()),
+            }
+        )
+
+    cols = [c for c in (column, key, PARTITION_COL) if c in ds.schema().names]
+    out = ds.select_columns(cols).map_batches(members, batch_format="pyarrow")
+    return collect_tables(out, schema).sort_by([(key, "ascending")])
+
+
+def run_table_rules(
+    ds: "ray.data.Dataset",
+    profile: Profile,
+    key: Optional[str] = None,
+    ref_sources: Optional[dict] = None,
+    reference_profile: Optional[ColumnStats] = None,
+    hot_threshold: int = 1000,
+    n_buckets: int = 32,
+) -> pa.Table:
+    """Dispatch every ``TableRule`` the profile declares; returns the merged
+    violation listing (partition_id, <key>, constraint_id), sorted.
+
+    ``ref_sources``: {column -> Dataset of valid values} for referential
+    rules (the rule's ``params["to_column"]`` names the source column,
+    defaulting to the rule column).  ``reference_profile``: ColumnStats for
+    drift rules (e.g. ``load_profile`` of a previous run)."""
+    key = key or profile.key or "key"
+    schema = pa.schema(
+        [(PARTITION_COL, pa.int64()), (key, pa.string()), ("constraint_id", pa.string())]
+    )
+    parts: list[pa.Table] = []
+    for rule in profile.table_rules:
+        if rule.kind == "unique":
+            t = unique_violations(
+                ds, rule.column, key, hot_threshold=rule.params.get("hot_threshold", hot_threshold)
+            )
+            parts.append(t.cast(schema))
+        elif rule.kind == "referential":
+            if not ref_sources or rule.column not in ref_sources:
+                raise ValueError(f"referential rule on {rule.column!r} needs ref_sources[{rule.column!r}]")
+            src = ref_sources[rule.column]
+            to_col = rule.params.get("to_column", rule.column)
+            left = ds.map_batches(
+                lambda b, _c=rule.column, _k=key: pa.table(
+                    {
+                        "caption_id": pc.cast(b[_k], pa.string()),
+                        "image_id": pc.cast(b[_c], pa.string()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            right = src.map_batches(
+                lambda b, _c=to_col: pa.table({"image_id": pc.cast(b[_c], pa.string())}),
+                batch_format="pyarrow",
+            )
+            bloom = build_bloom(right, n_expected=rule.params.get("bloom_expected", 1_000_000))
+            viol = referential_violations(
+                left, right, bloom, key="caption_id",
+                n_buckets=rule.params.get("n_buckets", n_buckets),
+            )
+            if viol.num_rows:
+                parts.append(
+                    pa.table(
+                        {
+                            PARTITION_COL: viol[PARTITION_COL],
+                            key: viol["caption_id"],
+                            "constraint_id": pa.array(
+                                [f"{rule.column}.referential"] * viol.num_rows, type=pa.string()
+                            ),
+                        }
+                    ).cast(schema)
+                )
+        elif rule.kind == "drift":
+            if reference_profile is None:
+                raise ValueError(f"drift rule on {rule.column!r} needs reference_profile")
+
+            col = rule.column
+
+            def partial(batch: pa.Table, _c=col) -> pa.Table:
+                if PARTITION_COL in batch.column_names:
+                    part = batch[PARTITION_COL].to_numpy(zero_copy_only=False)
+                else:
+                    part = np.full(batch.num_rows, -1, dtype=np.int64)
+                pids, blobs = [], []
+                for pid in np.unique(part):
+                    sel = batch.filter(pa.array(part == pid))
+                    st = ColumnStats(numeric_cols=[_c], unique_cols=[])
+                    st.update(sel)
+                    pids.append(int(pid))
+                    blobs.append(st.to_bytes())
+                return pa.table(
+                    {PARTITION_COL: pa.array(pids, type=pa.int64()),
+                     "stats": pa.array(blobs, type=pa.binary())}
+                )
+
+            cols = [c for c in (col, PARTITION_COL) if c in ds.schema().names]
+            rows = ds.select_columns(cols).map_batches(partial, batch_format="pyarrow").take_all()
+            per_partition: dict[int, ColumnStats] = {}
+            for r in rows:
+                st = ColumnStats.from_bytes(r["stats"])
+                pid = r[PARTITION_COL]
+                per_partition[pid] = per_partition[pid].merge(st) if pid in per_partition else st
+            for pid, _k, cid in drift_violations(
+                per_partition, reference_profile,
+                rule.params.get("threshold", 0.15), columns=[col],
+            ):
+                parts.append(
+                    pa.table(
+                        {
+                            PARTITION_COL: pa.array([pid], type=pa.int64()),
+                            key: pa.nulls(1, pa.string()),
+                            "constraint_id": pa.array([cid], type=pa.string()),
+                        }
+                    )
+                )
+        else:
+            raise ValueError(f"unknown table rule kind {rule.kind!r}")
+    if not parts:
+        return schema.empty_table()
+    return pa.concat_tables(parts).sort_by(
+        [(key, "ascending"), ("constraint_id", "ascending")]
+    )

@@ -1,0 +1,65 @@
+"""TableRule dispatcher (stages/rules.py): the declarative table-level
+contract executed end-to-end."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rayval.constraints import Field as F, Profile, TableRule
+from rayval.stages.rules import run_table_rules, unique_violations
+from rayval.stages.stats import ColumnStats
+
+
+@pytest.fixture()
+def dup_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([f"r{i}" for i in range(8)]),
+                "v": pa.array([1, 2, 2, 3, 4, 4, 4, 5], type=pa.int64()),
+                "x": pa.array([10.0, 11.0, 9.0, 12.0, 8.0, 10.5, 9.5, 11.5]),
+            }
+        )
+    )
+
+
+def test_unique_rule(dup_ds):
+    out = unique_violations(dup_ds, "v", key="k")
+    got = sorted(zip(out["k"].to_pylist(), out["constraint_id"].to_pylist()))
+    assert got == [("r1", "v.unique"), ("r2", "v.unique"),
+                   ("r4", "v.unique"), ("r5", "v.unique"), ("r6", "v.unique")]
+
+
+def test_referential_rule(dup_ds, ray_session):
+    import ray.data
+
+    valid = ray.data.from_arrow(pa.table({"v": pa.array([1, 2, 3], type=pa.int64())}))
+    prof = Profile("t", [F("v")], key="k",
+                   table_rules=[TableRule("referential", "v")])
+    out = run_table_rules(dup_ds, prof, key="k", ref_sources={"v": valid})
+    bad = sorted(out["k"].to_pylist())
+    assert bad == ["r4", "r5", "r6", "r7"]  # v in {4,4,4,5} unresolvable
+    assert set(out["constraint_id"].to_pylist()) == {"v.referential"}
+
+
+def test_drift_rule(dup_ds):
+    ref_same = ColumnStats(numeric_cols=["x"], unique_cols=[])
+    ref_same.update(pa.table({"x": pa.array([10.0, 11.0, 9.0, 12.0, 8.0, 10.5, 9.5, 11.5])}))
+    prof = Profile("t", [F("x")], key="k",
+                   table_rules=[TableRule("drift", "x", {"threshold": 0.3})])
+    out = run_table_rules(dup_ds, prof, key="k", reference_profile=ref_same)
+    assert out.num_rows == 0
+
+    ref_shifted = ColumnStats(numeric_cols=["x"], unique_cols=[])
+    ref_shifted.update(pa.table({"x": pa.array(np.linspace(100, 200, 500))}))
+    out2 = run_table_rules(dup_ds, prof, key="k", reference_profile=ref_shifted)
+    assert out2.num_rows == 1
+    assert out2["constraint_id"][0].as_py() == "stats.drift.x"
+
+
+def test_missing_ref_source_raises(dup_ds):
+    prof = Profile("t", [F("v")], key="k", table_rules=[TableRule("referential", "v")])
+    with pytest.raises(ValueError, match="ref_sources"):
+        run_table_rules(dup_ds, prof, key="k")
