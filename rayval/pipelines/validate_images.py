@@ -59,7 +59,12 @@ VIOLATION_SCHEMA = pa.schema(
 
 
 def images_profile() -> Profile:
-    """The flagship constraint profile over the input_hint table."""
+    """The flagship constraint profile over the input_hint table — the WHOLE
+    validation contract in one declarative object: per-column constraints
+    (compiled to the batch mask pass) plus the table-level TableRule
+    declarations phase 2 dispatches (uniqueness / referential / drift)."""
+    from rayval.constraints.profile import TableRule
+
     return Profile(
         "images",
         [
@@ -73,6 +78,12 @@ def images_profile() -> Profile:
         ],
         kind="all",
         key="image_id",
+        table_rules=[
+            TableRule("unique", "phash"),
+            TableRule("referential", "image_id"),
+            TableRule("drift", "w"),  # drift checks run over NUMERIC_COLS when
+            # a reference profile is supplied; this declaration records intent
+        ],
     )
 
 
@@ -253,16 +264,24 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
     viol_dirs = [manifest.group_paths(e["group_id"])["violations"] for e in entries]
     results = ray.data.read_parquet(_expand(result_dirs))
 
+    # which table-level checks run is DECLARED on the profile (TableRule
+    # entries, images_profile by default declares all three) — phase 2 is the
+    # dispatcher for the flagship's tuned implementations of those rules
+    profile = cfg.profile or images_profile()
+    rule_kinds = {r.kind for r in profile.table_rules}
+
     # dedup and referential are independent DAGs over the same narrow results;
     # dispatch them concurrently so their (mostly fixed) all-to-all overheads
     # overlap instead of serializing — phase 2 is the flagship's serial tail.
     def _dedup_job():
         counts = phash_counts(results)
+        if "unique" not in rule_kinds:
+            return counts, []
         dup_ds = duplicate_violations(results, hot_threshold=cfg.hot_threshold, counts=counts)
         return counts, [t for t in _ds_tables(dup_ds) if t.num_rows]
 
     def _ref_job():
-        if not captions_path:
+        if not captions_path or "referential" not in rule_kinds:
             return None
         bloom = _merged_bloom(manifest, entries)
         captions = ray.data.read_parquet(captions_path)
@@ -294,7 +313,7 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
             for pid, blob in pickle.load(fh).items():
                 st = ColumnStats.from_bytes(blob)
                 per_partition[pid] = per_partition[pid].merge(st) if pid in per_partition else st
-    if reference_profile is not None:
+    if reference_profile is not None and "drift" in rule_kinds:
         for pid, _key, cid in drift_violations(per_partition, reference_profile, cfg.drift_threshold):
             extra_violations.append(
                 pa.table(
