@@ -18,7 +18,6 @@ import hashlib
 from typing import Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -29,9 +28,6 @@ from rayval.functions.text import (
     batch_simhash64,
     char_shingles,
     exact_jaccard,
-    minhash_jaccard,
-    minhash_signature,
-    simhash64,
 )
 from rayval.functions.phash import _popcount64
 from rayval.state.hashing import rehash
