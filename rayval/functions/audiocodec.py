@@ -63,6 +63,13 @@ def wav_decode(data) -> tuple[np.ndarray, int, int]:
     audio_format, channels, rate, _byte_rate, _block, bits = fmt
     if audio_format != 1:
         raise AudioCodecError(f"unsupported WAV format {audio_format} (PCM only)")
+    # a structurally valid container can still declare nonsense rate/channel
+    # values; downstream divides by both, so they must be codec errors (data,
+    # not task failures — AudioFeatures maps this to audio_ok=False)
+    if rate <= 0:
+        raise AudioCodecError(f"invalid sample rate {rate}")
+    if channels < 1:
+        raise AudioCodecError(f"invalid channel count {channels}")
     if bits == 16:
         s = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32767.0
     elif bits == 8:

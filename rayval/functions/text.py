@@ -63,12 +63,12 @@ def quality_scores(texts: pd.Series) -> pd.DataFrame:
     output — derive fixed-point ratios from them in the exact same IEEE op
     order as any SQL oracle (multiply first, then divide) to keep floor()
     comparisons bit-stable."""
-    t = texts.fillna("")
+    t = texts.fillna("").reset_index(drop=True)
     n_chars = t.str.len().to_numpy(dtype=np.int64)
     n_tokens = t.str.count(TOKEN_RE).to_numpy(dtype=np.int64)
     n_punct = t.str.count(PUNCT_RE).to_numpy(dtype=np.int64)
     toks = t.str.lower().str.findall(TOKEN_RE)
-    n_stop = toks.map(lambda ws: sum(1 for w in ws if w in STOPWORDS)).to_numpy(dtype=np.int64)
+    n_stop = _profile_hits(toks, STOPWORDS, len(t))
     denom = np.maximum(n_tokens, 1)
     return pd.DataFrame(
         {
@@ -83,29 +83,54 @@ def quality_scores(texts: pd.Series) -> pd.DataFrame:
     )
 
 
+def _profile_hits(tok_lists: pd.Series, vocab: frozenset, n: int) -> np.ndarray:
+    """int64[n] per-row count of tokens that appear in ``vocab`` — explode +
+    ``isin`` + positional groupby-size; no per-row/per-token Python loop.
+    ``tok_lists`` must carry a RangeIndex (positional row ids)."""
+    out = np.zeros(n, dtype=np.int64)
+    ex = tok_lists.explode().dropna()
+    if len(ex):
+        hits = ex[ex.isin(vocab)].groupby(level=0).size()
+        if len(hits):
+            out[hits.index.to_numpy(dtype=np.int64)] = hits.to_numpy(dtype=np.int64)
+    return out
+
+
+_ZH_CHAR_RE = re.compile("[" + "".join(sorted(LANG_PROFILES["zh"])) + "]")
+
+
 def langid(texts: pd.Series) -> np.ndarray:
     """N-gram/stopword heuristic language ID: the language whose profile has
     the most hits wins; ties and zero-hit rows -> 'und'.  Deterministic
-    (profiles are frozen; tie-break is lexicographic).
+    (profiles are frozen; tie-break is lexicographic — argmax over the
+    lexicographically-sorted language axis returns the first maximum).
 
     Space-separated languages score by profile-token hits.  ``zh`` scores by
     profile-CHARACTER hits — WORD_RE cannot segment unspaced CJK text, so a
-    token-based zh profile would be dead weight (it could never match)."""
-    lowered = texts.fillna("").str.lower()
+    token-based zh profile would be dead weight (it could never match).
+
+    Fully vectorized: tokens explode once, each profile scores via ``isin`` +
+    positional groupby; zh scores via one char-class ``str.count``.
+    """
+    n = len(texts)
+    lowered = texts.fillna("").str.lower().reset_index(drop=True)
     toks = lowered.str.findall(WORD_RE)
     token_langs = sorted(k for k in LANG_PROFILES if k != "zh")
-    zh_chars = LANG_PROFILES["zh"]
-    out = np.empty(len(texts), dtype=object)
-    for i, (ws, raw) in enumerate(zip(toks, lowered)):
-        best, best_n = "und", 0
-        for lang in token_langs:
-            n = sum(1 for w in ws if w in LANG_PROFILES[lang])
-            if n > best_n:
-                best, best_n = lang, n
-        n_zh = sum(1 for ch in raw if ch in zh_chars)
-        if n_zh > best_n:
-            best = "zh"
-        out[i] = best
+    scores = np.zeros((n, len(token_langs)), dtype=np.int64)
+    ex = toks.explode().dropna()
+    for j, lang in enumerate(token_langs):
+        if len(ex):
+            hits = ex[ex.isin(LANG_PROFILES[lang])].groupby(level=0).size()
+            if len(hits):
+                scores[hits.index.to_numpy(dtype=np.int64), j] = hits.to_numpy(dtype=np.int64)
+    n_zh = lowered.str.count(_ZH_CHAR_RE).to_numpy(dtype=np.int64)
+    best_j = scores.argmax(axis=1)  # first max -> lexicographic tie-break
+    best_n = scores[np.arange(n), best_j]
+    out = np.empty(n, dtype=object)
+    out[:] = "und"
+    has_hits = best_n > 0
+    out[has_hits] = np.array(token_langs, dtype=object)[best_j[has_hits]]
+    out[n_zh > best_n] = "zh"  # zh wins only on STRICTLY more hits
     return out
 
 
@@ -121,16 +146,13 @@ def fingerprint_md5(texts: pd.Series) -> np.ndarray:
     return np.array([hashlib.md5(s.encode()).hexdigest() for s in normalize_text(texts)], dtype=object)
 
 
-def fingerprint_rolling(texts: pd.Series, base: int = 1_000_003) -> np.ndarray:
-    """64-bit polynomial rolling hash over normalized text bytes."""
-    out = np.empty(len(texts), dtype=np.int64)
-    mask = (1 << 64) - 1
-    for i, s in enumerate(normalize_text(texts)):
-        h = 1469598103934665603
-        for b in s.encode():
-            h = ((h * base) ^ b) & mask
-        out[i] = np.int64(np.uint64(h).astype(np.int64))
-    return out
+def fingerprint_rolling(texts: pd.Series) -> np.ndarray:
+    """64-bit integer fingerprint over the normalized text bytes — the engine's
+    vectorized wrapping-mod-2^64 buffer polynomial (state/hashing.py hash64:
+    one cumsum pass over the concatenated Arrow data buffer, no per-byte
+    Python), returned as int64."""
+    norm = pa.array(normalize_text(texts), type=pa.string())
+    return hash64(norm).view(np.int64)
 
 
 # ---------------------------------------------------------------- shingles

@@ -394,6 +394,14 @@ def dup_groups_propagate(
         labels = new_labels.select_columns(["key", "label"])
         if not n_changed:
             break
+    else:
+        # labels still moving after max_iters rounds (component diameter >
+        # max_iters): silently returning would hand back WRONG group labels
+        raise RuntimeError(
+            f"dup_groups_propagate did not converge after {max_iters} rounds "
+            f"({n_changed} labels still changing); raise max_iters — rounds "
+            "needed = component diameter"
+        )
     from rayval.util import collect_tables
 
     schema = pa.schema([("key", pa.string()), ("group", pa.string())])

@@ -66,6 +66,30 @@ def test_wav_codec_roundtrip():
         assert np.abs(got - s).max() < tol
 
 
+def test_wav_zero_rate_is_data_not_task_error():
+    """A structurally valid WAV declaring rate=0 (or 0 channels) must be a
+    codec error — AudioFeatures maps it to audio_ok=False instead of dying on
+    the ZeroDivisionError in duration_s."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from rayval.functions.audiocodec import AudioCodecError, wav_decode, wav_encode
+
+    good = wav_encode(np.zeros(100), rate=8000)
+    # fmt payload starts at byte 20: <HHIIHH = format, channels, rate, ...
+    zero_rate = good[:24] + struct.pack("<I", 0) + good[28:]
+    with pytest.raises(AudioCodecError):
+        wav_decode(zero_rate)
+    zero_ch = good[:22] + struct.pack("<H", 0) + good[24:]
+    with pytest.raises(AudioCodecError):
+        wav_decode(zero_ch)
+    batch = pa.table({"id": ["a"], "bytes": pa.array([zero_rate], type=pa.binary())})
+    out = AudioFeatures()(batch)
+    assert out["audio_ok"][0].as_py() is False
+
+
 def test_video_frame_sample_contract():
     data = bytes(range(100)) * 10
     batch = pa.table({"id": ["v"], "bytes": pa.array([data], type=pa.binary())})
