@@ -47,7 +47,7 @@ from rayval.pipelines.manifest import Manifest
 from rayval.sources.images import MAX_CAPTION
 from rayval.sources.parquet import list_fragments, read_fragments
 from rayval.stages.decode import DecodeCheck
-from rayval.stages.dedup import duplicate_violations, phash_counts, top_hot_buckets
+from rayval.stages.dedup import duplicate_counts, duplicate_violations, phash_counts_ds, top_hot_buckets
 from rayval.stages.referential import referential_violations
 from rayval.stages.stats import ColumnStats, drift_violations, global_stats, merge_partials, sketch_partials
 from rayval.stages.validate import MetaValidate, annotate_from_masks, explode_violations
@@ -274,11 +274,17 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
     # dispatch them concurrently so their (mostly fixed) all-to-all overheads
     # overlap instead of serializing — phase 2 is the flagship's serial tail.
     def _dedup_job():
-        counts = phash_counts(results)
+        # ONE distributed count pass feeds both the duplicate filter and the
+        # skew report; only dup-group-sized (k-sized) tables reach the driver —
+        # at 10^12 mostly-unique phashes the full distinct-counts table never
+        # leaves the cluster.
+        counts_ds = phash_counts_ds(results).materialize()
+        top10 = top_hot_buckets(counts_ds, 10)
         if "unique" not in rule_kinds:
-            return counts, []
-        dup_ds = duplicate_violations(results, hot_threshold=cfg.hot_threshold, counts=counts)
-        return counts, [t for t in _ds_tables(dup_ds) if t.num_rows]
+            return top10, []
+        dup_tbl = duplicate_counts(counts_ds)
+        dup_ds = duplicate_violations(results, hot_threshold=cfg.hot_threshold, counts=dup_tbl)
+        return top10, [t for t in _ds_tables(dup_ds) if t.num_rows]
 
     def _ref_job():
         if not captions_path or "referential" not in rule_kinds:
@@ -292,7 +298,7 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
     with ThreadPoolExecutor(max_workers=2) as ex:
         f_dedup = ex.submit(_dedup_job)
         f_ref = ex.submit(_ref_job)
-        counts, extra_violations = f_dedup.result()
+        top10, extra_violations = f_dedup.result()
         ref = f_ref.result()
 
     # --- referential (image_id.ref) ------------------------------------------
@@ -359,7 +365,7 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
         "global_verdict": viol_final.num_rows == 0,
         "partition_verdicts": {str(k): v for k, v in verdicts.items()},
         "violations_by_constraint": _count_by(viol_final, "constraint_id"),
-        "hot_phash_top10": top_hot_buckets(counts, 10).to_pylist(),
+        "hot_phash_top10": top10.to_pylist(),
         "global_distinct_image_id": round(g.unique["image_id"].estimate()) if g else 0,
     }
     with open(os.path.join(out_dir, "report.json"), "w") as fh:

@@ -2,22 +2,31 @@
 
 North rule: "every pHash duplicate flagged ... skew-aware repartitioning on
 hot pHash buckets".  The scalable shape chosen here avoids shuffling ANY wide
-data and avoids sending hot keys through a groupby at all:
+data, avoids sending hot keys through a groupby at all, and — critically for
+10^12 mostly-unique keys — never materializes the full distinct-counts table
+on the driver:
 
 1. count pass — per-batch partial (phash, count) aggregation inside
    map_batches (combiner), then a tiny ``groupby(phash).sum`` over partials.
    The shuffle moves one row per distinct phash per batch, not per image row.
-2. dup set = keys with total count > 1; HOT keys (count >= hot_threshold,
-   e.g. the constant-image cluster at ~1% of all rows) are split out.  A hot
-   key would make one groupby task a straggler (all its rows land on one
-   reducer); instead BOTH hot and normal dup membership is resolved by
-   broadcasting the dup-key set (``ray.put`` once) and filtering in
-   map_batches — no row-level shuffle at all.
-3. the broadcast-set assumption: |distinct duplicated phashes| must fit in
+   The merged counts stay a DISTRIBUTED Dataset (``phash_counts_ds``).
+2. dup set = keys with total count > 1, filtered DISTRIBUTED
+   (``.filter(expr="n > 1")``) before anything reaches the driver — what
+   comes back is bounded by #duplicate groups, not #distinct keys.  HOT keys
+   (count >= hot_threshold, e.g. the constant-image cluster at ~1% of all
+   rows) are split out of the same small table.  A hot key would make one
+   groupby task a straggler (all its rows land on one reducer); instead BOTH
+   hot and normal dup membership is resolved by broadcasting the dup-key set
+   (``ray.put`` once) and filtering in map_batches — no row-level shuffle.
+3. the skew report (top-k hottest phashes) comes from a per-batch top-k
+   COMBINER over the distributed counts (each block emits its own top-k; the
+   driver merges k x num_blocks rows), so it too never sees the full table.
+4. the broadcast-set assumption: |distinct duplicated phashes| must fit in
    memory (it's bounded by #duplicate groups, far smaller than #rows). If it
    ever didn't, the fallback is a hash-partitioned semi-join on
    ``phash % B`` buckets with hot keys pre-filtered exactly as here — the
-   hot-key split is what keeps that shuffle skew-free.
+   hot-key split is what keeps that shuffle skew-free (see
+   stages/rules.py:members_via_semijoin for the implemented shape).
 
 Only decodable rows participate (an undecodable payload has no trustworthy
 content hash; it is already flagged ``bytes.decodable``).
@@ -25,7 +34,7 @@ content hash; it is already flagged ``bytes.decodable``).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
 import numpy as np
 import pyarrow as pa
@@ -36,8 +45,10 @@ import ray
 from rayval.constraints.profile import PARTITION_COL
 
 
-def phash_counts(results: "ray.data.Dataset") -> pa.Table:
-    """Small table (phash, n) of total counts, via partial aggregation."""
+def phash_counts_ds(results: "ray.data.Dataset") -> "ray.data.Dataset":
+    """DISTRIBUTED (phash, n) total counts, one row per distinct phash,
+    via partial per-batch aggregation + a narrow groupby merge.  Callers
+    must NOT collect this wholesale — filter or combine first."""
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch
@@ -46,30 +57,44 @@ def phash_counts(results: "ray.data.Dataset") -> pa.Table:
         vals, counts = np.unique(t["phash"].to_numpy(zero_copy_only=False), return_counts=True)
         return pa.table({"phash": pa.array(vals, type=pa.int64()), "n": pa.array(counts, type=pa.int64())})
 
+    return (
+        results.select_columns([c for c in ("phash", "decodable") if c in results.schema().names])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("phash")
+        .sum("n")
+        .map_batches(lambda b: b.rename_columns(["phash", "n"]), batch_format="pyarrow")
+    )
+
+
+_COUNTS_SCHEMA = pa.schema([("phash", pa.int64()), ("n", pa.int64())])
+
+
+def duplicate_counts(counts: "ray.data.Dataset") -> pa.Table:
+    """Collect ONLY the duplicated keys: the ``n > 1`` filter runs
+    distributed, so the driver table is bounded by #duplicate groups (the
+    rules.py:unique_violations shape), never by #distinct keys."""
     from rayval.util import collect_tables
 
-    partials = results.select_columns([c for c in ("phash", "decodable") if c in results.schema().names]) \
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    merged = partials.groupby("phash").sum("n")
-    tbl = collect_tables(merged)
-    if tbl.num_rows == 0:
-        return pa.table({"phash": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())})
-    col = "sum(n)" if "sum(n)" in tbl.column_names else "n"
-    return pa.table({"phash": tbl["phash"], "n": tbl[col]})
+    return collect_tables(counts.filter(expr="n > 1"), _COUNTS_SCHEMA)
 
 
 def duplicate_violations(
     results: "ray.data.Dataset",
     hot_threshold: int = 1000,
-    counts: Optional[pa.Table] = None,
+    counts: Optional[Union[pa.Table, "ray.data.Dataset"]] = None,
 ) -> "ray.data.Dataset":
     """Violation rows (partition_id, image_id, 'phash.unique') for EVERY member
     of every duplicate group.  Membership via broadcast dup-set filter — hot
-    keys never enter a shuffle (see module doc)."""
+    keys never enter a shuffle (see module doc).
+
+    ``counts``: pass the (materialized) Dataset from :func:`phash_counts_ds`
+    to share one count pass with the skew report; a pre-filtered duplicate
+    Table is also accepted."""
     if counts is None:
-        counts = phash_counts(results)
-    n = counts["n"].to_numpy(zero_copy_only=False)
-    dup_keys = counts["phash"].to_numpy(zero_copy_only=False)[n > 1]
+        counts = phash_counts_ds(results)
+    dup = counts if isinstance(counts, pa.Table) else duplicate_counts(counts)
+    n = dup["n"].to_numpy(zero_copy_only=False)
+    dup_keys = dup["phash"].to_numpy(zero_copy_only=False)[n > 1]
     n_hot = int((n >= hot_threshold).sum())
     dup_ref = ray.put(dup_keys)  # broadcast ONCE; tasks read from object store
 
@@ -93,9 +118,29 @@ def duplicate_violations(
     return ds
 
 
-def top_hot_buckets(counts: pa.Table, k: int = 10) -> pa.Table:
-    """Top-k most frequent phash values — the skew report (sort+limit over
-    the tiny pre-aggregated counts table from ``phash_counts``)."""
+def top_hot_buckets(counts: Union[pa.Table, "ray.data.Dataset"], k: int = 10) -> pa.Table:
+    """Top-k most frequent phash values — the skew report.
+
+    Dataset input (the scale path): per-batch top-k combiner — every block
+    emits only its own k hottest rows, the driver merges k x num_blocks rows
+    and takes the final top-k (the ``top_orders_combiner`` shape; nothing
+    distinct-key-sized reaches the driver).  A small pre-aggregated Table is
+    sorted directly."""
+    if isinstance(counts, pa.Table):
+        return _topk_table(counts, k)
+
+    def per_block_topk(batch: pa.Table) -> pa.Table:
+        return _topk_table(batch, k)
+
+    from rayval.util import collect_tables
+
+    merged = collect_tables(
+        counts.map_batches(per_block_topk, batch_format="pyarrow"), _COUNTS_SCHEMA
+    )
+    return _topk_table(merged, k)
+
+
+def _topk_table(counts: pa.Table, k: int) -> pa.Table:
     order = pc.sort_indices(
         counts, sort_keys=[("n", "descending"), ("phash", "ascending")]
     )

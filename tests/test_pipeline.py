@@ -193,6 +193,33 @@ def test_resume_after_mid_publish_kill(data_dir, tmp_path, ray_session):
     assert got == exp
 
 
+def test_dedup_counts_stay_distributed(ray_session):
+    """The dup filter runs distributed (n > 1 before any collect): the driver
+    sees only duplicated keys, the top-k report comes from a per-block
+    combiner, and violations cover every member of every dup group."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.dedup import (
+        duplicate_counts, duplicate_violations, phash_counts_ds, top_hot_buckets,
+    )
+
+    t = pa.table(
+        {
+            "phash": pa.array([1, 1, 2, 3, 3, 3, 4], type=pa.int64()),
+            "image_id": [f"img-{i}" for i in range(7)],
+            "partition_id": pa.array([0] * 7, type=pa.int64()),
+        }
+    )
+    counts_ds = phash_counts_ds(ray.data.from_arrow(t)).materialize()
+    dup = duplicate_counts(counts_ds)
+    assert dict(zip(dup["phash"].to_pylist(), dup["n"].to_pylist())) == {1: 2, 3: 3}
+    top = top_hot_buckets(counts_ds, 2)
+    assert top["phash"].to_pylist() == [3, 1] and top["n"].to_pylist() == [3, 2]
+    viol = duplicate_violations(ray.data.from_arrow(t), counts=dup).take_all()
+    assert sorted(r["image_id"] for r in viol) == ["img-0", "img-1", "img-3", "img-4", "img-5"]
+
+
 def test_profile_roundtrip_drift(data_dir, tmp_path, ray_session):
     """A run's persisted global_profile.bin used as the NEXT run's drift
     reference: same data -> no drift flags."""
