@@ -51,7 +51,7 @@ from rayval.stages.dedup import duplicate_counts, duplicate_violations, phash_co
 from rayval.stages.referential import referential_violations
 from rayval.stages.stats import ColumnStats, drift_violations, global_stats, merge_partials, sketch_partials
 from rayval.stages.validate import MetaValidate, annotate_from_masks, explode_violations
-from rayval.state import Bloom
+from rayval.state import ShardedBloom, bloom_from_bytes
 
 VIOLATION_SCHEMA = pa.schema(
     [(PARTITION_COL, pa.int64()), ("image_id", pa.string()), ("constraint_id", pa.string())]
@@ -101,7 +101,8 @@ class RunConfig:
     hot_threshold: int = 1000
     drift_threshold: float = 0.15
     ref_buckets: int = 32
-    bloom_expected: int = 1_000_000  # FIXED per run: partials must share (m, k) to merge
+    bloom_expected: int = 1_000_000  # FIXED per run: partials must share
+    # (n_shards, per-shard m, k) to merge; shards = ref_buckets
     profile: Optional[Profile] = None
     extra_meta_cols: list = field(default_factory=list)
     annotated_output: bool = False  # also write annotated/group-N: the in-band
@@ -180,10 +181,10 @@ def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Mani
         bloom = None
         for r in partials:
             if r["bloom"] is not None:
-                b = Bloom.from_bytes(r["bloom"])
+                b = bloom_from_bytes(r["bloom"])
                 bloom = b if bloom is None else bloom.merge(b)
         if bloom is None:
-            bloom = Bloom(cfg.bloom_expected)
+            bloom = ShardedBloom(cfg.bloom_expected, n_shards=cfg.ref_buckets)
         os.makedirs(os.path.dirname(paths["bloom"]), exist_ok=True)
         with open(paths["bloom"] + ".tmp", "wb") as fh:
             fh.write(bloom.to_bytes())
@@ -417,14 +418,20 @@ def _ipc_write(table: pa.Table) -> bytes:
 def _derive_group_outputs(results: "ray.data.Dataset", cfg: RunConfig) -> list[dict]:
     """One fused pass: per batch, emit (stats partial, bloom partial,
     violations-as-IPC) — amortizes Ray job startup across the three derived
-    outputs instead of three separate dataset executions."""
+    outputs instead of three separate dataset executions.
+
+    The Bloom partial is SHARDED (``n_shards = cfg.ref_buckets``) and
+    serializes only the shards this batch touched — the per-batch blob scales
+    with the batch's bucket spread, not with ``bloom_expected`` (a monolithic
+    partial at 10^12 expected keys would be ~1.2 TB per batch)."""
     bloom_expected = cfg.bloom_expected
+    bloom_shards = cfg.ref_buckets
 
     def fused(batch: pa.Table) -> pa.Table:
         part_rows = sketch_partials(batch)
         stats_blobs = part_rows["stats"].to_pylist()
         pids = part_rows[PARTITION_COL].to_pylist()
-        b = Bloom(bloom_expected)
+        b = ShardedBloom(bloom_expected, n_shards=bloom_shards)
         t = batch.filter(batch["decodable"]) if "decodable" in batch.column_names else batch
         if t.num_rows:
             b.add(t["image_id"])
@@ -480,7 +487,8 @@ def _merged_bloom(manifest: Manifest, entries: list[dict]):
     merged = None
     for e in entries:
         with open(manifest.group_paths(e["group_id"])["bloom"], "rb") as fh:
-            b = Bloom.from_bytes(fh.read())
+            b = bloom_from_bytes(fh.read())  # version-stamped: a pre-scheme
+            # checkpoint raises here instead of merging into false negatives
         merged = b if merged is None else merged.merge(b)
     return merged
 

@@ -35,48 +35,70 @@ import pyarrow.compute as pc
 import ray
 
 from rayval.constraints.profile import PARTITION_COL
-from rayval.state import Bloom, hash64
+from rayval.state import Bloom, ShardedBloom, bloom_from_bytes, hash64
+from rayval.state.bloom import shard_probe_hash
 
 REF_CONSTRAINT = "image_id.ref"
 FIDELITY_CONSTRAINT = "caption.fidelity"
 
+_SHARD_PARTIAL_SCHEMA = pa.schema([("shard", pa.int64()), ("blob", pa.binary())])
 
-def build_bloom(results: "ray.data.Dataset", n_expected: int, fpp: float = 0.01) -> Bloom:
-    """OR-merge per-batch Bloom partials over decodable image_ids.
 
-    Hierarchical: a distributed fan-in stage OR-merges partial blobs 32:1
-    before the driver touches them, so the driver sees num_batches/32 blobs,
-    not one per input block (each blob is m/8 bytes — sized for n_expected —
-    so the per-batch blob volume, not the final filter, is what would
-    otherwise grow with input size)."""
+def build_bloom(
+    results: "ray.data.Dataset", n_expected: int, fpp: float = 0.01, n_shards: int = 32
+) -> ShardedBloom:
+    """Distributed SHARDED Bloom build over decodable image_ids.
+
+    Each batch emits one (shard, blob) row per shard its rows hash to, with
+    every shard sized ``n_expected / n_shards`` — per-batch blob volume is
+    bounded by the batch's bucket spread, never by ``n_expected`` (a
+    monolithic partial at the target 10^12 keys / 1% fpp is ~1.2 TB: neither
+    buildable per batch nor broadcastable).  A ``groupby(shard)`` fan-in
+    OR-merges each shard's partials in its own reducer; the probe side
+    (:func:`referential_violations_ds`) re-broadcasts shard-by-shard, so at
+    scale no single process ever holds the whole filter — size ``n_shards``
+    (= the join's ``n_buckets``) so one shard ~ tens of MB.
+
+    The driver-side assembly below is the small-scale convenience terminal;
+    the per-shard blobs are the unit of persistence/broadcast throughout."""
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.filter(batch["decodable"]) if "decodable" in batch.column_names else batch
-        b = Bloom(n_expected, fpp)
+        sb = ShardedBloom(n_expected, fpp, n_shards=n_shards)
         if t.num_rows:
-            b.add(t["image_id"])
-        return pa.table({"bloom": pa.array([b.to_bytes()], type=pa.binary())})
+            sb.add(t["image_id"])
+        blobs = sb.shard_blobs()
+        return pa.table(
+            {
+                "shard": pa.array(sorted(blobs), type=pa.int64()),
+                "blob": pa.array([blobs[s] for s in sorted(blobs)], type=pa.binary()),
+            }
+        )
 
-    def fan_in(batch: pa.Table) -> pa.Table:
+    def merge_shard(group: pa.Table) -> pa.Table:
         m = None
-        for blob in batch["bloom"]:
+        for blob in group["blob"]:
             b = Bloom.from_bytes(blob.as_py())
             m = b if m is None else m.merge(b)
-        if m is None:
-            m = Bloom(n_expected, fpp)
-        return pa.table({"bloom": pa.array([m.to_bytes()], type=pa.binary())})
+        return pa.table(
+            {
+                "shard": group["shard"].combine_chunks().slice(0, 1),
+                "blob": pa.array([m.to_bytes()], type=pa.binary()),
+            }
+        )
 
     cols = [c for c in ("image_id", "decodable") if c in results.schema().names]
-    blobs = (
+    rows = (
         results.select_columns(cols)
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(fan_in, batch_format="pyarrow", batch_size=32)
+        .groupby("shard")
+        .map_groups(merge_shard, batch_format="pyarrow")
         .take_all()
     )
-    merged = Bloom(n_expected, fpp)
-    for row in blobs:
-        merged.merge(Bloom.from_bytes(row["bloom"]))
-    return merged
+    out = ShardedBloom(n_expected, fpp, n_shards=n_shards)
+    for r in rows:
+        out.shards[int(r["shard"])] = Bloom.from_bytes(r["blob"])
+    return out
 
 
 def referential_violations_ds(
@@ -95,24 +117,50 @@ def referential_violations_ds(
     Scale notes: the per-bucket exact verify is fully vectorized (one Arrow
     hash-join + is_in per bucket, no per-row Python); size ``n_buckets`` so a
     bucket's candidates + reference ids fit one reducer's heap (rule of thumb:
-    ``n_buckets ~ total_rows / 5M``, min 32)."""
-    bloom_ref = ray.put(bloom.to_bytes())
+    ``n_buckets ~ total_rows / 5M``, min 32).
+
+    Bloom broadcast: a :class:`ShardedBloom` whose ``n_shards == n_buckets``
+    (the :func:`build_bloom` product) is ``ray.put`` SHARD BY SHARD — each
+    probe task fetches only the shards its rows' buckets name, so at 10^12
+    keys no task ever holds the full filter.  A flat ``Bloom`` (small side)
+    broadcasts whole, as before."""
+    sharded = isinstance(bloom, ShardedBloom) and bloom.n_shards == n_buckets
+    if sharded:
+        shard_refs = {sid: ray.put(blob) for sid, blob in bloom.shard_blobs().items()}
+        bloom_ref = None
+    else:
+        shard_refs = None
+        bloom_ref = ray.put(bloom.to_bytes())
     cap_cols = [key, "image_id"] + ([compare_col] if compare_col else [])
     res_cols = [c for c in ["image_id", "decodable"] if c in results.schema().names]
     if compare_col and compare_col in results.schema().names:
         res_cols.append(compare_col)
 
     def tag_captions(batch: pa.Table) -> pa.Table:
-        b = Bloom.from_bytes(ray.get(bloom_ref))
         ids = batch["image_id"]
         null_mask = ids.is_null().to_numpy(zero_copy_only=False)
         bucket = np.full(len(batch), -1, dtype=np.int64)
         valid = ~null_mask
         if valid.any():
-            h = hash64(ids) % np.uint64(n_buckets)
-            hit = b.contains(ids)  # nulls hash to something; masked below
+            h = hash64(ids)
+            hb = (h % np.uint64(n_buckets)).astype(np.int64)
+            if shard_refs is not None:
+                # per-shard probe: fetch ONLY the shards this batch's buckets
+                # name (plasma-cached across batches on the same worker)
+                hit = np.zeros(len(batch), dtype=bool)
+                hh = shard_probe_hash(h)
+                for sid in np.unique(hb[valid]):
+                    ref = shard_refs.get(int(sid))
+                    if ref is None:
+                        continue  # empty shard: no members, definite miss
+                    shard = Bloom.from_bytes(ray.get(ref), writable=False)
+                    m = valid & (hb == sid)
+                    hit[m] = shard.contains_hashed(hh[m])
+            else:
+                b = bloom_from_bytes(ray.get(bloom_ref))
+                hit = b.contains(ids)  # nulls hash to something; masked below
             keep = valid & hit
-            bucket[keep] = h.astype(np.int64)[keep]  # positives -> real bucket
+            bucket[keep] = hb[keep]  # positives -> real bucket
         out = {
             "bucket": pa.array(bucket, type=pa.int64()),
             "image_id": ids,

@@ -131,10 +131,15 @@ def run_table_rules(
                 lambda b, _c=to_col: pa.table({"image_id": pc.cast(b[_c], pa.string())}),
                 batch_format="pyarrow",
             )
-            bloom = build_bloom(right, n_expected=rule.params.get("bloom_expected", 1_000_000))
+            rule_buckets = rule.params.get("n_buckets", n_buckets)
+            bloom = build_bloom(
+                right,
+                n_expected=rule.params.get("bloom_expected", 1_000_000),
+                n_shards=rule_buckets,  # shard == join bucket: probe tasks
+                # and per-bucket verifiers fetch exactly their own shard
+            )
             viol = referential_violations(
-                left, right, bloom, key="caption_id",
-                n_buckets=rule.params.get("n_buckets", n_buckets),
+                left, right, bloom, key="caption_id", n_buckets=rule_buckets,
             )
             if viol.num_rows:
                 parts.append(

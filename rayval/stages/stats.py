@@ -74,11 +74,29 @@ class ColumnStats:
         return self
 
     def to_bytes(self) -> bytes:
-        return pickle.dumps(self)
+        # version-stamped (magic + hash-scheme version): the HLL inside hashes
+        # strings, so a partial persisted under a different hash64 scheme must
+        # refuse to merge on resume instead of silently under-counting
+        from rayval.state import HASH_SCHEME_VERSION
+
+        return b"RVST" + bytes([HASH_SCHEME_VERSION]) + pickle.dumps(self)
 
     @classmethod
     def from_bytes(cls, b: bytes) -> "ColumnStats":
-        return pickle.loads(b)
+        from rayval.state import HASH_SCHEME_VERSION
+
+        if len(b) < 5 or b[:4] != b"RVST":
+            raise ValueError(
+                "not a version-stamped ColumnStats blob (pre-versioning "
+                "checkpoint) — recompute the partial instead of merging it"
+            )
+        if b[4] != HASH_SCHEME_VERSION:
+            raise ValueError(
+                f"ColumnStats blob built under hash scheme v{b[4]}, engine is "
+                f"v{HASH_SCHEME_VERSION}: uniqueness sketches would merge "
+                "inconsistently — recompute the partial"
+            )
+        return pickle.loads(b[5:])
 
     def row(self, partition_id: int) -> dict:
         """Flattened stats row for the partition_stats output table."""

@@ -1,7 +1,7 @@
 """Mergeable, serializable sketch state: HLL (uniqueness), KLL (quantiles /
 drift), Bloom (referential join small-side)."""
 
-from rayval.state.bloom import Bloom  # noqa: F401
-from rayval.state.hashing import hash64, rehash  # noqa: F401
+from rayval.state.bloom import Bloom, ShardedBloom, bloom_from_bytes  # noqa: F401
+from rayval.state.hashing import HASH_SCHEME_VERSION, hash64, rehash  # noqa: F401
 from rayval.state.hll import HLL  # noqa: F401
 from rayval.state.kll import KLL, ks_distance  # noqa: F401

@@ -18,6 +18,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# Bump whenever hash64's output changes for ANY input (v2 = the round-2
+# switch from pd.util.hash_array strings to the buffer polynomial below).
+# Persisted Bloom/sketch blobs embed this (state/bloom.py, stages/stats.py);
+# a resume across schemes refuses to merge instead of producing silent false
+# negatives.
+HASH_SCHEME_VERSION = 2
+
 # polynomial base (odd -> invertible mod 2^64) and its modular inverse
 _P = np.uint64(0x100000001B3)
 _P_INV = np.uint64(pow(0x100000001B3, -1, 1 << 64))

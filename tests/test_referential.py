@@ -52,6 +52,41 @@ def test_bloom_false_positives_caught_exactly(tiny):
     assert got == expected_ref | expected_fid
 
 
+def test_sharded_bloom_false_positives_caught_exactly(tiny):
+    """Same adversarial setup against the SHARDED filter (shard == join
+    bucket, per-shard broadcast path): tiny shards -> heavy false positives,
+    and ghosts whose shard has no members take the definite-miss shortcut —
+    the exact join must still produce the identical listing."""
+    from rayval.state import ShardedBloom
+    from rayval.stages.referential import referential_violations
+
+    results, captions = tiny
+    bloom = ShardedBloom(8, fpp=0.5, n_shards=4)
+    for r in results.take_all():
+        if r["decodable"]:
+            bloom.add(np.array([r["image_id"]], dtype=object))
+    out = referential_violations(
+        captions, results, bloom, key="caption_id", n_buckets=4, compare_col="caption"
+    ).to_pandas()
+    got = {(r.caption_id, r.constraint_id) for r in out.itertuples()}
+    expected_ref = {(f"c{i}", "image_id.ref") for i in range(0, 50, 10)}
+    expected_ref |= {(f"c{50+j}", "image_id.ref") for j in range(10)}
+    assert got == expected_ref | {("c7", "caption.fidelity")}
+
+
+def test_build_bloom_is_sharded(tiny):
+    """build_bloom returns a ShardedBloom with only-touched-shard partials
+    merged per shard; every decodable id must probe positive."""
+    from rayval.state import ShardedBloom
+    from rayval.stages.referential import build_bloom
+
+    results, _ = tiny
+    bloom = build_bloom(results, n_expected=1000, fpp=0.001, n_shards=4)
+    assert isinstance(bloom, ShardedBloom) and bloom.n_shards == 4
+    ids = np.array([f"img-{i}" for i in range(50) if i % 10 != 0], dtype=object)
+    assert bloom.contains(ids).all()
+
+
 def test_bloom_negative_shortcut_still_exact(tiny):
     from rayval.stages.referential import build_bloom, referential_violations
 

@@ -99,3 +99,50 @@ def test_bloom_merge_and_serialize():
     a.merge(c)
     a2 = Bloom.from_bytes(a.to_bytes())
     assert a2.contains(np.arange(1000)).all()
+
+
+def test_sharded_bloom_semantics():
+    from rayval.state import ShardedBloom
+
+    sb = ShardedBloom(10_000, fpp=0.01, n_shards=8)
+    members = np.arange(10_000)
+    sb.add(members)
+    assert sb.contains(members).all()  # no false negatives
+    assert len(sb.shards) == 8
+    fp = sb.contains(np.arange(100_000, 200_000)).mean()
+    assert fp < 0.03
+    # per-batch-partial shape: only touched shards serialize
+    small = ShardedBloom(10_000, fpp=0.01, n_shards=1024)
+    small.add(np.arange(5))
+    assert len(small.shard_blobs()) <= 5
+    # merge of disjoint partials == bulk build
+    p1 = ShardedBloom(10_000, fpp=0.01, n_shards=8).add(np.arange(5000))
+    p2 = ShardedBloom(10_000, fpp=0.01, n_shards=8).add(np.arange(5000, 10_000))
+    p1.merge(p2)
+    assert p1.contains(members).all()
+    rt = ShardedBloom.from_bytes(p1.to_bytes())
+    assert rt.contains(members).all()
+    assert rt.n_shards == 8 and rt.shard_capacity == p1.shard_capacity
+
+
+def test_blob_version_stamp_refused():
+    """Pre-versioning / foreign-scheme blobs must refuse to deserialize:
+    merging partials across hash schemes produces silent false negatives."""
+    import pytest
+
+    from rayval.state import ShardedBloom, bloom_from_bytes
+    from rayval.stages.stats import ColumnStats
+
+    with pytest.raises(ValueError):
+        Bloom.from_bytes(b"\x07\x00" + b"\x00" * 64)  # old k+bits layout
+    blob = bytearray(Bloom(100).to_bytes())
+    blob[4] = 99  # wrong hash-scheme version
+    with pytest.raises(ValueError):
+        Bloom.from_bytes(bytes(blob))
+    with pytest.raises(ValueError):
+        ColumnStats.from_bytes(b"\x80\x04" + b"x" * 16)  # raw pickle (old)
+    st = ColumnStats.from_bytes(ColumnStats().to_bytes())
+    assert st.count == 0
+    # dispatch picks the right shape from the magic
+    assert isinstance(bloom_from_bytes(ShardedBloom(10, n_shards=2).to_bytes()), ShardedBloom)
+    assert isinstance(bloom_from_bytes(Bloom(10).to_bytes()), Bloom)
