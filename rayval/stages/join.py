@@ -22,6 +22,9 @@ import ray
 from rayval.state.hashing import hash64
 
 
+_JOIN_TYPES = {"left": "left outer", "inner": "inner", "right": "right outer", "outer": "full outer"}
+
+
 def broadcast_join(
     ds: "ray.data.Dataset",
     small: pa.Table,
@@ -29,14 +32,18 @@ def broadcast_join(
     how: str = "left",
 ) -> "ray.data.Dataset":
     """Enrich ``ds`` with columns from ``small`` (a driver-side Arrow table)
-    matched on ``key``.  Small side is broadcast once via the object store."""
-    small_ref = ray.put(small.to_pandas())
+    matched on ``key``.  Small side is broadcast once via the object store;
+    each batch runs one Arrow hash-join (``pa.Table.join``) — zero-copy in,
+    no pandas round-trip in the hot path.  Row order within a batch is not
+    preserved (hash-join output order), as with any distributed join."""
+    small_ref = ray.put(small)
+    join_type = _JOIN_TYPES.get(how, how)
 
-    def join(batch: pd.DataFrame) -> pd.DataFrame:
+    def join(batch: pa.Table) -> pa.Table:
         right = ray.get(small_ref)
-        return batch.merge(right, on=key, how=how)
+        return batch.join(right, keys=key, join_type=join_type)
 
-    return ds.map_batches(join, batch_format="pandas")
+    return ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def bucket_join(

@@ -35,12 +35,22 @@ from rayval.util import collect_tables
 
 
 def unique_violations(
-    ds: "ray.data.Dataset", column: str, key: str, hot_threshold: int = 1000
+    ds: "ray.data.Dataset", column: str, key: str, hot_threshold: int = 1000,
+    n_buckets: int = 32,
 ) -> pa.Table:
     """(partition_id, key, '<column>.unique') for every member of every
-    duplicate group of ``column`` — partial counts, tiny groupby, broadcast
-    dup-set membership (no row-level shuffle; the dedup.py shape for any
-    column/key)."""
+    duplicate group of ``column`` — partial counts, tiny groupby, then
+    membership by whichever shape the duplicate-set size allows:
+
+    - |dup values| <= ``hot_threshold``: broadcast the dup-value set
+      (``ray.put`` once) and filter in map_batches — NO row-level shuffle
+      (the dedup.py shape for any column/key).
+    - |dup values| > ``hot_threshold``: the set no longer broadcasts safely;
+      fall back to a hash-partitioned SEMI-JOIN — dup values and data rows
+      both shuffle narrow (bucket, value, key) rows to ``hash64(v) % B``
+      buckets, each bucket filters members vectorized.  Only violation rows
+      come back.
+    """
 
     def partial(batch: pa.Table) -> pa.Table:
         col = batch[column]
@@ -55,16 +65,25 @@ def unique_violations(
         .sum("n")
         .map_batches(lambda b: b.rename_columns(["v", "n_total"]), batch_format="pyarrow")
         .filter(expr="n_total > 1")
+        .materialize()  # counted, then consumed by exactly one path below
     )
-    dup_rows = counts.take_all()
+    n_dup = counts.count()
     schema = pa.schema(
         [(PARTITION_COL, pa.int64()), (key, pa.string()), ("constraint_id", pa.string())]
     )
-    if not dup_rows:
+    if n_dup == 0:
         return schema.empty_table()
+    cid = f"{column}.unique"
+    cols = [c for c in (column, key, PARTITION_COL) if c in ds.schema().names]
+    rows = ds.select_columns(cols)
+
+    if n_dup > hot_threshold:
+        out = _members_via_semijoin(rows, counts, column, key, cid, n_buckets)
+        return collect_tables(out, schema).sort_by([(key, "ascending")])
+
+    dup_rows = counts.take_all()
     dup_arr = pa.array([r["v"] for r in dup_rows])
     ref = ray.put(dup_arr)
-    cid = f"{column}.unique"
 
     def members(batch: pa.Table) -> pa.Table:
         hit = batch.filter(pc.is_in(batch[column], value_set=ray.get(ref)))
@@ -81,9 +100,76 @@ def unique_violations(
             }
         )
 
-    cols = [c for c in (column, key, PARTITION_COL) if c in ds.schema().names]
-    out = ds.select_columns(cols).map_batches(members, batch_format="pyarrow")
+    out = rows.map_batches(members, batch_format="pyarrow")
     return collect_tables(out, schema).sort_by([(key, "ascending")])
+
+
+def _members_via_semijoin(
+    rows: "ray.data.Dataset", dup_values: "ray.data.Dataset", column: str, key: str,
+    cid: str, n_buckets: int,
+) -> "ray.data.Dataset":
+    """Hash-partitioned semi-join membership: both sides shuffle only
+    (bucket, value, key, partition) rows; each bucket's task holds 1/B of the
+    dup-value set — the scale path when the duplicate set outgrows a
+    broadcast (the fallback documented in stages/dedup.py)."""
+    from rayval.state import hash64
+
+    def tag_dups(batch: pa.Table) -> pa.Table:
+        h = (hash64(batch["v"]) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(h),
+                "v": batch["v"],
+                key: pa.nulls(batch.num_rows, pa.string()),
+                PARTITION_COL: pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        keep = col.is_valid()
+        t = batch.filter(keep)
+        h = (hash64(t[column]) % np.uint64(n_buckets)).astype(np.int64)
+        part = (
+            t[PARTITION_COL]
+            if PARTITION_COL in t.column_names
+            else pa.array(np.full(t.num_rows, -1, dtype=np.int64))
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(h),
+                "v": t[column],
+                key: pc.cast(t[key], pa.string()),
+                PARTITION_COL: pc.cast(part, pa.int64()),
+            }
+        )
+
+    tagged = dup_values.select_columns(["v"]).map_batches(
+        tag_dups, batch_format="pyarrow"
+    ).union(rows.map_batches(tag_rows, batch_format="pyarrow"))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        is_dup = group[key].is_null() if group.num_rows else pa.array([], pa.bool_())
+        dups = group.filter(is_dup)
+        cand = group.filter(pc.invert(is_dup))
+        if cand.num_rows == 0 or dups.num_rows == 0:
+            return pa.table(
+                {
+                    PARTITION_COL: pa.array([], pa.int64()),
+                    key: pa.array([], pa.string()),
+                    "constraint_id": pa.array([], pa.string()),
+                }
+            )
+        hit = cand.filter(pc.is_in(cand["v"], value_set=dups["v"].combine_chunks()))
+        return pa.table(
+            {
+                PARTITION_COL: hit[PARTITION_COL],
+                key: hit[key],
+                "constraint_id": pa.array([cid] * hit.num_rows, type=pa.string()),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def run_table_rules(
@@ -110,7 +196,9 @@ def run_table_rules(
     for rule in profile.table_rules:
         if rule.kind == "unique":
             t = unique_violations(
-                ds, rule.column, key, hot_threshold=rule.params.get("hot_threshold", hot_threshold)
+                ds, rule.column, key,
+                hot_threshold=rule.params.get("hot_threshold", hot_threshold),
+                n_buckets=rule.params.get("n_buckets", n_buckets),
             )
             parts.append(t.cast(schema))
         elif rule.kind == "referential":

@@ -31,11 +31,13 @@ def salted_group_counts(
     key: str,
     hot_keys: Optional[np.ndarray] = None,
     n_salts: int = 16,
-) -> pa.Table:
+) -> "ray.data.Dataset":
     """Exact per-key counts with hot keys salted across ``n_salts`` reducers.
 
     ``hot_keys``: int64 array of keys known (e.g. from a sampled pre-count) to
-    be heavy; rows with other keys use salt 0.  Result: (key, n).
+    be heavy; rows with other keys use salt 0.  Result: a DISTRIBUTED
+    Dataset of (key, n) — distinct-keys-sized, so callers decide whether to
+    collect (small key spaces) or keep streaming (filter / write / join).
     """
     hot = np.asarray(hot_keys if hot_keys is not None else [], dtype=np.int64)
     hot_ref = ray.put(hot)
@@ -59,21 +61,16 @@ def salted_group_counts(
             }
         )
 
-    from rayval.util import collect_tables
-
     # level 1: aggregate by (key, salt) — hot keys split across n_salts groups
     lvl1 = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).groupby([key, "salt"]).sum("n")
-    # level 2: collapse salts per key, STILL distributed — the level-1 output
-    # is distinct-keys x salts, which is not driver-sized for high-cardinality
-    # keys; only the final per-key counts come back to the caller
-    lvl2 = (
+    # level 2: collapse salts per key, STILL distributed — the output is
+    # distinct-keys-sized, which is not driver-sized for high-cardinality
+    # keys; the caller collects only if its key space is known-small
+    return (
         lvl1.map_batches(
             lambda b: pa.table({key: b[key], "n": b["sum(n)"]}), batch_format="pyarrow"
         )
         .groupby(key)
         .sum("n")
         .map_batches(lambda b: b.rename_columns([key, "n"]), batch_format="pyarrow")
-    )
-    return collect_tables(
-        lvl2, pa.schema([(key, pa.int64()), ("n", pa.int64())])
     )

@@ -62,7 +62,9 @@ def test_salted_group_counts(ray_session):
     # one hot key (80% of rows) + uniform tail
     keys = np.concatenate([np.full(8000, 7, dtype=np.int64), np.arange(2000, dtype=np.int64)])
     ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)}))
-    out = salted_group_counts(ds, "k", hot_keys=np.array([7]), n_salts=8).to_pandas()
+    counts_ds = salted_group_counts(ds, "k", hot_keys=np.array([7]), n_salts=8)
+    assert isinstance(counts_ds, ray.data.Dataset)  # stays distributed
+    out = counts_ds.to_pandas()
     got = dict(zip(out.k, out.n))
     assert got[7] == 8000 + 1  # 8000 hot + the one tail row with k=7
     assert got[1999] == 1

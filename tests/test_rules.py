@@ -32,6 +32,30 @@ def test_unique_rule(dup_ds):
                    ("r4", "v.unique"), ("r5", "v.unique"), ("r6", "v.unique")]
 
 
+def test_unique_rule_semijoin_path_identical(dup_ds):
+    """hot_threshold=1 forces the hash-partitioned semi-join fallback (dup
+    set 'too big to broadcast'); the listing must match the broadcast path
+    exactly — including string-valued columns and null values."""
+    broadcast = unique_violations(dup_ds, "v", key="k", hot_threshold=1000)
+    semijoin = unique_violations(dup_ds, "v", key="k", hot_threshold=1, n_buckets=4)
+    assert broadcast.to_pydict() == semijoin.to_pydict()
+
+    import ray.data
+
+    strs = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([f"s{i}" for i in range(6)]),
+                "v": pa.array(["a", "b", "a", None, None, "c"]),
+            }
+        )
+    )
+    b2 = unique_violations(strs, "v", key="k", hot_threshold=1000)
+    s2 = unique_violations(strs, "v", key="k", hot_threshold=1, n_buckets=4)
+    assert b2.to_pydict() == s2.to_pydict()
+    assert sorted(b2["k"].to_pylist()) == ["s0", "s2"]  # nulls are not dups
+
+
 def test_referential_rule(dup_ds, ray_session):
     import ray.data
 
