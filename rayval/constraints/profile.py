@@ -82,6 +82,7 @@ class Profile:
         table_rules: Sequence[TableRule] = (),
         infer_scalars: bool = False,
         key: Optional[str] = None,
+        choice_groups: Sequence[tuple] = (),
     ):
         assert kind in ("sequence", "all", "choice"), kind
         self.name = name
@@ -91,6 +92,11 @@ class Profile:
         self.table_rules = list(table_rules)
         self.infer_scalars = infer_scalars
         self.key = key  # violation key column (e.g. "image_id")
+        # nested <choice> groups: [(prefix, [member columns])] — a nested
+        # complexType with kind="choice" flattens to dotted fields but KEEPS
+        # its exactly-one-non-null semantics per prefix (core.clj:150-159
+        # compiles choice per complexType, not only at the root)
+        self.choice_groups = [(p, list(m)) for p, m in choice_groups]
 
     def extend(self, ext_fields: Sequence[Field], kind: Optional[str] = None, name: Optional[str] = None) -> "Profile":
         """Extension analog (core.clj:173-195): base+ext column sets union; the
@@ -106,6 +112,7 @@ class Profile:
             table_rules=self.table_rules,
             infer_scalars=self.infer_scalars,
             key=self.key,
+            choice_groups=self.choice_groups,
         )
 
     def compile(self) -> "BatchValidator":
@@ -223,17 +230,25 @@ class BatchValidator:
                 continue
             out[ch.constraint_id] = ch.constraint.mask(v, self.ctx)
         if self.profile.kind == "choice":
-            out["__schema__.choice"] = self._choice_mask(table, views)
+            out["__schema__.choice"] = self._choice_mask(table, views, self.columns)
+        for prefix, members in self.profile.choice_groups:
+            out[f"{prefix}.choice"] = self._choice_mask(table, views, members)
         return out
 
-    def _choice_mask(self, table: pa.Table, views: dict[str, ColumnView]) -> np.ndarray:
-        """Exactly one non-null among declared columns (core.clj:150-159)."""
+    def _choice_mask(self, table: pa.Table, views: dict[str, ColumnView], names) -> np.ndarray:
+        """Exactly one non-null among ``names`` (core.clj:150-159) — the root
+        profile's columns for kind="choice", a nested group's members for
+        every flattened <choice> complexType."""
         n = table.num_rows
-        cnt = np.zeros(n, dtype=np.int8)
-        for name in self.columns:
+        cnt = np.zeros(n, dtype=np.int16)
+        for name in names:
             v = views.get(name)
             if v is not None:
-                cnt += (~v.null_np).astype(np.int8)
+                cnt += (~v.null_np).astype(np.int16)
+            else:
+                col = self._resolve(table, name)  # non-leaf member (struct)
+                if col is not None:
+                    cnt += (~col.is_null().to_numpy(zero_copy_only=False)).astype(np.int16)
         return cnt == 1
 
     def row_valid(self, table: pa.Table) -> np.ndarray:

@@ -121,7 +121,7 @@ class XsdSchema:
                 infer_scalars=infer_scalars,
                 key=key,
             )
-        fields, kind = self._fields_of(ct, prefix="")
+        fields, kind, groups = self._fields_of(ct, prefix="")
         return Profile(
             element_name,
             fields,
@@ -129,6 +129,7 @@ class XsdSchema:
             registry=self.types,
             infer_scalars=infer_scalars,
             key=key,
+            choice_groups=groups,
         )
 
     def _resolve_complex(self, decl: ElementDecl) -> Optional[ComplexType]:
@@ -147,20 +148,32 @@ class XsdSchema:
             return c
         return Ref(c)  # named type — resolved against the registry at compile
 
-    def _fields_of(self, ct: ComplexType, prefix: str) -> tuple[list[Field], Optional[str]]:
+    def _fields_of(
+        self, ct: ComplexType, prefix: str
+    ) -> tuple[list[Field], Optional[str], list[tuple[str, list[str]]]]:
         """Flatten a complexType into (dotted-path) Fields; extension merges
-        base fields FIRST (content concat order, core.clj:173-195)."""
+        base fields FIRST (content concat order, core.clj:173-195).
+
+        A NESTED complexType with kind="choice" keeps its exactly-one-non-null
+        semantics: its element paths are recorded as a per-prefix choice group
+        (third return value; the reference compiles choice per complexType,
+        core.clj:150-159 — flattening alone would silently drop the check).
+        Nested sequence/all collection kinds reduce to struct-field presence
+        (``<path>.missing``): Arrow struct field order is part of the type, so
+        there is no per-row order to check."""
         fields: list[Field] = []
+        groups: list[tuple[str, list[str]]] = []
         kind = ct.kind
         if ct.base is not None:
             base_ct = self.complex_types[ct.base]
-            base_fields, base_kind = self._fields_of(base_ct, prefix)
+            base_fields, base_kind, base_groups = self._fields_of(base_ct, prefix)
             if kind is not None and base_kind is not None and kind != base_kind:
                 raise ValueError(
                     f"extension collection kind {kind!r} != base {base_kind!r} (core.clj:177-195)"
                 )
             kind = kind or base_kind
             fields.extend(base_fields)
+            groups.extend(base_groups)
         for d in ct.elements:
             d = self.elements[d.ref] if d.ref else d
             nested = self._resolve_complex(d)
@@ -168,7 +181,10 @@ class XsdSchema:
             if nested is None:
                 fields.append(Field(path, self._as_constraint(d.constraint)))
             else:
-                sub_fields, _sub_kind = self._fields_of(nested, prefix=path + ".")
+                sub_fields, sub_kind, sub_groups = self._fields_of(nested, prefix=path + ".")
+                groups.extend(sub_groups)
+                if sub_kind == "choice":
+                    groups.append((path, self._element_paths(nested, path + ".")))
                 if not sub_fields:
                     fields.append(Field(path))
                 fields.extend(sub_fields)
@@ -177,7 +193,19 @@ class XsdSchema:
                 Field(prefix + a.name, a.constraint, required=a.required,
                       default=a.default, fixed=a.fixed)
             )
-        return fields, kind
+        return fields, kind, groups
+
+    def _element_paths(self, ct: ComplexType, prefix: str) -> list[str]:
+        """Dotted paths of a complexType's ELEMENT children (base first) —
+        the member set of a nested choice group (attributes are not
+        alternatives in a choice)."""
+        out: list[str] = []
+        if ct.base is not None:
+            out.extend(self._element_paths(self.complex_types[ct.base], prefix))
+        for d in ct.elements:
+            d = self.elements[d.ref] if d.ref else d
+            out.append(prefix + d.name)
+        return out
 
 
 def parse_xsd(text: str) -> XsdSchema:

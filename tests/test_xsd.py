@@ -202,6 +202,50 @@ def test_choice_exactly_one():
     assert v.masks(t)["__schema__.choice"].tolist() == [True, True, False, False]
 
 
+def test_nested_choice_enforced():
+    """A <choice> nested under a sequence keeps its exactly-one-non-null
+    semantics after flattening to dotted paths (the reference compiles choice
+    per complexType, core.clj:150-159) — it must NOT silently become plain
+    optional fields."""
+    p = profile_from_xsd(
+        """<schema>
+             <element name="doc">
+               <complexType>
+                 <sequence>
+                   <element name="id" type="string"/>
+                   <element name="meta">
+                     <complexType>
+                       <choice>
+                         <element name="a" type="integer"/>
+                         <element name="b" type="string"/>
+                       </choice>
+                     </complexType>
+                   </element>
+                 </sequence>
+               </complexType>
+             </element>
+           </schema>"""
+    )
+    assert p.choice_groups == [("meta", ["meta.a", "meta.b"])]
+    v = p.compile()
+    meta = pa.array(
+        [
+            {"a": 1, "b": None},    # exactly one -> ok
+            {"a": None, "b": "x"},  # exactly one -> ok
+            {"a": 2, "b": "y"},     # both -> violation
+            {"a": None, "b": None}, # none -> violation
+        ],
+        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+    )
+    t = pa.table({"id": pa.array(["r1", "r2", "r3", "r4"]), "meta": meta})
+    m = v.masks(t)
+    assert m["meta.choice"].tolist() == [True, True, False, False]
+    viol = v.violations(t, key="id")
+    got = set(zip(viol["id"].to_pylist(), viol["constraint_id"].to_pylist()))
+    assert ("r3", "meta.choice") in got and ("r4", "meta.choice") in got
+    assert ("r1", "meta.choice") not in got
+
+
 # ---- complexType with attributes (parser_test.clj:358-382, 546-578) ---------
 def test_complex_type_with_attributes():
     p = profile_from_xsd(
