@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rayval.pipelines.queries import QUERIES
+    from rayval.pipelines.queries import QUERIES, ensure_oracle_fixtures
 
+    # some oracles read deterministic /tmp fixtures (generated images parquet);
+    # materialize them here so the SQL runs no matter which side goes first
+    ensure_oracle_fixtures()
     return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1353,6 +1353,198 @@ def q_image_resize(sf_dir: str) -> pa.Table:
     return t.sort_by("image_id")
 
 
+# ================== reference-semantics queries added in round 3 ============
+def q_scalar_inference_violations(sf_dir: str) -> pa.Table:
+    """``read-string`` scalar inference (parser.clj:14-22; engine
+    base.py:ColumnView.numeric): a heterogeneous STRING column — numbers
+    rendered as text interleaved with word values — validated under
+    ``infer_scalars``.  Numeric-looking text IS a number and must satisfy the
+    'decimal' base + range facet; word values fail the base type (and the
+    range, which only parseable rows can pass)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        mod = keys % 3
+        v_price = pc.cast(batch["o_totalprice"], pa.string())
+        v_key = pc.cast(batch["o_orderkey"], pa.string())
+        val = pc.if_else(
+            pa.array(mod == 0), v_price, pc.if_else(pa.array(mod == 1), batch["o_orderpriority"], v_key)
+        )
+        return pa.table({"o_orderkey": batch["o_orderkey"], "val": val})
+
+    prof = Profile(
+        "inferred",
+        [F("val", Restriction("decimal", [Range(min=0, max=150000.5)]))],
+        key="row_key",
+        infer_scalars=True,
+    )
+    ds2 = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return _violations_query(ds2, prof, ["o_orderkey"])
+
+
+SQL_SCALAR_INFERENCE_VIOLATIONS = """
+WITH vals AS (
+  SELECT o_orderkey,
+         CASE CAST(o_orderkey % 3 AS INTEGER)
+           WHEN 0 THEN CAST(o_totalprice AS VARCHAR)
+           WHEN 1 THEN o_orderpriority
+           ELSE CAST(o_orderkey AS VARCHAR) END AS val
+  FROM orders)
+SELECT CAST(o_orderkey AS VARCHAR) AS row_key, 'val.type' AS constraint_id
+FROM vals WHERE TRY_CAST(val AS DOUBLE) IS NULL
+UNION ALL
+SELECT CAST(o_orderkey AS VARCHAR), 'val.range'
+FROM vals WHERE TRY_CAST(val AS DOUBLE) IS NULL
+   OR NOT (TRY_CAST(val AS DOUBLE) BETWEEN 0 AND 150000.5)
+"""
+
+
+def q_nested_struct_violations(sf_dir: str) -> pa.Table:
+    """Dotted-path constraints descending an Arrow STRUCT column (the
+    nested-element analog, profile.py:_resolve; parser_test.clj:434-528):
+    customer rows packed into ``info:struct<nation,seg>``, validated via
+    ``info.nation`` / ``info.seg`` paths."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def to_struct(batch: pa.Table) -> pa.Table:
+        info = pa.StructArray.from_arrays(
+            [batch["c_nationkey"].combine_chunks(), batch["c_mktsegment"].combine_chunks()],
+            names=["nation", "seg"],
+        )
+        return pa.table({"c_custkey": batch["c_custkey"], "info": info})
+
+    prof = Profile(
+        "cust_nested",
+        [
+            F("info.nation", Range(min=0, max=20)),
+            F("info.seg", Enum(["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY"])),
+        ],
+        key="row_key",
+    )
+    ds2 = ds.map_batches(to_struct, batch_format="pyarrow", zero_copy_batch=True)
+    return _violations_query(ds2, prof, ["c_custkey"])
+
+
+SQL_NESTED_STRUCT_VIOLATIONS = """
+SELECT CAST(c_custkey AS VARCHAR) AS row_key, 'info.nation.range' AS constraint_id
+FROM customer WHERE NOT (c_nationkey BETWEEN 0 AND 20)
+UNION ALL
+SELECT CAST(c_custkey AS VARCHAR), 'info.seg.enum'
+FROM customer WHERE c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY')
+"""
+
+
+def q_structural_violations(sf_dir: str) -> pa.Table:
+    """Sequence/all STRUCTURAL checks over batch schemas (core.clj:138-146;
+    the 'TODO order!' at core.clj:143 pinned as declared order): the same
+    sequence profile is run against four reads of ``part`` — correct order,
+    reordered, extra column, missing column.  Structural ids are emitted once
+    per batch with a null key; the listing DISTINCTs them per case."""
+    prof = Profile("part_seq", [F("p_partkey"), F("p_name")], kind="sequence")
+    v = prof.compile()
+    cases = [
+        ("extra", ["p_partkey", "p_name", "p_size"]),
+        ("missing", ["p_partkey"]),
+        ("ok", ["p_partkey", "p_name"]),
+        ("reordered", ["p_name", "p_partkey"]),
+    ]
+    parts = []
+    schema = pa.schema([("read_case", pa.string()), ("constraint_id", pa.string())])
+    for case, cols in cases:
+        ds = _read(sf_dir, "part", cols)
+
+        def check(batch: pa.Table, _case=case) -> pa.Table:
+            ids = sorted(set(v.schema_violations(batch.schema)))
+            return pa.table(
+                {
+                    "read_case": pa.array([_case] * len(ids), type=pa.string()),
+                    "constraint_id": pa.array(ids, type=pa.string()),
+                }
+            )
+
+        t = _collect(ds.map_batches(check, batch_format="pyarrow"), schema)
+        parts.append(t)
+    merged = pa.concat_tables(parts)
+    return (
+        merged.group_by(["read_case", "constraint_id"])
+        .aggregate([])
+        .sort_by([("read_case", "ascending"), ("constraint_id", "ascending")])
+    )
+
+
+# The expected structural listing is a property of the DECLARED schema vs the
+# read shape, not of row values — the oracle states it as constants (any row
+# drift on the Ray side hash-mismatches).
+SQL_STRUCTURAL_VIOLATIONS = """
+SELECT * FROM (VALUES
+  ('extra', '__schema__.sequence'),
+  ('missing', '__schema__.sequence'),
+  ('missing', 'p_name.missing'),
+  ('reordered', '__schema__.sequence'))
+AS t(read_case, constraint_id)
+ORDER BY read_case, constraint_id
+"""
+
+
+_META_IMAGES_DIR = "/tmp/rayval_q_images/data"
+
+
+def ensure_oracle_fixtures() -> None:
+    """Materialize the deterministic /tmp fixtures some oracle SQL reads
+    (images parquet for ``images_meta_violations``).  Idempotent (generation
+    marker); called from ``__ray_entry__.oracle_sql`` so the files exist no
+    matter which side the driver runs first."""
+    from rayval.sources.images import generate_images
+
+    generate_images(_META_IMAGES_DIR, n=300, fragments=4, seed=42)
+
+
+def q_images_meta_violations(sf_dir: str) -> pa.Table:
+    """The flagship profile's SQL-EXPRESSIBLE half over the generated images
+    table: pattern / range / enum / maxLength / required metadata constraints
+    (decode / phash / fidelity stay in the rows-only ``images_validation``).
+    Payload bytes are PRUNED at the read — the meta pass never lifts them."""
+    from rayval.constraints import MaxLength
+    from rayval.sources.images import MAX_CAPTION
+
+    ensure_oracle_fixtures()
+    ds = ray.data.read_parquet(
+        _META_IMAGES_DIR + "/images", columns=["image_id", "w", "h", "fmt", "caption"]
+    )
+    prof = Profile(
+        "images_meta",
+        [
+            F("image_id", Pattern(r"img-\d{9}"), required=True),
+            F("w", Range(min=1, max=8192)),
+            F("h", Range(min=1, max=8192)),
+            F("fmt", Enum(["jpeg", "png", "webp"])),
+            F("caption", MaxLength(MAX_CAPTION), required=True),
+        ],
+        key="row_key",
+    )
+    return _violations_query(ds, prof, ["image_id"])
+
+
+SQL_IMAGES_META_VIOLATIONS = """
+WITH imgs AS (SELECT * FROM read_parquet('/tmp/rayval_q_images/data/images/*.parquet'))
+SELECT image_id AS row_key, 'image_id.pattern' AS constraint_id
+FROM imgs WHERE image_id IS NOT NULL AND NOT regexp_full_match(image_id, 'img-[0-9]{9}')
+UNION ALL
+SELECT image_id, 'image_id.required' FROM imgs WHERE image_id IS NULL
+UNION ALL
+SELECT image_id, 'w.range' FROM imgs WHERE w IS NOT NULL AND NOT (w BETWEEN 1 AND 8192)
+UNION ALL
+SELECT image_id, 'h.range' FROM imgs WHERE h IS NOT NULL AND NOT (h BETWEEN 1 AND 8192)
+UNION ALL
+SELECT image_id, 'fmt.enum' FROM imgs WHERE fmt IS NOT NULL AND fmt NOT IN ('jpeg','png','webp')
+UNION ALL
+SELECT image_id, 'caption.required' FROM imgs WHERE caption IS NULL
+UNION ALL
+SELECT image_id, 'caption.maxLength' FROM imgs WHERE caption IS NOT NULL AND length(caption) > 120
+"""
+
+
 QUERIES = {
     "lineitem_violations": (q_lineitem_violations, SQL_LINEITEM_VIOLATIONS),
     "part_violations": (q_part_violations, SQL_PART_VIOLATIONS),
@@ -1367,6 +1559,10 @@ QUERIES = {
     "extension_violations": (q_extension_violations, SQL_EXTENSION_VIOLATIONS),
     "rules_driven_violations": (q_rules_driven_violations, SQL_RULES_DRIVEN_VIOLATIONS),
     "xsd_supplier_violations": (q_xsd_supplier_violations, SQL_XSD_SUPPLIER_VIOLATIONS),
+    "scalar_inference_violations": (q_scalar_inference_violations, SQL_SCALAR_INFERENCE_VIOLATIONS),
+    "nested_struct_violations": (q_nested_struct_violations, SQL_NESTED_STRUCT_VIOLATIONS),
+    "structural_violations": (q_structural_violations, SQL_STRUCTURAL_VIOLATIONS),
+    "images_meta_violations": (q_images_meta_violations, SQL_IMAGES_META_VIOLATIONS),
     "partition_verdicts": (q_partition_verdicts, SQL_PARTITION_VERDICTS),
     "jsonl_events_by_type": (q_jsonl_events_by_type, SQL_JSONL_EVENTS_BY_TYPE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
