@@ -123,16 +123,20 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn):
-        t0 = time.time()
-        fn(SF_DIR)
-        timings[name] = round(time.time() - t0, 3)
-
     only_images = os.environ.get("RAYVAL_BENCH_ONLY") == "images"
-    # min of 2 trials by default: the first flagship run in a fresh Ray
-    # session pays one-time actor/worker spinup + page-fault costs (measured
-    # ~1.5x); the min reflects steady-state throughput
+    # min of 2 trials by default — for the flagship AND the small queries: a
+    # sub-5s query in a fresh session carries ~1s of fixed Ray job cost whose
+    # variance would otherwise read as a code regression (round-2's phantom
+    # 1.9x on pricing_summary); the min reflects steady-state throughput
     trials = int(os.environ.get("RAYVAL_BENCH_TRIALS", "2"))
+
+    def timed(name: str, fn):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.time()
+            fn(SF_DIR)
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     if not only_images:
         timed("lineitem_violations", Q.q_lineitem_violations)
         timed("pricing_summary", Q.q_pricing_summary)

@@ -200,6 +200,43 @@ def test_ivf_topk(emb_ds):
     assert len(set(approx.vec_id) & set(exact.vec_id)) >= 2
 
 
+def test_ann_recall_gate(ray_session):
+    """Quantitative quality bar for the ANN scale paths: recall@10 vs exact
+    brute-force cosine must be >= 0.9 on a clustered 600x24 fixture (fixed
+    seeds, 10 queries) for BOTH hyperplane-LSH multiprobe and IVF."""
+    import ray.data
+
+    from rayval.stages.similarity import brute_topk, ivf_topk, lsh_topk
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((8, 24)) * 3
+    pts = np.vstack([c + rng.standard_normal((75, 24)) for c in centers])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(pts)), type=pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in pts], type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    queries = pts[rng.choice(len(pts), size=10, replace=False)] + rng.standard_normal((10, 24)) * 0.05
+
+    def recall(approx, exact, k=10):
+        tot = 0.0
+        for q in range(10):
+            a = set(approx[approx.query_id == q].vec_id)
+            e = set(exact[exact.query_id == q].vec_id)
+            tot += len(a & e) / len(e)
+        return tot / 10
+
+    exact = brute_topk(ds, queries, k=10).to_pandas()
+    lsh = lsh_topk(ds, queries, k=10, n_planes=10, probe_bits=2).to_pandas()
+    ivf = ivf_topk(ds, queries, k=10, n_lists=8, n_probe=4).to_pandas()
+    r_lsh, r_ivf = recall(lsh, exact), recall(ivf, exact)
+    assert r_lsh >= 0.9, f"LSH recall@10 {r_lsh:.3f} < 0.9"
+    assert r_ivf >= 0.9, f"IVF recall@10 {r_ivf:.3f} < 0.9"
+
+
 def test_hot_bucket_guard_minhash(ray_session):
     """A 1%-duplicated corpus (one text repeated 40x among 400 docs) must not
     trigger an O(b^2) pair blowup: the hot band buckets short-circuit to
