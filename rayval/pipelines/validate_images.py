@@ -47,7 +47,7 @@ from rayval.pipelines.manifest import Manifest
 from rayval.sources.images import MAX_CAPTION
 from rayval.sources.parquet import list_fragments, read_fragments
 from rayval.stages.decode import DecodeCheck
-from rayval.stages.dedup import duplicate_counts, duplicate_violations, phash_counts_ds, top_hot_buckets
+from rayval.stages.dedup import dup_counts_and_top, duplicate_violations, phash_counts_ds
 from rayval.stages.referential import referential_violations
 from rayval.stages.stats import ColumnStats, drift_violations, global_stats, merge_partials, sketch_partials
 from rayval.stages.validate import MetaValidate, annotate_from_masks, explode_violations
@@ -276,14 +276,13 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
     # overlap instead of serializing — phase 2 is the flagship's serial tail.
     def _dedup_job():
         # ONE distributed count pass feeds both the duplicate filter and the
-        # skew report; only dup-group-sized (k-sized) tables reach the driver —
-        # at 10^12 mostly-unique phashes the full distinct-counts table never
-        # leaves the cluster.
-        counts_ds = phash_counts_ds(results).materialize()
-        top10 = top_hot_buckets(counts_ds, 10)
+        # skew report (dup rows + per-block top-k in the same scan); only
+        # dup-group-sized (k-sized) tables reach the driver — at 10^12
+        # mostly-unique phashes the full distinct-counts table never leaves
+        # the cluster.
+        dup_tbl, top10 = dup_counts_and_top(phash_counts_ds(results), 10)
         if "unique" not in rule_kinds:
             return top10, []
-        dup_tbl = duplicate_counts(counts_ds)
         dup_ds = duplicate_violations(results, hot_threshold=cfg.hot_threshold, counts=dup_tbl)
         return top10, [t for t in _ds_tables(dup_ds) if t.num_rows]
 

@@ -78,6 +78,37 @@ def duplicate_counts(counts: "ray.data.Dataset") -> pa.Table:
     return collect_tables(counts.filter(expr="n > 1"), _COUNTS_SCHEMA)
 
 
+def dup_counts_and_top(counts: "ray.data.Dataset", k: int = 10) -> tuple[pa.Table, pa.Table]:
+    """(duplicate counts table, top-k hot table) from ONE pass over the
+    distributed counts: each block emits its ``n > 1`` rows plus its own
+    top-k candidates (marker column), so the driver sees dup-group-sized +
+    k x num_blocks rows in a single Ray job — the filter and the combiner
+    share the scan instead of costing a fixed job launch each."""
+
+    def per_block(b: pa.Table) -> pa.Table:
+        dup = b.filter(pc.greater(b["n"], 1))
+        top = _topk_table(b, k)
+        return pa.table(
+            {
+                "phash": pa.concat_arrays(
+                    [dup["phash"].combine_chunks(), top["phash"].combine_chunks()]
+                ),
+                "n": pa.concat_arrays([dup["n"].combine_chunks(), top["n"].combine_chunks()]),
+                "is_top": pa.array([False] * dup.num_rows + [True] * top.num_rows),
+            }
+        )
+
+    from rayval.util import collect_tables
+
+    rows = collect_tables(
+        counts.map_batches(per_block, batch_format="pyarrow"),
+        pa.schema([("phash", pa.int64()), ("n", pa.int64()), ("is_top", pa.bool_())]),
+    )
+    dup_tbl = rows.filter(pc.invert(rows["is_top"])).select(["phash", "n"])
+    top_tbl = _topk_table(rows.filter(rows["is_top"]).select(["phash", "n"]), k)
+    return dup_tbl, top_tbl
+
+
 def duplicate_violations(
     results: "ray.data.Dataset",
     hot_threshold: int = 1000,

@@ -201,7 +201,8 @@ def test_dedup_counts_stay_distributed(ray_session):
     import ray.data
 
     from rayval.stages.dedup import (
-        duplicate_counts, duplicate_violations, phash_counts_ds, top_hot_buckets,
+        dup_counts_and_top, duplicate_counts, duplicate_violations, phash_counts_ds,
+        top_hot_buckets,
     )
 
     t = pa.table(
@@ -218,6 +219,10 @@ def test_dedup_counts_stay_distributed(ray_session):
     assert top["phash"].to_pylist() == [3, 1] and top["n"].to_pylist() == [3, 2]
     viol = duplicate_violations(ray.data.from_arrow(t), counts=dup).take_all()
     assert sorted(r["image_id"] for r in viol) == ["img-0", "img-1", "img-3", "img-4", "img-5"]
+    # fused single-pass variant agrees with the two separate passes
+    dup2, top2 = dup_counts_and_top(phash_counts_ds(ray.data.from_arrow(t)), 2)
+    assert dict(zip(dup2["phash"].to_pylist(), dup2["n"].to_pylist())) == {1: 2, 3: 3}
+    assert top2["phash"].to_pylist() == [3, 1] and top2["n"].to_pylist() == [3, 2]
 
 
 def test_profile_roundtrip_drift(data_dir, tmp_path, ray_session):
