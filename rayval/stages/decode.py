@@ -109,7 +109,14 @@ class DecodeCheck:
             fmt_ok[i] = container_fmt == fmt[i]
             ph_ok[i] = phash64(px) == ph[i]
             if self.quality and dh >= 3 and dw >= 3:
-                gray = px.mean(axis=2, dtype=np.float32)
+                # bit-identical to px.mean(axis=2, dtype=np.float32) — numpy's
+                # 3-element pairwise reduce is ((c0+c1)+c2)/3, spelled out here
+                # because the axis-2 ufunc reduce is ~8x slower than three
+                # accumulating adds (measured; this was the stage's top cost)
+                gray = px[:, :, 0].astype(np.float32)
+                gray += px[:, :, 1]
+                gray += px[:, :, 2]
+                gray /= 3
                 brightness[i] = gray.mean()
                 contrast[i] = gray.std()
                 # in-place laplacian: same left-to-right float32 op order as
