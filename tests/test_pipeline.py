@@ -193,6 +193,23 @@ def test_resume_after_mid_publish_kill(data_dir, tmp_path, ray_session):
     assert got == exp
 
 
+def test_fused_decode_matches_actor_pool(finished_run, tmp_path):
+    """decode_concurrency=None (fused read->decode task mode, the bench/scale
+    default) must produce the exact same final violation listing as the
+    actor-pool mode the rest of this module runs."""
+    data_dir, _, _ = finished_run
+    out = str(tmp_path / "fused")
+    run(
+        data_dir + "/images",
+        out,
+        captions_path=data_dir + "/captions.parquet",
+        cfg=RunConfig(group_size=3, decode_concurrency=None, hot_threshold=3, bloom_expected=10_000),
+    )
+    got = _violations_set(os.path.join(out, "final_violations"))
+    exp = _violations_set(os.path.join(data_dir, "expected_violations.parquet"))
+    assert got == exp
+
+
 def test_dedup_counts_stay_distributed(ray_session):
     """The dup filter runs distributed (n > 1 before any collect): the driver
     sees only duplicated keys, the top-k report comes from a per-block
