@@ -117,7 +117,11 @@ def main(argv=None) -> int:
     v.add_argument("--out", required=True)
     v.add_argument("--captions", default=None)
     v.add_argument("--group-size", type=int, default=4)
-    v.add_argument("--decode-concurrency", type=int, default=4)
+    v.add_argument(
+        "--decode-concurrency", type=int, default=None,
+        help="actor-pool size for decode; omit for fused task decode "
+             "(read->decode in one task, bytes never enter the object store)",
+    )
     v.add_argument("--annotated", action="store_true")
     v.add_argument("--reference", default=None,
                    help="global_profile.bin from a previous run: enables drift checks")
