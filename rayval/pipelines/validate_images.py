@@ -47,7 +47,7 @@ from rayval.pipelines.manifest import Manifest
 from rayval.sources.images import MAX_CAPTION
 from rayval.sources.parquet import list_fragments, read_fragments
 from rayval.stages.decode import DecodeCheck
-from rayval.stages.dedup import dup_counts_and_top, duplicate_violations, phash_counts_ds
+from rayval.stages.dedup import dup_counts_and_top_bucketed, duplicate_violations
 from rayval.stages.referential import referential_violations
 from rayval.stages.stats import ColumnStats, drift_violations, global_stats, merge_partials, sketch_partials
 from rayval.stages.validate import MetaValidate, annotate_from_masks, explode_violations
@@ -147,43 +147,45 @@ def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Mani
 
     def process(gid: int, group: list[str]) -> None:
         paths = manifest.group_paths(gid)
+        tmp_results = paths["results"] + ".tmp"
+        _clean(tmp_results)  # a killed run may have left partial files; Ray's
+        os.makedirs(tmp_results, exist_ok=True)  # uuid-named parts would otherwise accumulate
         if cfg.decode_concurrency:
             # actor-pool mode: split fragments so the pool packs evenly; the
             # wide blocks cross the object store once (read op -> actor op)
             ds = read_fragments(group, override_num_blocks=len(group) * cfg.read_blocks_per_fragment)
-        else:
-            ds = read_fragments(group)  # fragment-aligned: keeps the fuse
-        ds = ds.map_batches(MetaValidate(validator), batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        if cfg.decode_concurrency:
+            ds = ds.map_batches(MetaValidate(validator), batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
             ds = ds.map_batches(
                 DecodeCheck,
                 batch_format="pyarrow",
                 batch_size=cfg.decode_batch_size,
                 concurrency=cfg.decode_concurrency,
             )
+            ds.write_parquet(tmp_results)
+            # ONE read-back pass over the narrow results computes the
+            # violation rows AND the sketch + Bloom partials (fused to
+            # amortize job startup).  Violations travel back as per-batch
+            # Arrow IPC blobs (they are a small fraction of rows; a config
+            # flip to a distributed write is the escape hatch if a
+            # pathological group violates wholesale).
+            results = ray.data.read_parquet(_expand([tmp_results]))
+            partials = _derive_group_outputs(results, cfg)
         else:
-            # callable INSTANCE -> task-based stage: fuses with the read, so
-            # bytes stay inside the task that lifted them off storage
+            # FUSED task mode (default): read -> validate -> decode -> write
+            # narrow part file -> emit (stats, bloom, viol) partials, ALL in
+            # one Ray task per fragment block — payload bytes never enter the
+            # object store and there is no second job / parquet re-scan.
+            ds = read_fragments(group)  # fragment-aligned: keeps the fuse
+            ds = ds.map_batches(MetaValidate(validator), batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
             kw = {"num_cpus": cfg.decode_task_cpus} if cfg.decode_task_cpus > 1 else {}
-            ds = ds.map_batches(
-                DecodeCheck(),
+            partials = ds.map_batches(
+                _DecodeWriteDerive(tmp_results, cfg.bloom_expected, cfg.ref_buckets),
                 batch_format="pyarrow",
                 batch_size=cfg.decode_batch_size,
                 zero_copy_batch=True,
                 **kw,
-            )
-        tmp_results = paths["results"] + ".tmp"
-        _clean(tmp_results)  # a killed run may have left partial files; Ray's
-        ds.write_parquet(tmp_results)  # uuid-named parts would otherwise accumulate
+            ).take_all()
         n_rows = _parquet_rows(tmp_results)  # metadata only — no Ray job
-
-        # ONE read-back pass over the narrow results computes the violation
-        # rows AND the sketch + Bloom partials (fused to amortize job startup).
-        # Violations travel back as per-batch Arrow IPC blobs (they are a small
-        # fraction of rows; a config flip to a distributed write is the escape
-        # hatch if a pathological group violates wholesale).
-        results = ray.data.read_parquet(_expand([tmp_results]))
-        partials = _derive_group_outputs(results, cfg)
         tmp_viol = paths["violations"] + ".tmp"
         _clean(tmp_viol)
         os.makedirs(tmp_viol, exist_ok=True)
@@ -305,12 +307,13 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
     # dispatch them concurrently so their (mostly fixed) all-to-all overheads
     # overlap instead of serializing — phase 2 is the flagship's serial tail.
     def _dedup_job():
-        # ONE distributed count pass feeds both the duplicate filter and the
-        # skew report (dup rows + per-block top-k in the same scan); only
-        # dup-group-sized (k-sized) tables reach the driver — at 10^12
-        # mostly-unique phashes the full distinct-counts table never leaves
-        # the cluster.
-        dup_tbl, top10 = dup_counts_and_top(phash_counts_ds(results), 10)
+        # ONE distributed count pass (blob-bucketed exchange) feeds both the
+        # duplicate filter and the skew report; only dup-group-sized
+        # (k-sized) tables reach the driver — at 10^12 mostly-unique phashes
+        # the full distinct-counts table never leaves the cluster.
+        dup_tbl, top10, _n_hot = dup_counts_and_top_bucketed(
+            results, 10, hot_threshold=cfg.hot_threshold
+        )
         if "unique" not in rule_kinds:
             return top10, []
         dup_ds = duplicate_violations(results, hot_threshold=cfg.hot_threshold, counts=dup_tbl)
@@ -457,25 +460,52 @@ def _derive_group_outputs(results: "ray.data.Dataset", cfg: RunConfig) -> list[d
     bloom_shards = cfg.ref_buckets
 
     def fused(batch: pa.Table) -> pa.Table:
-        part_rows = sketch_partials(batch)
-        stats_blobs = part_rows["stats"].to_pylist()
-        pids = part_rows[PARTITION_COL].to_pylist()
-        b = ShardedBloom(bloom_expected, n_shards=bloom_shards)
-        t = batch.filter(batch["decodable"]) if "decodable" in batch.column_names else batch
-        if t.num_rows:
-            b.add(t["image_id"])
-        viol = explode_violations(batch)
-        n = max(len(pids), 1)
-        return pa.table(
-            {
-                PARTITION_COL: pa.array(pids or [-1], type=pa.int64()),
-                "stats": pa.array(stats_blobs or [None], type=pa.binary()),
-                "bloom": pa.array([b.to_bytes()] + [None] * (n - 1), type=pa.binary()),
-                "viol": pa.array([_ipc_write(viol)] + [None] * (n - 1), type=pa.binary()),
-            }
-        )
+        return _derive_row(batch, bloom_expected, bloom_shards)
 
     return results.map_batches(fused, batch_format="pyarrow", zero_copy_batch=True).take_all()
+
+
+def _derive_row(batch: pa.Table, bloom_expected: int, bloom_shards: int) -> pa.Table:
+    """One narrow-results batch -> one partials row-group: (partition_id,
+    stats blob) per partition present, plus a sharded-Bloom partial and the
+    batch's violations as one Arrow IPC blob."""
+    part_rows = sketch_partials(batch)
+    stats_blobs = part_rows["stats"].to_pylist()
+    pids = part_rows[PARTITION_COL].to_pylist()
+    b = ShardedBloom(bloom_expected, n_shards=bloom_shards)
+    t = batch.filter(batch["decodable"]) if "decodable" in batch.column_names else batch
+    if t.num_rows:
+        b.add(t["image_id"])
+    viol = explode_violations(batch)
+    n = max(len(pids), 1)
+    return pa.table(
+        {
+            PARTITION_COL: pa.array(pids or [-1], type=pa.int64()),
+            "stats": pa.array(stats_blobs or [None], type=pa.binary()),
+            "bloom": pa.array([b.to_bytes()] + [None] * (n - 1), type=pa.binary()),
+            "viol": pa.array([_ipc_write(viol)] + [None] * (n - 1), type=pa.binary()),
+        }
+    )
+
+
+class _DecodeWriteDerive:
+    """Fused-mode tail stage (task-based callable): decode the batch, write
+    the narrow results as this task's own parquet part file, and return the
+    derive partials row — so the whole of phase 1 is ONE operator chain and
+    the wide payload bytes live and die inside a single task."""
+
+    def __init__(self, out_dir: str, bloom_expected: int, bloom_shards: int):
+        self.out_dir = out_dir
+        self.bloom_expected = bloom_expected
+        self.bloom_shards = bloom_shards
+        self.decode = DecodeCheck()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import uuid
+
+        narrow = self.decode(batch)
+        pq.write_table(narrow, os.path.join(self.out_dir, f"part-{uuid.uuid4().hex}.parquet"))
+        return _derive_row(narrow, self.bloom_expected, self.bloom_shards)
 
 
 def _clean(path: str) -> None:

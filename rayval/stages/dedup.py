@@ -109,6 +109,75 @@ def dup_counts_and_top(counts: "ray.data.Dataset", k: int = 10) -> tuple[pa.Tabl
     return dup_tbl, top_tbl
 
 
+def dup_counts_and_top_bucketed(
+    results: "ray.data.Dataset", k: int = 10, n_buckets: int = 16, hot_threshold: int = 1000
+) -> tuple[pa.Table, pa.Table, int]:
+    """(duplicate counts, top-k hot table, n_hot) with a BLOB-bucketed
+    exchange: each batch emits one row per touched ``phash % n_buckets``
+    bucket holding its packed (phash, n) partial-count arrays, so the
+    groupby machinery sorts/exchanges thousands of blob rows instead of the
+    whole distinct key space (a 250k-distinct shuffle measured ~4x the cost
+    of the same bytes in blob rows).  Each bucket's reducer merges its blobs
+    vectorized, filters ``n > 1`` and emits its local top-k — the driver
+    sees dup-group-sized + k x n_buckets rows from ONE Ray job.  Scale
+    assumption: one bucket's distinct keys fit a reducer (size ``n_buckets``
+    like any groupby)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch
+        if "decodable" in t.column_names:
+            t = t.filter(t["decodable"])
+        vals, counts = np.unique(t["phash"].to_numpy(zero_copy_only=False), return_counts=True)
+        bucket = (vals.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        vals, counts, bucket = vals[order], counts.astype(np.int64)[order], bucket[order]
+        ids, starts = np.unique(bucket, return_index=True)
+        bounds = np.append(starts, len(vals))
+        blobs = [
+            vals[a:b].tobytes() + counts[a:b].tobytes()
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        return pa.table(
+            {"bucket": pa.array(ids, type=pa.int64()), "blob": pa.array(blobs, type=pa.binary())}
+        )
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        vs, cs = [], []
+        for blob in group["blob"]:
+            raw = np.frombuffer(blob.as_py(), dtype=np.int64)
+            half = len(raw) // 2
+            vs.append(raw[:half])
+            cs.append(raw[half:])
+        allv = np.concatenate(vs)
+        allc = np.concatenate(cs)
+        u, inv = np.unique(allv, return_inverse=True)
+        tot = np.bincount(inv, weights=allc.astype(np.float64)).astype(np.int64)
+        dup_mask = tot > 1
+        kk = min(k, len(u))
+        top_idx = np.argsort(-tot, kind="stable")[:kk] if kk else np.array([], dtype=int)
+        return pa.table(
+            {
+                "phash": pa.array(np.concatenate([u[dup_mask], u[top_idx]]), type=pa.int64()),
+                "n": pa.array(np.concatenate([tot[dup_mask], tot[top_idx]]), type=pa.int64()),
+                "is_top": pa.array([False] * int(dup_mask.sum()) + [True] * kk),
+            }
+        )
+
+    from rayval.util import collect_tables
+
+    rows = collect_tables(
+        results.select_columns([c for c in ("phash", "decodable") if c in results.schema().names])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow"),
+        pa.schema([("phash", pa.int64()), ("n", pa.int64()), ("is_top", pa.bool_())]),
+    )
+    dup_tbl = rows.filter(pc.invert(rows["is_top"])).select(["phash", "n"])
+    top_tbl = _topk_table(rows.filter(rows["is_top"]).select(["phash", "n"]), k)
+    n_hot = int((dup_tbl["n"].to_numpy(zero_copy_only=False) >= hot_threshold).sum())
+    return dup_tbl, top_tbl, n_hot
+
+
 def duplicate_violations(
     results: "ray.data.Dataset",
     hot_threshold: int = 1000,

@@ -240,6 +240,15 @@ def test_dedup_counts_stay_distributed(ray_session):
     dup2, top2 = dup_counts_and_top(phash_counts_ds(ray.data.from_arrow(t)), 2)
     assert dict(zip(dup2["phash"].to_pylist(), dup2["n"].to_pylist())) == {1: 2, 3: 3}
     assert top2["phash"].to_pylist() == [3, 1] and top2["n"].to_pylist() == [3, 2]
+    # blob-bucketed exchange variant (the flagship's phase-2 path) agrees too
+    from rayval.stages.dedup import dup_counts_and_top_bucketed
+
+    dup3, top3, n_hot = dup_counts_and_top_bucketed(
+        ray.data.from_arrow(t), 2, n_buckets=4, hot_threshold=3
+    )
+    assert dict(zip(dup3["phash"].to_pylist(), dup3["n"].to_pylist())) == {1: 2, 3: 3}
+    assert top3["phash"].to_pylist() == [3, 1] and top3["n"].to_pylist() == [3, 2]
+    assert n_hot == 1  # phash 3 has count 3 >= hot_threshold
 
 
 def test_profile_roundtrip_drift(data_dir, tmp_path, ray_session):
