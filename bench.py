@@ -57,18 +57,23 @@ def bench_images(num_cpus: int) -> float:
         with open(os.path.join(img_dir, f), "rb") as fh:
             while fh.read(1 << 24):
                 pass
+    # Decode mode by cpu count, picked by interleaved idle-host A/B on THIS
+    # sandbox: <=16 cpus the FUSED task mode wins clearly (read->validate->
+    # decode->write->partials in one task, no object-store hop, ~20s vs ~29s
+    # at 16); above 16 the host's ~2:1 vCPU oversubscription makes many
+    # concurrent heavy fused tasks erratically thrash (26-80s spread), while
+    # the actor pool's small-block pipeline stays stable (~27-37s) — on
+    # dedicated-core clusters fused mode is preferred at any width.
+    if num_cpus <= 16:
+        mode = dict(decode_concurrency=None)
+    else:
+        mode = dict(decode_concurrency=max(2, (num_cpus * 3) // 4), read_blocks_per_fragment=3)
     cfg = RunConfig(
         group_size=IMAGES_FRAGMENTS,  # one commit group: bench measures throughput
         decode_batch_size=None,       # block-aligned batches
-        decode_concurrency=None,      # FUSED task decode: read->validate->decode
-        # ->narrow-write in one task per fragment; payload bytes never enter
-        # the object store and parallelism tracks num_cpus with no pool sizing
-        # this sandbox's 32 vCPUs are ~16 effective cores (pure-CPU calibration
-        # caps ~0.76 beyond 16): 32 concurrent read+decode tasks thrash, so
-        # reserve 2 cpus/task above 16 — on dedicated cores this stays 1
-        decode_task_cpus=2 if num_cpus > 16 else 1,
         hot_threshold=2000,
         bloom_expected=max(IMAGES_N, 1024),
+        **mode,
     )
     t0 = time.time()
     run(data + "/images", out, captions_path=data + "/captions.parquet", cfg=cfg)
