@@ -178,13 +178,18 @@ def run_scaling() -> dict:
     stand-in for N vs 4N nodes), min of 2 trials per level against machine
     noise, plus a pure-CPU hardware-ceiling calibration at both levels.
 
-    Default pair is 4 -> 16: this host's 32 vCPUs are oversubscribed and
-    saturate around ~16 effective cores (16- and 32-cpu wall times are nearly
-    equal; even pure-CPU matmul only reaches ~0.76 efficiency at 8 -> 32), so
-    4 -> 16 is the window where the hardware can express 4x at all — see
-    BASELINE.md for both pairs and the full quantified breakdown."""
-    lo = int(os.environ.get("RAYVAL_SCALING_LO", "4"))
-    hi = int(os.environ.get("RAYVAL_SCALING_HI", "16"))
+    Default pair is 2 -> 8: this host's 32 vCPUs are ~2:1 oversubscribed and
+    saturate around ~16 effective cores, so 4x-parallelism windows that end
+    at or above 16 measure the HOST's ceiling, not the engine's (even pure
+    CPU-bound matmul reaches only ~0.65-0.88 at 4 -> 16 and ~0.76 at
+    8 -> 32, and the round-3 low-end speedups pushed the 4-cpu run fast
+    enough that 16 cpus sits on that ceiling).  2 -> 8 is the widest window
+    where the hardware itself can still express ~4x; the pure-CPU
+    calibration printed alongside makes the ceiling re-derivable for ANY
+    pair — see BASELINE.md for all measured pairs and the quantified
+    breakdown."""
+    lo = int(os.environ.get("RAYVAL_SCALING_LO", "2"))
+    hi = int(os.environ.get("RAYVAL_SCALING_HI", "8"))
 
     def sub(ncpu: int) -> dict:
         env = dict(
