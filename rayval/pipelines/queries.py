@@ -1226,6 +1226,45 @@ def q_ivf_topk(sf_dir: str) -> pa.Table:
     return pa.table({"vec_id": out["vec_id"]}).cast(pa.schema([("vec_id", pa.int64())]))
 
 
+def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """Exact word-3-gram Jaccard near-dup pairs (the SQL-checkable complement
+    to the MinHash estimate).  ASCII-alnum tokens only (ascii_lower + RE2
+    split == DuckDB regexp_extract_all('[a-zA-Z0-9]+') + lower), jaccard as
+    floored 1e-6 fixed-point so the oracle compares integers."""
+    from rayval.stages.docdedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, "text", "doc_id", n=3, threshold_e6=500_000, max_df=64)
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH d AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[a-zA-Z0-9]+'), x -> lower(x)) AS w
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, gram
+  FROM d, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS u(gram)
+),
+sized AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+ok AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 64),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, any_value(sx.n) AS na, any_value(sy.n) AS nb,
+         count(*) AS n_common
+  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+  JOIN ok o ON o.gram = x.gram
+  JOIN sized sx ON sx.doc_id = x.doc_id
+  JOIN sized sy ON sy.doc_id = y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_common, na + nb - n_common AS n_union,
+       (n_common * 1000000) // (na + nb - n_common) AS jac_e6
+FROM pairs
+WHERE 1000000 * n_common >= 500000 * (na + nb - n_common)
+ORDER BY a, b
+"""
+
+
 def q_minhash_dup_groups(sf_dir: str) -> pa.Table:
     """Near-dup candidate pairs -> connected-component groups."""
     from rayval.stages.docdedup import dup_groups_from_pairs
@@ -1587,6 +1626,7 @@ QUERIES = {
     "sample_documents": (q_sample_documents, SQL_SAMPLE_DOCUMENTS),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     # rows-only (non-SQL-expressible: heuristics, sketch/LSH ops, image decode)
     "langid_predictions": (q_langid, None),
     "sketch_stats": (q_sketch_stats, None),

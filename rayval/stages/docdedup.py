@@ -18,6 +18,7 @@ import hashlib
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -482,3 +483,119 @@ def simhash_neardups(
         value_col="hamming",
         value_type=pa.int32(),
     )
+
+
+# ------------------------------------------------ n-gram Jaccard near-dups
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    threshold_e6: int = 500_000,
+    max_df: int = 64,
+) -> pa.Table:
+    """EXACT word-n-gram Jaccard near-dup pairs via a distributed
+    inverted-index join — the SQL-oracled complement to MinHash (which
+    ESTIMATES the same quantity; reference has no dedup at all, this is
+    engine-new training-data surface).
+
+    Shape (scales): tokenize + per-doc DISTINCT n-grams fully vectorized in
+    map_batches (ascii_lower -> RE2 split -> shifted-slice joins; each doc
+    lives in exactly one input batch, so per-batch dedup is global); explode
+    to (gram, key, n_doc_grams) rows; ``groupby(gram)`` emits co-occurring
+    pairs (a<b, na, nb) — grams with df<2 contribute nothing, grams with
+    df>``max_df`` are dropped (stop-phrase guard: a hot gram carries no
+    near-dup signal but costs O(df^2) pairs — the skew bound); a second
+    groupby counts each pair's intersection; jaccard = common/(na+nb-common)
+    in exact int64 fixed-point (floor at 1e-6, association-free).  The only
+    shuffles carry (gram, key, int) and (a, b, ints) — never text.  At
+    10^12 docs, hash the gram to uint64 before the shuffle (stages use
+    ``state.hashing``) instead of shipping strings; string grams are kept
+    here for byte-exact DuckDB oracle parity.
+    """
+    key_type = ds.schema().base_schema.field(key_col).type
+
+    def grams(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.ascii_lower(batch[text_col]), pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        p = parents.filter(keep).to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {key_col: pa.array([], key_type), "gram": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+        L = len(p)
+        if L < n:
+            return empty
+        # token windows [i, i+n) lie within one doc iff parents agree at the
+        # ends (parents are nondecreasing, so the middle agrees for free)
+        ok = p[: L - n + 1] == p[n - 1:]
+        if not ok.any():
+            return empty
+        mask = pa.array(ok)
+        parts = [flat.slice(j, L - n + 1).filter(mask) for j in range(n)]
+        gram = pc.binary_join_element_wise(*parts, " ")
+        keys = batch[key_col].take(pa.array(p[: L - n + 1][ok]))
+        df = pd.DataFrame({key_col: keys.to_pandas(), "gram": gram.to_pandas()}).drop_duplicates()
+        nn = df.groupby(key_col)["gram"].transform("size").to_numpy(dtype=np.int64)
+        return pa.table(
+            {key_col: pa.array(df[key_col].to_numpy(), type=key_type),
+             "gram": pa.array(df["gram"].to_numpy(), type=pa.string()),
+             "n": pa.array(nn)}
+        )
+
+    pair_empty = pa.table(
+        {"a": pa.array([], key_type), "b": pa.array([], key_type),
+         "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64())}
+    )
+
+    def pair_rows(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2 or m > max_df:
+            return pair_empty
+        k = group[key_col].to_pandas().to_numpy()
+        nv = group["n"].to_pandas().to_numpy(dtype=np.int64)
+        order = np.argsort(k, kind="stable")
+        k, nv = k[order], nv[order]
+        i, j = np.triu_indices(m, k=1)
+        return pa.table(
+            {"a": pa.array(k[i], type=key_type), "b": pa.array(k[j], type=key_type),
+             "na": pa.array(nv[i]), "nb": pa.array(nv[j])}
+        )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["a", "b", "na", "nb", "n_common"])
+        nc = b["n_common"].to_pandas().to_numpy(dtype=np.int64)
+        na = b["na"].to_pandas().to_numpy(dtype=np.int64)
+        nb = b["nb"].to_pandas().to_numpy(dtype=np.int64)
+        nu = na + nb - nc
+        keep = 1_000_000 * nc >= threshold_e6 * nu
+        t = b.filter(pa.array(keep))
+        return pa.table(
+            {"a": t["a"], "b": t["b"],
+             "n_common": pa.array(nc[keep]),
+             "n_union": pa.array(nu[keep]),
+             "jac_e6": pa.array((1_000_000 * nc[keep]) // nu[keep])}
+        )
+
+    from rayval.util import collect_tables
+
+    out = (
+        ds.map_batches(grams, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram")
+        .map_groups(pair_rows, batch_format="pyarrow")
+        # (na, nb) are functions of (a, b): grouping on all four keeps the
+        # sizes without a join; count() is the intersection size
+        .groupby(["a", "b", "na", "nb"])
+        .count()
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+    schema = pa.schema(
+        [("a", key_type), ("b", key_type), ("n_common", pa.int64()),
+         ("n_union", pa.int64()), ("jac_e6", pa.int64())]
+    )
+    return collect_tables(out, schema).sort_by([("a", "ascending"), ("b", "ascending")])

@@ -387,3 +387,77 @@ def test_bpe_token_count_matches_duckdb_including_non_ascii():
     assert got == exp, (got, exp)
     # sanity: contractions split off ('s, 'll), words+numbers separate
     assert got[0] > 8
+
+
+# ----------------------------------------------- n-gram Jaccard near-dups
+def _ref_ngram_pairs(texts: dict, n=3, threshold_e6=500_000, max_df=64):
+    """Pure-Python reference: distinct word-n-gram sets, df-guarded
+    intersection (na/nb stay FULL distinct counts; the guard only caps which
+    grams may witness a pair), floored 1e-6 fixed-point jaccard."""
+    import itertools
+    import re
+
+    grams = {}
+    for k, t in texts.items():
+        toks = [w.lower() for w in re.findall(r"[a-zA-Z0-9]+", t)]
+        grams[k] = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    df = {}
+    for s in grams.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    ok = {g for g, c in df.items() if 2 <= c <= max_df}
+    rows = []
+    for a, b in itertools.combinations(sorted(grams), 2):
+        nc = len(grams[a] & grams[b] & ok)
+        if not nc:
+            continue
+        nu = len(grams[a]) + len(grams[b]) - nc
+        if 1_000_000 * nc >= threshold_e6 * nu:
+            rows.append((a, b, nc, nu, (1_000_000 * nc) // nu))
+    return sorted(rows)
+
+
+def _run_ngram(texts: dict, **kw):
+    import ray.data
+
+    from rayval.stages.docdedup import ngram_jaccard_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(texts)), "text": pa.array(list(texts.values()))})
+    )
+    t = ngram_jaccard_pairs(ds, "text", "doc_id", **kw)
+    return sorted(zip(*[t[c].to_pylist() for c in ["a", "b", "n_common", "n_union", "jac_e6"]]))
+
+
+def test_ngram_jaccard_matches_reference(ray_session):
+    texts = {
+        "d0": "the quick brown fox jumps over the lazy dog " * 3,
+        "d1": "the quick brown fox jumps over the lazy dog " * 3 + "extra",
+        "d2": "totally different content about columnar engines today ok",
+        "d3": "totally different content about columnar engines tomorrow ok",
+        "d4": "the quick brown fox jumps over the lazy dog " * 3,  # exact dup of d0
+        "d5": "short doc",  # < n tokens: contributes nothing
+        "d6": "héllo wörld foo bar baz foo bar baz qux",  # non-ASCII separators
+        "d7": "hello wrld foo bar baz foo bar baz qux quux",
+    }
+    got = _run_ngram(texts, threshold_e6=100_000)
+    exp = _ref_ngram_pairs(texts, threshold_e6=100_000)
+    assert got == exp and len(got) >= 3
+    d04 = [r for r in got if (r[0], r[1]) == ("d0", "d4")]
+    assert d04 and d04[0][4] == 1_000_000  # exact dup -> jaccard exactly 1
+
+
+def test_ngram_jaccard_hot_gram_guard(ray_session):
+    # one stop-phrase shared by every doc; otherwise disjoint texts
+    texts = {
+        f"d{i}": f"common phrase here unique{i} word{i} tail{i} end{i}" for i in range(6)
+    }
+    assert _run_ngram(texts, threshold_e6=1, max_df=4) == []  # df=6 > 4: dropped
+    loose = _run_ngram(texts, threshold_e6=1, max_df=64)
+    assert len(loose) == 15  # all pairs witnessed by the (guard-passing) hot gram
+    assert _ref_ngram_pairs(texts, threshold_e6=1, max_df=64) == loose
+
+
+def test_ngram_jaccard_empty_and_threshold(ray_session):
+    texts = {"a": "", "b": "x y", "c": "one two three four", "d": "five six seven eight"}
+    assert _run_ngram(texts) == []  # no shared grams at all
