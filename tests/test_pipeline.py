@@ -263,3 +263,45 @@ def test_profile_roundtrip_drift(data_dir, tmp_path, ray_session):
     report = run(data_dir + "/images", out_b, reference_profile=ref, cfg=CFG)
     assert not any(c.startswith("stats.drift") for c in report["violations_by_constraint"])
     assert os.path.exists(os.path.join(out_b, "global_profile.bin"))
+
+
+def test_dedup_bucketed_exchange_edges(ray_session):
+    """Blob-bucketed count exchange edge cases: negative phashes (uint64
+    bucket view), cross-block partial merging, all-undecodable input, and an
+    empty table — none may crash, all must match brute force."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.dedup import dup_counts_and_top_bucketed
+
+    # same key split across blocks, negative keys, a hot key
+    t1 = pa.table({"phash": pa.array([-5, -5, 7, 9], type=pa.int64())})
+    t2 = pa.table({"phash": pa.array([-5, 9, 9, 8], type=pa.int64())})
+    dup, top, n_hot = dup_counts_and_top_bucketed(
+        ray.data.from_arrow([t1, t2]), k=3, n_buckets=3, hot_threshold=3
+    )
+    assert dict(zip(dup["phash"].to_pylist(), dup["n"].to_pylist())) == {-5: 3, 9: 3}
+    assert top["phash"].to_pylist()[:2] in ([-5, 9], [9, -5]) and top["n"].to_pylist()[:2] == [3, 3]
+    assert n_hot == 2
+
+    # all rows filtered out by decodable -> empty results, no crash
+    t3 = pa.table(
+        {"phash": pa.array([1, 1], type=pa.int64()), "decodable": pa.array([False, False])}
+    )
+    dup, top, n_hot = dup_counts_and_top_bucketed(ray.data.from_arrow(t3), k=2, n_buckets=4)
+    assert dup.num_rows == 0 and top.num_rows == 0 and n_hot == 0
+
+    # randomized brute-force agreement across many blocks/buckets
+    rng = np.random.default_rng(11)
+    keys = rng.integers(-50, 50, size=400)
+    blocks = [
+        pa.table({"phash": pa.array(keys[i : i + 40], type=pa.int64())})
+        for i in range(0, 400, 40)
+    ]
+    dup, top, _ = dup_counts_and_top_bucketed(ray.data.from_arrow(blocks), k=5, n_buckets=7)
+    u, c = np.unique(keys, return_counts=True)
+    expect = {int(k): int(n) for k, n in zip(u, c) if n > 1}
+    assert dict(zip(dup["phash"].to_pylist(), dup["n"].to_pylist())) == expect
+    exp_top_n = sorted(c, reverse=True)[:5]
+    assert top["n"].to_pylist() == exp_top_n

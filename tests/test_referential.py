@@ -95,3 +95,116 @@ def test_bloom_negative_shortcut_still_exact(tiny):
     out = referential_violations(captions, results, bloom, key="caption_id", n_buckets=4, compare_col="caption").to_pandas()
     assert (out.constraint_id == "image_id.ref").sum() == 15
     assert (out.constraint_id == "caption.fidelity").sum() == 1
+
+
+def test_packed_exchange_all_null_ids(ray_session):
+    """Every caption has a NULL image_id -> all rows take the degenerate
+    bucket -1 (no right side) and come out image_id.ref violations; the
+    packed exchange must not choke on a batch whose only bucket is -1."""
+    import ray.data
+
+    from rayval.stages.referential import build_bloom, referential_violations
+
+    results = ray.data.from_arrow(
+        pa.table({"image_id": pa.array(["a", "b"]), "decodable": pa.array([True, True])})
+    )
+    captions = ray.data.from_arrow(
+        pa.table(
+            {
+                "caption_id": pa.array(["c0", "c1", "c2"]),
+                "image_id": pa.array([None, None, None], type=pa.string()),
+            }
+        )
+    )
+    bloom = build_bloom(results, n_expected=100, fpp=0.01, n_shards=4)
+    out = referential_violations(captions, results, bloom, key="caption_id", n_buckets=4).to_pandas()
+    assert sorted(out.caption_id) == ["c0", "c1", "c2"]
+    assert (out.constraint_id == "image_id.ref").all()
+
+
+def test_packed_exchange_empty_captions(ray_session):
+    """Zero caption rows -> zero violations, no crash in pack/unpack."""
+    import ray.data
+
+    from rayval.stages.referential import build_bloom, referential_violations
+
+    results = ray.data.from_arrow(
+        pa.table({"image_id": pa.array(["a"]), "decodable": pa.array([True])})
+    )
+    captions = ray.data.from_arrow(
+        pa.table(
+            {"caption_id": pa.array([], pa.string()), "image_id": pa.array([], pa.string())}
+        )
+    )
+    bloom = build_bloom(results, n_expected=100, fpp=0.01, n_shards=4)
+    out = referential_violations(captions, results, bloom, key="caption_id", n_buckets=4)
+    assert out.num_rows == 0
+
+
+def test_packed_exchange_no_decodable_refs(ray_session):
+    """No decodable image rows at all: the sharded bloom is all-empty, every
+    caption takes the definite-miss shortcut, and the join side has zero
+    right rows — every caption must still surface as a ref violation."""
+    import ray.data
+
+    from rayval.stages.referential import build_bloom, referential_violations
+
+    results = ray.data.from_arrow(
+        pa.table({"image_id": pa.array(["a", "b"]), "decodable": pa.array([False, False])})
+    )
+    captions = ray.data.from_arrow(
+        pa.table(
+            {"caption_id": pa.array([f"c{i}" for i in range(5)]),
+             "image_id": pa.array(["a", "b", "a", "x", "y"])}
+        )
+    )
+    bloom = build_bloom(results, n_expected=100, fpp=0.01, n_shards=4)
+    out = referential_violations(captions, results, bloom, key="caption_id", n_buckets=4).to_pandas()
+    assert sorted(out.caption_id) == [f"c{i}" for i in range(5)]
+    assert (out.constraint_id == "image_id.ref").all()
+
+
+def test_packed_exchange_multiblock_brute_force(ray_session):
+    """Captions and refs spread over many blocks: per-bucket blob unpacking
+    must merge partial packs from every batch; compare against a brute-force
+    set difference + caption compare."""
+    import ray.data
+
+    from rayval.stages.referential import build_bloom, referential_violations
+
+    ref_ids = [f"r{i}" for i in range(60)]
+    res_blocks = [
+        pa.table(
+            {
+                "image_id": pa.array(ref_ids[i : i + 15]),
+                "decodable": pa.array([j % 7 != 0 for j in range(i, i + 15)]),
+                "caption": pa.array([f"text {j}" for j in range(i, i + 15)]),
+            }
+        )
+        for i in range(0, 60, 15)
+    ]
+    cap_rows = [(f"k{i}", f"r{i % 75}", f"text {i % 75}" if i % 13 else "BAD") for i in range(150)]
+    cap_blocks = [
+        pa.table(
+            {
+                "caption_id": pa.array([r[0] for r in cap_rows[i : i + 25]]),
+                "image_id": pa.array([r[1] for r in cap_rows[i : i + 25]]),
+                "caption": pa.array([r[2] for r in cap_rows[i : i + 25]]),
+            }
+        )
+        for i in range(0, 150, 25)
+    ]
+    results = ray.data.from_arrow(res_blocks)
+    captions = ray.data.from_arrow(cap_blocks)
+    bloom = build_bloom(results, n_expected=1000, fpp=0.01, n_shards=8)
+    out = referential_violations(
+        captions, results, bloom, key="caption_id", n_buckets=8, compare_col="caption"
+    ).to_pandas()
+    decodable = {ref_ids[j]: f"text {j}" for j in range(60) if j % 7 != 0}
+    exp = set()
+    for cid, img, cap in cap_rows:
+        if img not in decodable:
+            exp.add((cid, "image_id.ref"))
+        elif cap != decodable[img]:
+            exp.add((cid, "caption.fidelity"))
+    assert {(r.caption_id, r.constraint_id) for r in out.itertuples()} == exp
