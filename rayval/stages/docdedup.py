@@ -493,6 +493,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold_e6: int = 500_000,
     max_df: int = 64,
+    hash_grams: bool = False,
 ) -> pa.Table:
     """EXACT word-n-gram Jaccard near-dup pairs via a distributed
     inverted-index join — the SQL-oracled complement to MinHash (which
@@ -508,12 +509,17 @@ def ngram_jaccard_pairs(
     near-dup signal but costs O(df^2) pairs — the skew bound); a second
     groupby counts each pair's intersection; jaccard = common/(na+nb-common)
     in exact int64 fixed-point (floor at 1e-6, association-free).  The only
-    shuffles carry (gram, key, int) and (a, b, ints) — never text.  At
-    10^12 docs, hash the gram to uint64 before the shuffle (stages use
-    ``state.hashing``) instead of shipping strings; string grams are kept
-    here for byte-exact DuckDB oracle parity.
+    shuffles carry (gram, key, int) and (a, b, ints) — never text.
+
+    ``hash_grams=True`` is the 10^12-doc path: grams become uint64
+    polynomial hashes (``state.hashing.hash64``) BEFORE the shuffle, so the
+    exchange moves fixed 8-byte keys instead of variable-length strings —
+    identical output barring a 2^-64-scale collision (asserted equal to the
+    string path in tests).  The default ships gram strings for byte-exact
+    DuckDB oracle parity.
     """
     key_type = ds.schema().base_schema.field(key_col).type
+    gram_type = pa.int64() if hash_grams else pa.string()
 
     def grams(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(pc.ascii_lower(batch[text_col]), pattern="[^a-z0-9]+")
@@ -525,7 +531,7 @@ def ngram_jaccard_pairs(
             flat = flat.combine_chunks()
         p = parents.filter(keep).to_numpy(zero_copy_only=False)
         empty = pa.table(
-            {key_col: pa.array([], key_type), "gram": pa.array([], pa.string()),
+            {key_col: pa.array([], key_type), "gram": pa.array([], gram_type),
              "n": pa.array([], pa.int64())}
         )
         L = len(p)
@@ -539,12 +545,16 @@ def ngram_jaccard_pairs(
         mask = pa.array(ok)
         parts = [flat.slice(j, L - n + 1).filter(mask) for j in range(n)]
         gram = pc.binary_join_element_wise(*parts, " ")
+        if hash_grams:
+            from rayval.state.hashing import hash64
+
+            gram = pa.array(hash64(gram).view(np.int64))
         keys = batch[key_col].take(pa.array(p[: L - n + 1][ok]))
         df = pd.DataFrame({key_col: keys.to_pandas(), "gram": gram.to_pandas()}).drop_duplicates()
         nn = df.groupby(key_col)["gram"].transform("size").to_numpy(dtype=np.int64)
         return pa.table(
             {key_col: pa.array(df[key_col].to_numpy(), type=key_type),
-             "gram": pa.array(df["gram"].to_numpy(), type=pa.string()),
+             "gram": pa.array(df["gram"].to_numpy(), type=gram_type),
              "n": pa.array(nn)}
         )
 

@@ -461,3 +461,19 @@ def test_ngram_jaccard_hot_gram_guard(ray_session):
 def test_ngram_jaccard_empty_and_threshold(ray_session):
     texts = {"a": "", "b": "x y", "c": "one two three four", "d": "five six seven eight"}
     assert _run_ngram(texts) == []  # no shared grams at all
+
+
+def test_ngram_jaccard_hashed_path_identical(ray_session):
+    """hash_grams=True (the 10^12-doc shuffle shape: uint64 gram hashes, not
+    strings) must produce the identical pair listing."""
+    texts = {
+        "d0": "the quick brown fox jumps over the lazy dog " * 3,
+        "d1": "the quick brown fox jumps over the lazy dog " * 3 + "extra",
+        "d2": "totally different content about columnar engines today ok",
+        "d3": "totally different content about columnar engines tomorrow ok",
+        "d6": "héllo wörld foo bar baz foo bar baz qux",
+        "d7": "hello wrld foo bar baz foo bar baz qux quux",
+    }
+    assert _run_ngram(texts, threshold_e6=100_000, hash_grams=True) == _run_ngram(
+        texts, threshold_e6=100_000
+    )
