@@ -90,7 +90,10 @@ def images_profile() -> Profile:
 @dataclass
 class RunConfig:
     group_size: int = 4          # fragments per checkpoint group
-    decode_batch_size: Optional[int] = 256  # wide binary rows -> small batches; None = block-sized
+    decode_batch_size: Optional[int] = 256  # ACTOR-POOL mode only: wide binary
+    # rows -> small batches (plasma transfer granularity / pool pipelining);
+    # fused mode always runs block-sized batches (the block is whole in the
+    # task heap either way; sub-slicing would only multiply part files)
     decode_concurrency: Optional[int] = None  # None -> FUSED task decode (default):
     # read -> validate -> decode -> narrow-write fuse into ONE Ray task per
     # block, so payload bytes NEVER enter the object store (measured ~25%
@@ -178,10 +181,17 @@ def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Mani
             ds = read_fragments(group)  # fragment-aligned: keeps the fuse
             ds = ds.map_batches(MetaValidate(validator), batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
             kw = {"num_cpus": cfg.decode_task_cpus} if cfg.decode_task_cpus > 1 else {}
+            # batch_size=None (block-sized): the wide block already sits whole
+            # in this task's heap (the fused read produced it) and DecodeCheck
+            # decodes one image at a time, so sub-slicing saves no memory —
+            # it only multiplies narrow part FILES and bloom/stats partial
+            # rows by rows/batch_size (at 10^12 rows, 256-row batches would
+            # mean ~4e9 tiny files).  One part file + one partials row per
+            # fragment block instead.
             partials = ds.map_batches(
                 _DecodeWriteDerive(tmp_results, cfg.bloom_expected, cfg.ref_buckets),
                 batch_format="pyarrow",
-                batch_size=cfg.decode_batch_size,
+                batch_size=None,
                 zero_copy_batch=True,
                 **kw,
             ).take_all()
