@@ -572,6 +572,11 @@ def ngram_jaccard_pairs(
         order = np.argsort(k, kind="stable")
         k, nv = k[order], nv[order]
         i, j = np.triu_indices(m, k=1)
+        # keys are expected unique per doc; if a key ever appears twice
+        # (violating the input contract), drop the degenerate a==b pairs
+        # rather than emit self-joins
+        strict = k[i] != k[j]
+        i, j = i[strict], j[strict]
         return pa.table(
             {"a": pa.array(k[i], type=key_type), "b": pa.array(k[j], type=key_type),
              "na": pa.array(nv[i]), "nb": pa.array(nv[j])}
