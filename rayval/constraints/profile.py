@@ -230,10 +230,48 @@ class BatchValidator:
                 continue
             out[ch.constraint_id] = ch.constraint.mask(v, self.ctx)
         if self.profile.kind == "choice":
-            out["__schema__.choice"] = self._choice_mask(table, views, self.columns)
+            out["__schema__.choice"] = self._root_choice_mask(table, views)
         for prefix, members in self.profile.choice_groups:
             out[f"{prefix}.choice"] = self._choice_mask(table, views, members)
         return out
+
+    def _root_choice_mask(self, table: pa.Table, views: dict[str, ColumnView]) -> np.ndarray:
+        """Root kind="choice": exactly one ELEMENT child present.  A complex
+        member flattens to dotted leaf columns, so counting raw leaves would
+        tally each of its populated fields separately (a legitimately-chosen
+        two-field member would count 2 and falsely violate).  Group the
+        flattened columns by top-level element first — the same per-element
+        semantics the nested choice_groups path gets from ``_element_paths``
+        (core.clj:150-159 compiles choice over element children, not leaves).
+        Member presence = the struct column non-null when it resolves whole,
+        else any of its leaves non-null."""
+        members: dict[str, list[str]] = {}
+        for name in self.columns:
+            members.setdefault(name.split(".")[0], []).append(name)
+        n = table.num_rows
+        cnt = np.zeros(n, dtype=np.int16)
+        for top, leaves in members.items():
+            if len(leaves) == 1 and leaves[0] == top:
+                v = views.get(top)
+                if v is not None:
+                    cnt += (~v.null_np).astype(np.int16)
+                continue
+            col = self._resolve(table, top)
+            if col is not None:
+                cnt += (~col.is_null().to_numpy(zero_copy_only=False)).astype(np.int16)
+                continue
+            present = np.zeros(n, dtype=bool)
+            for leaf in leaves:
+                v = views.get(leaf)
+                null_np = v.null_np if v is not None else None
+                if null_np is None:
+                    col = self._resolve(table, leaf)
+                    if col is None:
+                        continue
+                    null_np = col.is_null().to_numpy(zero_copy_only=False)
+                present |= ~null_np
+            cnt += present.astype(np.int16)
+        return cnt == 1
 
     def _choice_mask(self, table: pa.Table, views: dict[str, ColumnView], names) -> np.ndarray:
         """Exactly one non-null among ``names`` (core.clj:150-159) — the root

@@ -511,10 +511,23 @@ class _DecodeWriteDerive:
         self.decode = DecodeCheck()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import uuid
-
+        if batch.num_rows == 0:
+            return pa.table(
+                {PARTITION_COL: pa.array([], pa.int64()), "stats": pa.array([], pa.binary()),
+                 "bloom": pa.array([], pa.binary()), "viol": pa.array([], pa.binary())}
+            )
         narrow = self.decode(batch)
-        pq.write_table(narrow, os.path.join(self.out_dir, f"part-{uuid.uuid4().hex}.parquet"))
+        # DETERMINISTIC part name — (partition_id, first image_id) identifies
+        # this batch's row span, so a Ray task RETRY overwrites its own file
+        # instead of duplicating the block (uuid names would double-count
+        # every row of a retried block downstream), and a truncated file from
+        # a mid-write kill is replaced, not accumulated
+        import hashlib as _hl
+
+        pid = narrow[PARTITION_COL][0].as_py() if PARTITION_COL in narrow.column_names else 0
+        first_key = str(narrow["image_id"][0].as_py())
+        tag = _hl.md5(first_key.encode()).hexdigest()[:16]
+        pq.write_table(narrow, os.path.join(self.out_dir, f"part-{pid}-{tag}.parquet"))
         return _derive_row(narrow, self.bloom_expected, self.bloom_shards)
 
 

@@ -83,7 +83,14 @@ def dup_counts_and_top(counts: "ray.data.Dataset", k: int = 10) -> tuple[pa.Tabl
     distributed counts: each block emits its ``n > 1`` rows plus its own
     top-k candidates (marker column), so the driver sees dup-group-sized +
     k x num_blocks rows in a single Ray job — the filter and the combiner
-    share the scan instead of costing a fixed job launch each."""
+    share the scan instead of costing a fixed job launch each.
+
+    NOTE: this (and ``phash_counts_ds``/``duplicate_counts``) is the plain
+    row-exchange formulation, kept as the REFERENCE IMPLEMENTATION the tests
+    assert :func:`dup_counts_and_top_bucketed` — the production phase-2 path
+    with the packed blob exchange — agrees with.  Semantics changes must land
+    in both (test_pipeline::test_dedup_counts_stay_distributed pins them
+    together)."""
 
     def per_block(b: pa.Table) -> pa.Table:
         dup = b.filter(pc.greater(b["n"], 1))

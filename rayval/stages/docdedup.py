@@ -517,6 +517,13 @@ def ngram_jaccard_pairs(
     identical output barring a 2^-64-scale collision (asserted equal to the
     string path in tests).  The default ships gram strings for byte-exact
     DuckDB oracle parity.
+
+    Input contract: ``key_col`` is UNIQUE per row (a document table's
+    primary key).  A repeated key degrades gracefully — same-gram-group
+    repeats are dropped as degenerate self-pairs below, but copies split
+    across input blocks carry per-copy gram counts, so their pair rows
+    won't merge; dedupe keys upstream (``keep_first_per_key``) if the
+    source can repeat them.
     """
     key_type = ds.schema().base_schema.field(key_col).type
     gram_type = pa.int64() if hash_grams else pa.string()
@@ -572,9 +579,9 @@ def ngram_jaccard_pairs(
         order = np.argsort(k, kind="stable")
         k, nv = k[order], nv[order]
         i, j = np.triu_indices(m, k=1)
-        # keys are expected unique per doc; if a key ever appears twice
-        # (violating the input contract), drop the degenerate a==b pairs
-        # rather than emit self-joins
+        # unique-key contract (see docstring): if a key still appears twice
+        # IN THIS GRAM GROUP, drop the degenerate a==b pairs rather than
+        # emit self-joins (cross-block repeats are the caller's to dedupe)
         strict = k[i] != k[j]
         i, j = i[strict], j[strict]
         return pa.table(

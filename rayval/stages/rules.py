@@ -122,6 +122,9 @@ def _members_via_semijoin(
                 "v": batch["v"],
                 key: pa.nulls(batch.num_rows, pa.string()),
                 PARTITION_COL: pa.nulls(batch.num_rows, pa.int64()),
+                # explicit side marker — a DATA row's key may legitimately be
+                # null, so key-nullness cannot distinguish the sides
+                "side_dup": pa.array(np.ones(batch.num_rows, dtype=bool)),
             }
         )
 
@@ -141,6 +144,7 @@ def _members_via_semijoin(
                 "v": t[column],
                 key: pc.cast(t[key], pa.string()),
                 PARTITION_COL: pc.cast(part, pa.int64()),
+                "side_dup": pa.array(np.zeros(t.num_rows, dtype=bool)),
             }
         )
 
@@ -149,7 +153,7 @@ def _members_via_semijoin(
     ).union(rows.map_batches(tag_rows, batch_format="pyarrow"))
 
     def per_bucket(group: pa.Table) -> pa.Table:
-        is_dup = group[key].is_null() if group.num_rows else pa.array([], pa.bool_())
+        is_dup = group["side_dup"].combine_chunks() if group.num_rows else pa.array([], pa.bool_())
         dups = group.filter(is_dup)
         cand = group.filter(pc.invert(is_dup))
         if cand.num_rows == 0 or dups.num_rows == 0:

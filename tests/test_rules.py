@@ -87,3 +87,24 @@ def test_missing_ref_source_raises(dup_ds):
     prof = Profile("t", [F("v")], key="k", table_rules=[TableRule("referential", "v")])
     with pytest.raises(ValueError, match="ref_sources"):
         run_table_rules(dup_ds, prof, key="k")
+
+
+def test_unique_rule_semijoin_null_key_rows_kept(ray_session):
+    """A DATA row whose KEY is null is still a duplicate-group member: the
+    semi-join must not mistake it for a dup-value marker row (sides carry an
+    explicit marker, not key-nullness) — both paths must list it."""
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([None, "r2", "r3"], type=pa.string()),
+                "v": pa.array(["a", "a", "b"]),
+            }
+        )
+    )
+    broadcast = unique_violations(ds, "v", key="k", hot_threshold=1000)
+    semijoin = unique_violations(ds, "v", key="k", hot_threshold=0, n_buckets=4)
+    assert broadcast.to_pydict() == semijoin.to_pydict()
+    assert broadcast.num_rows == 2  # the null-key member AND r2
+    assert set(broadcast["k"].to_pylist()) == {None, "r2"}

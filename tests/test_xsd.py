@@ -511,3 +511,65 @@ def test_with_status_shows_filled_default():
         {"value": "EN", "status": True},
         {"value": "SV", "status": True},
     ]
+
+
+def test_root_choice_with_complex_member():
+    """A ROOT <choice> whose member is itself a complexType: presence counts
+    per ELEMENT child, not per flattened leaf — a legitimately-chosen
+    two-field member must count 1, not 2 (core.clj:150-159 compiles choice
+    over element children)."""
+    p = profile_from_xsd(
+        """<schema>
+             <element name="doc">
+               <complexType>
+                 <choice>
+                   <element name="simple" type="string"/>
+                   <element name="nested">
+                     <complexType>
+                       <sequence>
+                         <element name="x" type="string"/>
+                         <element name="y" type="string"/>
+                       </sequence>
+                     </complexType>
+                   </element>
+                 </choice>
+               </complexType>
+             </element>
+           </schema>"""
+    )
+    v = p.compile()
+    nested = pa.array(
+        [
+            {"x": "1", "y": "2"},   # chose nested, both fields set -> ok (count 1)
+            None,                    # chose simple -> ok
+            {"x": "1", "y": "2"},   # BOTH members -> violation
+            None,                    # neither -> violation
+            {"x": "1", "y": None},  # nested chosen, one field -> still ok at root
+        ],
+        type=pa.struct([("x", pa.string()), ("y", pa.string())]),
+    )
+    t = pa.table(
+        {"simple": pa.array([None, "s", "s", None, None], type=pa.string()), "nested": nested}
+    )
+    assert v.masks(t)["__schema__.choice"].tolist() == [True, True, False, False, True]
+
+
+def test_root_choice_flat_members_unchanged():
+    """Flat leaf members keep the original exactly-one semantics."""
+    p = profile_from_xsd(
+        """<schema>
+             <element name="doc">
+               <complexType>
+                 <choice>
+                   <element name="a" type="string"/>
+                   <element name="b" type="string"/>
+                 </choice>
+               </complexType>
+             </element>
+           </schema>"""
+    )
+    v = p.compile()
+    t = pa.table(
+        {"a": pa.array(["x", None, "x", None]), "b": pa.array([None, "y", "y", None])}
+    )
+    assert v.masks(t)["__schema__.choice"].tolist() == [True, True, False, False]
