@@ -114,6 +114,9 @@ class RunConfig:
     # the per-group fixed costs (Ray job launch, actor-pool spinup, parquet
     # footer scans) don't serialize — the phase-1 serial fraction that capped
     # 8->32 scaling.  Total decode actors = group_parallelism x decode_concurrency.
+    psnr_check: bool = False  # per-row decode fidelity (re-encode byte-equal
+    # or re-decode PSNR >= 40 dB — stages/decode.py FIDELITY_CHECK); off by
+    # default: doubles the per-row codec work
     hot_threshold: int = 1000
     drift_threshold: float = 0.15
     ref_buckets: int = 32
@@ -160,6 +163,7 @@ def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Mani
             ds = ds.map_batches(MetaValidate(validator), batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
             ds = ds.map_batches(
                 DecodeCheck,
+                fn_constructor_kwargs={"psnr_check": cfg.psnr_check},
                 batch_format="pyarrow",
                 batch_size=cfg.decode_batch_size,
                 concurrency=cfg.decode_concurrency,
@@ -189,7 +193,8 @@ def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Mani
             # mean ~4e9 tiny files).  One part file + one partials row per
             # fragment block instead.
             partials = ds.map_batches(
-                _DecodeWriteDerive(tmp_results, cfg.bloom_expected, cfg.ref_buckets),
+                _DecodeWriteDerive(tmp_results, cfg.bloom_expected, cfg.ref_buckets,
+                                   psnr_check=cfg.psnr_check),
                 batch_format="pyarrow",
                 batch_size=None,
                 zero_copy_batch=True,
@@ -504,11 +509,12 @@ class _DecodeWriteDerive:
     derive partials row — so the whole of phase 1 is ONE operator chain and
     the wide payload bytes live and die inside a single task."""
 
-    def __init__(self, out_dir: str, bloom_expected: int, bloom_shards: int):
+    def __init__(self, out_dir: str, bloom_expected: int, bloom_shards: int,
+                 psnr_check: bool = False):
         self.out_dir = out_dir
         self.bloom_expected = bloom_expected
         self.bloom_shards = bloom_shards
-        self.decode = DecodeCheck()
+        self.decode = DecodeCheck(psnr_check=psnr_check)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -27,7 +27,14 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from rayval.functions.imagecodec import CodecError, decode_image
+from rayval.functions.imagecodec import (
+    LOSSY_QSTEP,
+    CodecError,
+    decode_image,
+    encode_image,
+    lossy_expected_psnr,
+    lossy_qstep,
+)
 from rayval.functions.phash import phash64
 from rayval.stages.validate import OK_PREFIX
 
@@ -38,6 +45,18 @@ DECODE_CHECKS = [
     "fmt.decode_match",
     "phash.match",
 ]
+FIDELITY_CHECK = "bytes.fidelity"
+PSNR_DB_GATE = 40.0  # input_hint: "PSNR>=40dB for lossy formats"
+
+
+def _payload_eq(enc: bytes, data) -> bool:
+    """bytes vs the row's zero-copy buffer slice.  Arrow buffer memoryviews
+    carry SIGNED format 'b'; ``bytes == memoryview('b')`` compares signed vs
+    unsigned elementwise and is False whenever any byte >= 0x80 — cast to
+    'B' (zero-copy) before comparing."""
+    if isinstance(data, memoryview):
+        return enc == data.cast("B")
+    return enc == data
 
 
 class DecodeCheck:
@@ -54,6 +73,14 @@ class DecodeCheck:
         # the codecs are module-level pure functions; actor state here is just
         # the config — the pattern still matters: a real decoder (libjpeg,
         # libwebp) would be loaded HERE, once per actor, not per batch.
+        #
+        # psnr_check (input_hint "decoded-pixel allclose, PSNR>=40dB for
+        # lossy"): per-row fidelity.  Lossless rows must BE the canonical
+        # encoding of their own pixels (byte-equal re-encode — exact
+        # fidelity, catches recompressed/tampered-but-decodable payloads);
+        # lossy rows must declare a quantizer fine enough to guarantee
+        # PSNR_DB_GATE against any source, byte-canonical at the canonical
+        # step.  Off by default: it adds a re-encode per row.
         self.psnr_check = psnr_check
         self.quality = quality
 
@@ -85,6 +112,7 @@ class DecodeCheck:
         h_ok = np.ones(n, dtype=bool)
         fmt_ok = np.ones(n, dtype=bool)
         ph_ok = np.ones(n, dtype=bool)
+        fid_ok = np.ones(n, dtype=bool)
         brightness = np.full(n, np.nan, dtype=np.float32)
         contrast = np.full(n, np.nan, dtype=np.float32)
         sharpness = np.full(n, np.nan, dtype=np.float32)
@@ -108,6 +136,24 @@ class DecodeCheck:
             h_ok[i] = dh == h[i]
             fmt_ok[i] = container_fmt == fmt[i]
             ph_ok[i] = phash64(px) == ph[i]
+            if self.psnr_check:
+                try:
+                    if container_fmt == "png":
+                        # lossless: fidelity is exact — the payload must BE
+                        # the canonical encoding of its own pixels
+                        fid_ok[i] = _payload_eq(encode_image(px, "png"), data)
+                    else:
+                        # lossy: the container's own quantizer must be fine
+                        # enough to GUARANTEE the dB gate against any source
+                        # (uniform-quantization noise model); at the canonical
+                        # step, additionally require byte-canonical payload
+                        q = lossy_qstep(data)
+                        ok = q is not None and lossy_expected_psnr(q) >= PSNR_DB_GATE
+                        if ok and q == LOSSY_QSTEP:
+                            ok = _payload_eq(encode_image(px, container_fmt), data)
+                        fid_ok[i] = ok
+                except CodecError:
+                    fid_ok[i] = False
             if self.quality and dh >= 3 and dw >= 3:
                 # bit-identical to px.mean(axis=2, dtype=np.float32) — numpy's
                 # 3-element pairwise reduce is ((c0+c1)+c2)/3, spelled out here
@@ -131,6 +177,8 @@ class DecodeCheck:
         batch = batch.drop_columns(["bytes"])
         for name, arr in zip(DECODE_CHECKS, (decodable, w_ok, h_ok, fmt_ok, ph_ok)):
             batch = batch.append_column(OK_PREFIX + name, pa.array(arr))
+        if self.psnr_check:
+            batch = batch.append_column(OK_PREFIX + FIDELITY_CHECK, pa.array(fid_ok))
         if self.quality:
             batch = batch.append_column("brightness", pa.array(brightness))
             batch = batch.append_column("contrast", pa.array(contrast))

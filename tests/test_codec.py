@@ -97,3 +97,61 @@ def test_generator_phash_matches_decode(tmp_path):
         if phash64(px) != imgs["phash"][i].as_py():
             mism.append(row_id)
     assert set(mism) == set(exp[exp.constraint_id == "phash.match"]["image_id"])
+
+
+def test_decode_check_fidelity_gate():
+    """Per-row fidelity (input_hint PSNR>=40dB): canonical payloads pass; a
+    lossy container whose quantizer step cannot guarantee 40 dB is flagged;
+    a recompressed (non-canonical) lossless payload is flagged.  No Ray —
+    DecodeCheck is a plain callable over an Arrow table."""
+    import struct
+    import zlib
+
+    import pyarrow as pa
+
+    from rayval.functions.imagecodec import (
+        FAKE_MAGIC_REV, lossy_expected_psnr, lossy_qstep,
+    )
+    from rayval.functions.phash import phash64
+    from rayval.stages.decode import DecodeCheck
+
+    px = make_pixels(5, 40, 30)
+    png_b = encode_image(px, "png")
+    jpg_b = encode_image(px, "jpeg")
+
+    # coarse-quantizer container: SAME q payload, header step 16 -> decodes
+    # fine but guarantees only ~34.8 dB < 40
+    q = (px // 4).astype(np.uint8)
+    coarse = FAKE_MAGIC_REV["jpeg"] + struct.pack(">IIB", 40, 30, 16) + zlib.compress(q.tobytes(), 6)
+    assert lossy_qstep(coarse) == 16 and lossy_expected_psnr(16) < 40.0 < lossy_expected_psnr(8)
+
+    # non-canonical png: identical pixels, IDAT recompressed at zlib level 9
+    # -> decodes equal but is NOT the canonical encoding (recompression
+    # lineage) -> flagged
+    from rayval.functions.imagecodec import PNG_SIG, _chunk
+    h_, w_ = 30, 40
+    ihdr = struct.pack(">IIBBBBB", w_, h_, 8, 2, 0, 0, 0)
+    raw = np.empty((h_, 1 + w_ * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = px.reshape(h_, w_ * 3)
+    noncanon = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 9)) + _chunk(b"IEND", b"")
+    assert noncanon != png_b and np.array_equal(decode_image(noncanon)[0], px)
+
+    rows = {
+        "image_id": ["ok-png", "ok-jpg", "bad-coarse", "bad-recomp"],
+        "bytes": [png_b, jpg_b, coarse, noncanon],
+        "w": [40, 40, 40, 40],
+        "h": [30, 30, 30, 30],
+        "fmt": ["png", "jpeg", "jpeg", "png"],
+        "phash": [int(np.int64(np.uint64(phash64(px)))),
+                  int(np.int64(np.uint64(phash64(decode_image(jpg_b)[0])))),
+                  int(np.int64(np.uint64(phash64(decode_image(coarse)[0])))),
+                  int(np.int64(np.uint64(phash64(px))))],
+    }
+    t = pa.table(rows)
+    out = DecodeCheck(psnr_check=True)(t)
+    fid = dict(zip(out["image_id"].to_pylist(), out["ok__bytes.fidelity"].to_pylist()))
+    assert fid == {"ok-png": True, "ok-jpg": True, "bad-coarse": False, "bad-recomp": False}
+    # without the flag the column is absent (and nothing else changes)
+    out2 = DecodeCheck(psnr_check=False)(t)
+    assert "ok__bytes.fidelity" not in out2.column_names

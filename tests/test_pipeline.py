@@ -305,3 +305,19 @@ def test_dedup_bucketed_exchange_edges(ray_session):
     assert dict(zip(dup["phash"].to_pylist(), dup["n"].to_pylist())) == expect
     exp_top_n = sorted(c, reverse=True)[:5]
     assert top["n"].to_pylist() == exp_top_n
+
+
+def test_psnr_fidelity_wired_through_flagship(data_dir, tmp_path, ray_session):
+    """cfg.psnr_check=True adds the per-row bytes.fidelity check (input_hint
+    PSNR>=40dB) to the fused decode; the generator's payloads are canonical,
+    so clean rows contribute no fidelity violations and the mask column
+    lands in the narrow results."""
+    import glob
+
+    out = str(tmp_path / "fid_run")
+    cfg = RunConfig(group_size=4, psnr_check=True)
+    report = run(data_dir + "/images", out, cfg=cfg)
+    f = sorted(glob.glob(out + "/results/**/*.parquet", recursive=True))[0]
+    cols = pq.read_schema(f).names
+    assert "ok__bytes.fidelity" in cols
+    assert "bytes.fidelity" not in report["violations_by_constraint"]
