@@ -33,7 +33,7 @@ import os
 import pickle
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import pyarrow as pa
@@ -123,7 +123,6 @@ class RunConfig:
     bloom_expected: int = 1_000_000  # FIXED per run: partials must share
     # (n_shards, per-shard m, k) to merge; shards = ref_buckets
     profile: Optional[Profile] = None
-    extra_meta_cols: list = field(default_factory=list)
     annotated_output: bool = False  # also write annotated/group-N: the in-band
     # struct<value,status> form of every validated column + row_valid — the
     # reference's primary output shape (to-hiccup-meta / with-status,
