@@ -59,12 +59,16 @@ class Manifest:
             "bloom": os.path.join(self.out_dir, "blooms", f"{g}.bin"),
         }
 
-    def commit(self, group_id: int, fragments: list[str], rows: int, violations: int) -> None:
+    def commit(self, group_id: int, fragments: list[str], rows: int, violations: int,
+               sketches_bytes: int = 0, partitions: int = 0, bloom_bytes: int = 0) -> None:
         entry = {
             "group_id": group_id,
             "fragments": [os.path.basename(f) for f in fragments],
             "rows_scanned": rows,
             "violations_emitted": violations,
+            "sketches_serialized_bytes": sketches_bytes,
+            "partitions": partitions,
+            "bloom_bytes": bloom_bytes,
             "committed_at": time.time(),
         }
         with open(self.path, "a") as fh:

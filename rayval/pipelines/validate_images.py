@@ -246,7 +246,12 @@ def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Mani
             if tmp_annot is not None:
                 _clean(paths["annotated"])
                 os.rename(tmp_annot, paths["annotated"])
-            manifest.commit(gid, group, rows=n_rows, violations=n_viol)
+            manifest.commit(
+                gid, group, rows=n_rows, violations=n_viol,
+                sketches_bytes=os.path.getsize(paths["sketches"]),
+                partitions=len(merged),
+                bloom_bytes=os.path.getsize(paths["bloom"]),
+            )
 
     par = _effective_group_parallelism(cfg)
     if par <= 1 or len(groups) <= 1:

@@ -321,3 +321,17 @@ def test_psnr_fidelity_wired_through_flagship(data_dir, tmp_path, ray_session):
     cols = pq.read_schema(f).names
     assert "ok__bytes.fidelity" in cols
     assert "bytes.fidelity" not in report["violations_by_constraint"]
+
+
+def test_manifest_lineage_metrics(finished_run):
+    """north_rule: each partition's checkpoint records rows scanned, sketches
+    serialized, violations emitted — the commit lines must carry all three."""
+    _, out, _ = finished_run
+    with open(os.path.join(out, "manifest.jsonl")) as fh:
+        entries = [json.loads(l) for l in fh if l.strip()]
+    assert entries and sum(e["rows_scanned"] for e in entries) == 400
+    for e in entries:
+        assert e["sketches_serialized_bytes"] > 0
+        assert e["bloom_bytes"] > 0
+        assert e["partitions"] >= 1
+        assert e["violations_emitted"] >= 0
