@@ -25,18 +25,79 @@ import pyarrow as pa
 import ray
 
 
-def _matrix(batch_col) -> np.ndarray:
-    """list<float> column -> (n, d) float64 matrix (flat values reshape)."""
+def _matrix(batch_col, d: Optional[int] = None) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (flat values reshape).
+
+    ``d``: expected dimension — lets an EMPTY batch return (0, d) so the
+    downstream matmul shape-checks instead of crashing on (0, 0).  Null
+    entries raise: ``ListArray.flatten()`` silently DROPS null rows, so a
+    reshape would either fail or (worse, when divisible) misalign every row
+    after the null against the wrong key."""
     arr = batch_col.combine_chunks() if isinstance(batch_col, pa.ChunkedArray) else batch_col
+    if arr.null_count:
+        raise ValueError(
+            f"{arr.null_count} null embedding(s) in batch — flatten() drops null "
+            "rows, which would misalign vectors against keys; filter or impute "
+            "nulls upstream"
+        )
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
-    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    return flat.reshape(n, -1) if n else flat.reshape(0, d or 0)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return m / norms
+
+
+def _empty_topk(key_type) -> pa.Table:
+    return pa.table(
+        {"query_id": pa.array([], type=pa.int32()), "key": pa.array([], key_type),
+         "score": pa.array([], type=pa.float64())}
+    )
+
+
+def _local_topk_table(m: np.ndarray, keys: np.ndarray, q: np.ndarray, k: int,
+                      key_type) -> pa.Table:
+    """Per-batch combiner shared by brute/lsh/ivf: local top-k rows per query
+    (k × num_batches rows reach the reduce, never the whole table)."""
+    kk = min(k, m.shape[0])
+    if kk == 0:
+        return _empty_topk(key_type)
+    scores = m @ q.T  # (n, nq)
+    qi, ki, sc = [], [], []
+    for j in range(q.shape[0]):
+        idx = np.argpartition(-scores[:, j], kk - 1)[:kk]
+        for i in idx:
+            qi.append(j)
+            ki.append(keys[i])
+            sc.append(scores[i, j])
+    return pa.table(
+        {"query_id": pa.array(qi, type=pa.int32()), "key": pa.array(ki, type=key_type),
+         "score": pa.array(sc, type=pa.float64())}
+    )
+
+
+def _reduce_topk(partials: list[dict], k: int, key_col: str, key_type) -> pa.Table:
+    """Driver-side merge of the per-batch combiner rows (sorted, per-query
+    head-k, deterministic score-then-key tie-break)."""
+    out_schema_empty = pa.table(
+        {"query_id": pa.array([], type=pa.int32()), key_col: pa.array([], key_type),
+         "score": pa.array([], type=pa.float64())}
+    )
+    if not partials:
+        return out_schema_empty
+    import pandas as pd
+
+    df = pd.DataFrame(partials).rename(columns={"key": key_col})
+    df = (
+        df.sort_values(["query_id", "score", key_col], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def brute_topk(
@@ -48,43 +109,17 @@ def brute_topk(
 ) -> pa.Table:
     """(query_id, <key>, score) exact cosine top-k per query row."""
     qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    key_type = ds.schema().base_schema.field(key_col).type
     q_ref = ray.put(qn)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        m = _normalize(_matrix(batch[emb_col]))
+        m = _normalize(_matrix(batch[emb_col], d=q.shape[1]))
         keys = batch[key_col].to_numpy(zero_copy_only=False)
-        scores = m @ q.T  # (n, nq)
-        qi, ki, sc = [], [], []
-        kk = min(k, scores.shape[0])
-        for j in range(q.shape[0]):
-            idx = np.argpartition(-scores[:, j], kk - 1)[:kk] if kk else np.array([], dtype=int)
-            for i in idx:
-                qi.append(j)
-                ki.append(keys[i])
-                sc.append(scores[i, j])
-        return pa.table(
-            {
-                "query_id": pa.array(qi, type=pa.int32()),
-                key_col: pa.array(ki),
-                "score": pa.array(sc, type=pa.float64()),
-            }
-        )
+        return _local_topk_table(m, keys, q, k, key_type)
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    if not partials:
-        return pa.table({"query_id": pa.array([], type=pa.int32()), key_col: pa.array([]),
-                         "score": pa.array([], type=pa.float64())})
-    import pandas as pd
-
-    df = pd.DataFrame(partials)
-    df = (
-        df.sort_values(["query_id", "score", key_col], ascending=[True, False, True])
-        .groupby("query_id", sort=True)
-        .head(k)
-        .reset_index(drop=True)
-    )
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _reduce_topk(partials, k, key_col, key_type)
 
 
 def lsh_topk(
@@ -100,9 +135,15 @@ def lsh_topk(
     """Approximate top-k: random-hyperplane bucket + multiprobe, exact re-rank
     inside candidate buckets.  Plane matrix is derived deterministically from
     ``seed``; candidates = rows whose bucket is within ``probe_bits`` bit
-    flips of the query bucket."""
+    flips of the query bucket (0 = the exact bucket only; any depth up to
+    ``n_planes`` is honored — combinations grow as C(n_planes, depth))."""
+    from itertools import combinations
+
+    if not 0 <= probe_bits <= n_planes:
+        raise ValueError(f"probe_bits must be in [0, n_planes={n_planes}], got {probe_bits}")
     qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     d = qn.shape[1]
+    key_type = ds.schema().base_schema.field(key_col).type
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((d, n_planes))
 
@@ -113,51 +154,25 @@ def lsh_topk(
     q_buckets = bucket_of(qn)
     probe: set[int] = set()
     for qb in q_buckets:
-        probe.add(int(qb))
-        for b1 in range(n_planes):
-            probe.add(int(qb ^ np.uint64(1 << b1)))
-            if probe_bits >= 2:
-                for b2 in range(b1 + 1, n_planes):
-                    probe.add(int(qb ^ np.uint64((1 << b1) | (1 << b2))))
+        for depth in range(probe_bits + 1):
+            for flips in combinations(range(n_planes), depth):
+                mask = 0
+                for b in flips:
+                    mask |= 1 << b
+                probe.add(int(qb ^ np.uint64(mask)))
     probe_ref = ray.put(np.array(sorted(probe), dtype=np.uint64))
     q_ref = ray.put(qn)
 
     def local(batch: pa.Table) -> pa.Table:
         probes = ray.get(probe_ref)
         q = ray.get(q_ref)
-        m = _normalize(_matrix(batch[emb_col]))
+        m = _normalize(_matrix(batch[emb_col], d=q.shape[1]))
         keys = batch[key_col].to_numpy(zero_copy_only=False)
         keep = np.isin(bucket_of(m), probes)
-        m, keys = m[keep], keys[keep]
-        if not len(keys):
-            return pa.table({"query_id": pa.array([], type=pa.int32()), key_col: pa.array([], batch[key_col].type),
-                             "score": pa.array([], type=pa.float64())})
-        scores = m @ q.T
-        qi, ki, sc = [], [], []
-        kk = min(k, len(keys))
-        for j in range(q.shape[0]):
-            idx = np.argpartition(-scores[:, j], kk - 1)[:kk]
-            for i in idx:
-                qi.append(j)
-                ki.append(keys[i])
-                sc.append(scores[i, j])
-        return pa.table({"query_id": pa.array(qi, type=pa.int32()), key_col: pa.array(ki),
-                         "score": pa.array(sc, type=pa.float64())})
+        return _local_topk_table(m[keep], keys[keep], q, k, key_type)
 
     partials = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    import pandas as pd
-
-    if not partials:
-        return pa.table({"query_id": pa.array([], type=pa.int32()), key_col: pa.array([]),
-                         "score": pa.array([], type=pa.float64())})
-    df = pd.DataFrame(partials)
-    df = (
-        df.sort_values(["query_id", "score", key_col], ascending=[True, False, True])
-        .groupby("query_id", sort=True)
-        .head(k)
-        .reset_index(drop=True)
-    )
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _reduce_topk(partials, k, key_col, key_type)
 
 
 def kmeans_centroids(
@@ -204,6 +219,7 @@ def ivf_topk(
     if centroids is None:
         centroids = kmeans_centroids(ds, k=n_lists, emb_col=emb_col)
     qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    key_type = ds.schema().base_schema.field(key_col).type
     probe_lists = np.unique(
         np.argsort(-(qn @ centroids.T), axis=1)[:, : min(n_probe, len(centroids))].ravel()
     )
@@ -213,40 +229,14 @@ def ivf_topk(
     def local(batch: pa.Table) -> pa.Table:
         cents, probes = ray.get(cents_ref)
         q = ray.get(q_ref)
-        m = _normalize(_matrix(batch[emb_col]))
+        m = _normalize(_matrix(batch[emb_col], d=q.shape[1]))
         keys = batch[key_col].to_numpy(zero_copy_only=False)
-        lists = (m @ cents.T).argmax(axis=1)
+        lists = (m @ cents.T).argmax(axis=1) if m.shape[0] else np.array([], dtype=np.int64)
         keep = np.isin(lists, probes)
-        m, keys = m[keep], keys[keep]
-        if not len(keys):
-            return pa.table({"query_id": pa.array([], type=pa.int32()), key_col: pa.array([], batch[key_col].type),
-                             "score": pa.array([], type=pa.float64())})
-        scores = m @ q.T
-        qi, ki, sc = [], [], []
-        kk = min(k, len(keys))
-        for j in range(q.shape[0]):
-            idx = np.argpartition(-scores[:, j], kk - 1)[:kk]
-            for i in idx:
-                qi.append(j)
-                ki.append(keys[i])
-                sc.append(scores[i, j])
-        return pa.table({"query_id": pa.array(qi, type=pa.int32()), key_col: pa.array(ki),
-                         "score": pa.array(sc, type=pa.float64())})
+        return _local_topk_table(m[keep], keys[keep], q, k, key_type)
 
     partials = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    import pandas as pd
-
-    if not partials:
-        return pa.table({"query_id": pa.array([], type=pa.int32()), key_col: pa.array([]),
-                         "score": pa.array([], type=pa.float64())})
-    df = pd.DataFrame(partials)
-    df = (
-        df.sort_values(["query_id", "score", key_col], ascending=[True, False, True])
-        .groupby("query_id", sort=True)
-        .head(k)
-        .reset_index(drop=True)
-    )
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _reduce_topk(partials, k, key_col, key_type)
 
 
 def embedding_neardups(
@@ -300,6 +290,10 @@ def embedding_neardups(
             scores = m @ m.T
             iu, ju = np.triu_indices(len(keys), k=1)
             hit = scores[iu, ju] >= threshold
+            # keys are expected unique; a repeated key always hashes to the
+            # same bucket and meets itself ONLY here (diagonal cell) — drop
+            # the degenerate a==b rows rather than violate the a<b contract
+            hit &= keys[iu] != keys[ju]
             ka, kb = keys[iu[hit]], keys[ju[hit]]
             sc = scores[iu, ju][hit]
         else:

@@ -144,10 +144,13 @@ def explode_violations(batch: pa.Table, key: str = "image_id") -> pa.Table:
             cids.append(name[len(OK_PREFIX):])
             counts.append(bad.size)
     if not parts:
+        # key typed from the BATCH, not hardcoded string: a clean batch must
+        # emit the same schema as a violating one or downstream block
+        # union/write fails on the mismatch for non-string key columns
         return pa.table(
             {
                 PARTITION_COL: pa.array([], type=pa.int64()),
-                key: pa.array([], type=pa.string()),
+                key: pa.array([], type=keys.type),
                 "constraint_id": pa.array([], type=pa.string()),
             }
         )

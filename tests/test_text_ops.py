@@ -477,3 +477,104 @@ def test_ngram_jaccard_hashed_path_identical(ray_session):
     assert _run_ngram(texts, threshold_e6=100_000, hash_grams=True) == _run_ngram(
         texts, threshold_e6=100_000
     )
+
+
+# ------------------------------------------- similarity edge-case regressions
+def _emb_table(vecs, ids=None):
+    ids = ids if ids is not None else list(range(len(vecs)))
+    return pa.table(
+        {"vec_id": pa.array(ids, type=pa.int64()),
+         "embedding": pa.array([[float(x) for x in v] for v in vecs], type=pa.list_(pa.float32()))}
+    )
+
+
+def test_ann_empty_blocks_survive(ray_session):
+    """An empty block (empty fragment / filtered-out block) must not crash
+    the matmul in any of the three top-k operators."""
+    import ray.data
+
+    from rayval.stages.similarity import brute_topk, ivf_topk, lsh_topk
+
+    rng = np.random.default_rng(5)
+    full = _emb_table(rng.standard_normal((12, 8)))
+    empty = full.slice(0, 0)
+    ds = ray.data.from_arrow([empty, full, empty])
+    q = rng.standard_normal(8)
+    assert len(brute_topk(ds, q, k=3)) == 3
+    assert len(lsh_topk(ds, q, k=3, n_planes=6, probe_bits=2)) <= 3
+    assert len(ivf_topk(ds, q, k=3, n_lists=4, n_probe=4)) == 3
+
+
+def test_ann_null_embedding_raises(ray_session):
+    """flatten() silently drops null list rows -> a null embedding must be a
+    loud error, never a silently misaligned matrix."""
+    import ray.data
+
+    from rayval.stages.similarity import brute_topk
+
+    t = pa.table(
+        {"vec_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+         "embedding": pa.array([[1.0] * 16, None, [2.0] * 16, [3.0] * 16], type=pa.list_(pa.float32()))}
+    )
+    with pytest.raises(Exception, match="null embedding"):
+        brute_topk(ray.data.from_arrow(t), np.ones(16), k=2)
+
+
+def test_lsh_probe_bits_semantics(ray_session):
+    """probe_bits=0 probes ONLY the query's bucket; deeper probing can only
+    widen the candidate set; out-of-range raises."""
+    import ray.data
+
+    from rayval.stages.similarity import lsh_topk
+
+    rng = np.random.default_rng(9)
+    ds = ray.data.from_arrow(_emb_table(rng.standard_normal((40, 8))))
+    q = rng.standard_normal(8)
+    n0 = len(lsh_topk(ds, q, k=40, n_planes=6, probe_bits=0))
+    n1 = len(lsh_topk(ds, q, k=40, n_planes=6, probe_bits=1))
+    n3 = len(lsh_topk(ds, q, k=40, n_planes=6, probe_bits=3))
+    assert n0 <= n1 <= n3
+    with pytest.raises(ValueError):
+        lsh_topk(ds, q, k=5, n_planes=6, probe_bits=7)
+
+
+def test_embedding_neardups_duplicate_key_no_self_pairs(ray_session):
+    """A repeated vec_id (contract violation) must not emit a==b rows."""
+    import ray.data
+
+    from rayval.stages.similarity import embedding_neardups
+
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((10, 8))
+    vecs[7] = vecs[3]  # identical vectors under a REPEATED id
+    ids = list(range(10))
+    ids[7] = 3
+    out = embedding_neardups(ray.data.from_arrow(_emb_table(vecs, ids)), threshold=0.99)
+    assert (out["a"].to_numpy(zero_copy_only=False) < out["b"].to_numpy(zero_copy_only=False)).all()
+
+
+def test_fragment_id_stable_and_collision_guard(tmp_path):
+    """Partition ids: canonical numbered stems use the number; other names a
+    CROSS-PROCESS stable hash (builtin hash() is PYTHONHASHSEED-randomized);
+    colliding ids are refused up front."""
+    import subprocess
+    import sys
+
+    from rayval.sources.parquet import fragment_id, list_fragments
+
+    assert fragment_id("/x/part-00042.parquet") == 42
+    assert fragment_id("/x/7.parquet") == 7
+    code = "from rayval.sources.parquet import fragment_id; print(fragment_id('/x/east.parquet'))"
+    outs = {
+        subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
+                       env={"PYTHONPATH": "/root/repo", "PYTHONHASHSEED": str(s)}).stdout.strip()
+        for s in (1, 2)
+    }
+    assert len(outs) == 1 and outs == {str(fragment_id("/x/east.parquet"))}
+
+    import pyarrow.parquet as pq_mod
+    t = pa.table({"a": [1]})
+    for name in ("train-001.parquet", "val-001.parquet"):
+        pq_mod.write_table(t, str(tmp_path / name))
+    with pytest.raises(ValueError, match="collision"):
+        list_fragments(str(tmp_path))
