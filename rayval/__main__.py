@@ -100,6 +100,25 @@ def cmd_check(args) -> int:
             [(PARTITION_COL, pa.int64()), ("__key", pa.string()), ("constraint_id", pa.string())]
         ),
     )
+    # structural/schema checks: masks() silently skips checks whose column is
+    # absent, so a table MISSING a declared (even required) column would
+    # otherwise validate clean here — evaluate the schema-level constraint
+    # ids once against the table's schema (same path the flagship uses)
+    structural = validator.schema_violations(
+        pa.schema(
+            [f for f in ds.schema().base_schema
+             # the --key column is a reporting handle, not part of the
+             # validated document — exempt it from the sequence/all set checks
+             if f.name not in ("__key", PARTITION_COL, key)]
+        )
+    )
+    if structural:
+        rows = pa.table(
+            {PARTITION_COL: pa.array([0] * len(structural), pa.int64()),
+             "__key": pa.nulls(len(structural), pa.string()),
+             "constraint_id": pa.array(structural, pa.string())}
+        )
+        t = pa.concat_tables([t, rows])
     print(f"{key or 'row'},constraint_id")
     for k, cid in zip(t["__key"].to_pylist(), t["constraint_id"].to_pylist()):
         print(f"{k},{cid}")

@@ -4,7 +4,7 @@ The reference threads three environment maps (types / attr-groups / elements)
 through every compiled closure (``fn-of`` at core.clj:11) and merges
 schema-declared names over a predefined environment at validation time
 (core.clj:128-134, parser.clj:197-204).  Here the analog is a flat *registry*
-``{name -> Constraint}`` resolved at compile time; the predefined 18 simple
+``{name -> Constraint}`` resolved at compile time; the predefined 17 simple
 types (core.clj:220-242) are pre-registered.
 
 Null semantics (pinned; see tests/test_constraints.py):

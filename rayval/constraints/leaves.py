@@ -104,8 +104,18 @@ class Pattern(Constraint):
 
     def __init__(self, pattern: str):
         self.pattern = pattern
-        re.compile(pattern)  # fail fast on bad pattern at compile time
         self._anchored = f"^(?:{pattern})$"
+        # fail fast AT COMPILE TIME with the engine that will actually run
+        # the pattern: Arrow uses RE2, which rejects constructs Python `re`
+        # accepts (lookaround, backreferences) — validating with re.compile
+        # alone would defer the failure into a per-batch worker task error
+        try:
+            pc.match_substring_regex(pa.array([""], pa.string()), self._anchored)
+        except pa.ArrowInvalid as e:
+            raise ValueError(
+                f"pattern {pattern!r} is not RE2-compatible (Arrow executes "
+                f"patterns with RE2): {e}"
+            ) from e
 
     def mask(self, view: ColumnView, ctx: CompileContext) -> np.ndarray:
         m = mask_to_numpy(pc.match_substring_regex(view.as_string(), self._anchored), null_value=True)

@@ -1,4 +1,4 @@
-"""The 18 predefined XSD simple types (core.clj:220-242) as constraints.
+"""The 17 predefined XSD simple types (core.clj:222-242 — the reference ships 17; no boolean) as constraints.
 
 Reference quirk pinned deliberately: ``float``/``double``/``decimal``/
 ``integer`` are all the *same* ``number?`` predicate (core.clj:220) — there is

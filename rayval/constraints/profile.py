@@ -215,7 +215,15 @@ class BatchValidator:
             if col is None:
                 continue
             if name in self.defaults:
-                col = pc.fill_null(col, self.defaults[name])  # attr default (core.clj:197-202)
+                # attr default (core.clj:197-202).  XSD defaults arrive
+                # scalar-inferred (default="5" -> int 5), which Arrow refuses
+                # to fill into a string column — cast to the COLUMN's type
+                # (str(5) = "5"; the inference view reads it back as 5, so
+                # the inferred semantics are unchanged)
+                try:
+                    col = pc.fill_null(col, self.defaults[name])
+                except (pa.ArrowTypeError, pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    col = pc.fill_null(col, pa.scalar(self.defaults[name]).cast(col.type))
             views[name] = ColumnView(col, infer_scalars=self.profile.infer_scalars)
         return views
 

@@ -368,6 +368,15 @@ def _parse_complex_type(el: ET.Element) -> ComplexType:
                     elif st == "attribute":
                         ref = sub.get("ref")
                         ct.attributes.append(("ref", ref) if ref else _parse_attribute(sub))
+                    elif st == "attributeGroup":
+                        # same handling as the direct complexType path — a
+                        # silent fall-through here dropped every constraint
+                        # the group declares
+                        ct.attributes.append(("groupref", sub.get("ref")))
+                    elif st in _UNSUPPORTED:
+                        raise XsdUnsupported(f"<{st}> is a grammar stub in the reference")
+                    else:
+                        raise XsdUnsupported(f"extension child <{st}>")
         elif t in _UNSUPPORTED:
             raise XsdUnsupported(f"<{t}> is a grammar stub in the reference")
         else:

@@ -71,6 +71,11 @@ def wav_decode(data) -> tuple[np.ndarray, int, int]:
     if channels < 1:
         raise AudioCodecError(f"invalid channel count {channels}")
     if bits == 16:
+        if len(pcm) & 1:
+            # odd data-chunk length is legal RIFF but can't be 16-bit PCM;
+            # np.frombuffer would raise ValueError (not AudioCodecError) and
+            # crash the task — truncate the dangling byte instead
+            pcm = pcm[:-1]
         s = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32767.0
     elif bits == 8:
         s = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float32) - 128.0) / 127.0

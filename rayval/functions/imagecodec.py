@@ -77,6 +77,11 @@ def png_decode(data) -> np.ndarray:
         if len(crc) != 4 or struct.unpack(">I", crc)[0] != (zlib.crc32(payload, zlib.crc32(tag)) & 0xFFFFFFFF):
             raise CodecError(f"bad CRC in {tag!r}")
         if tag == b"IHDR":
+            if length != 13:
+                # struct.error is NOT a CodecError — an adversarial
+                # CRC-valid short IHDR must stay a data error, not a task
+                # error
+                raise CodecError(f"IHDR length {length} != 13")
             ihdr = struct.unpack(">IIBBBBB", payload)
         elif tag == b"IDAT":
             idat_parts.append(payload)

@@ -148,8 +148,12 @@ def generate_images(
     large (generation is test/bench scaffolding, but slow serial generation
     would otherwise dominate bench setup at large n × big dims).
     """
+    # the marker must key EVERY content-affecting arg — omitting one would
+    # silently serve a stale fixture + stale oracle for a different request
     marker = os.path.join(
-        out_dir, f".done-v{GEN_VERSION}-n{n}-f{fragments}-s{seed}-d{dim_range[0]}x{dim_range[1]}"
+        out_dir,
+        f".done-v{GEN_VERSION}-n{n}-f{fragments}-s{seed}-d{dim_range[0]}x{dim_range[1]}"
+        f"-vr{violation_rate}-hb{hot_bucket_frac}-g{dup_groups}",
     )
     if os.path.exists(marker):
         return out_dir
@@ -170,6 +174,14 @@ def generate_images(
 
     def carve(k: int) -> np.ndarray:
         nonlocal cursor
+        if cursor + k > n:
+            # refuse to silently truncate a planted-violation class: the
+            # docstring promises violations of EVERY class, and a short carve
+            # would also crash the dup-group g[0] indexing on tiny n
+            raise ValueError(
+                f"n={n} too small to plant all dup groups + violation classes "
+                f"(needs ~{cursor + k}); raise n or lower violation_rate/dup_groups"
+            )
         out = perm[cursor : cursor + k]
         cursor += k
         return np.sort(out)

@@ -63,7 +63,15 @@ def bucket_join(
     sub-buckets, hot RIGHT rows replicate into every sub-bucket, so one hot
     key's probe side never lands on a single reducer.  Non-hot keys pay
     nothing.  Exact for inner/left joins (each left row still meets each
-    matching right row exactly once)."""
+    matching right row exactly once); right/outer with salting would emit an
+    unmatched replicated right row once per sub-bucket, so that combination
+    is refused rather than silently duplicated."""
+    if hot_keys is not None and len(np.asarray(hot_keys)) and how not in ("inner", "left"):
+        raise ValueError(
+            f"bucket_join(hot_keys=..., how={how!r}): salting replicates hot right "
+            "rows into every sub-bucket, so right/outer would duplicate unmatched "
+            "rows n_salts times — use how='inner'/'left', or drop hot_keys"
+        )
 
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)

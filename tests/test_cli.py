@@ -54,3 +54,19 @@ def test_cli_validate(tmp_path, ray_session, capsys):
     report = json.loads(capsys.readouterr().out)
     assert rc == 1  # planted violations -> global verdict false
     assert report["rows_scanned"] == 60
+
+
+def test_cli_check_missing_required_column(tmp_path, ray_session, capsys):
+    """A table MISSING a declared column must fail check (masks() skips
+    absent columns, so only the structural pass can catch this)."""
+    from rayval.__main__ import main
+
+    spec = {"name": "t", "key": "k", "fields": {"v": {"min": 0, "required": True}}}
+    js = tmp_path / "s.json"
+    js.write_text(json.dumps(spec))
+    table = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"k": ["a"], "other": [1]}), table)  # no 'v' at all
+    rc = main(["check", "--schema", str(js), "--table", str(table), "--key", "k"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "v.missing" in out

@@ -155,3 +155,20 @@ def test_decode_check_fidelity_gate():
     # without the flag the column is absent (and nothing else changes)
     out2 = DecodeCheck(psnr_check=False)(t)
     assert "ok__bytes.fidelity" not in out2.column_names
+
+
+def test_short_ihdr_is_codec_error():
+    """A CRC-valid IHDR with length != 13 must raise CodecError (struct.error
+    would escape the decode stage's except and kill the task)."""
+    import struct
+    import zlib
+
+    from rayval.functions.imagecodec import PNG_SIG
+
+    def chunk(tag, payload):
+        return struct.pack(">I", len(payload)) + tag + payload + struct.pack(
+            ">I", zlib.crc32(payload, zlib.crc32(tag)) & 0xFFFFFFFF)
+
+    bad = PNG_SIG + chunk(b"IHDR", b"\x00" * 12) + chunk(b"IDAT", b"x") + chunk(b"IEND", b"")
+    with pytest.raises(CodecError, match="IHDR length"):
+        decode_image(bad)

@@ -94,3 +94,19 @@ def test_bucket_join_salted_hot_key(ray_session):
     norm = lambda rows: sorted((r["k"], r["lval"], r["rval"]) for r in rows)
     assert norm(plain) == norm(salted)
     assert len(salted) == 550
+
+
+def test_bucket_join_hot_keys_refuses_right_outer(ray_session):
+    """Salting replicates hot build rows; right/outer would duplicate
+    unmatched replicas — the combination must raise, not silently dupe."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pt
+    import ray.data
+
+    from rayval.stages.join import bucket_join
+
+    l = ray.data.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()), "a": [10, 20]}))
+    r = ray.data.from_arrow(pa.table({"k": pa.array([2, 42], pa.int64()), "b": [1, 2]}))
+    with _pt.raises(ValueError, match="right/outer"):
+        bucket_join(l, r, key="k", how="outer", hot_keys=np.array([42]))

@@ -106,3 +106,23 @@ def test_annotate_union_member_index():
     prof = Profile("u", [Field("x", AnyOf([Range(min=0, max=9), Range(min=10, max=99)]))], key="id")
     out = Annotate(prof.compile())(pa.table({"x": pa.array([5, 50, 500], type=pa.int64())}))
     assert out["x__member"].to_pylist() == [0, 1, -1]
+
+
+def test_wav_odd_data_chunk_is_data_not_crash():
+    """Odd-length 16-bit data chunk (legal RIFF) must not raise ValueError
+    out of np.frombuffer — the dangling byte is truncated."""
+    import struct
+
+    import numpy as np
+
+    from rayval.functions.audiocodec import wav_decode, wav_encode
+
+    samples = (np.sin(np.linspace(0, 20, 200)) * 0.5).astype(np.float32)
+    data = bytearray(wav_encode(samples, 8000))
+    # append one dangling byte to the data chunk and patch its length
+    pos = data.index(b"data")
+    (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+    data[pos + 4 : pos + 8] = struct.pack("<I", length + 1)
+    data += b"\x00"
+    s, rate, ch = wav_decode(bytes(data))
+    assert rate == 8000 and len(s) == 200  # dangling byte dropped

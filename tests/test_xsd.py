@@ -573,3 +573,58 @@ def test_root_choice_flat_members_unchanged():
         {"a": pa.array(["x", None, "x", None]), "b": pa.array([None, "y", "y", None])}
     )
     assert v.masks(t)["__schema__.choice"].tolist() == [True, True, False, False]
+
+
+def test_numeric_looking_default_on_string_column():
+    """default=\"5\" scalar-infers to int 5; filling a STRING column must not
+    crash Arrow — the default is cast to the column type (and inference
+    reads it back as 5)."""
+    p = profile_from_xsd(
+        """<schema>
+             <element name="doc">
+               <complexType>
+                 <all><element name="id" type="string"/></all>
+                 <attribute name="tag" type="string" default="5"/>
+               </complexType>
+             </element>
+           </schema>"""
+    )
+    v = p.compile()
+    t = pa.table({"id": pa.array(["a", "b"]), "tag": pa.array(["x", None])})
+    m = v.masks(t)  # the point: no ArrowTypeError — masks evaluate
+    # faithful reference semantics: the filled "5" scalar-infers to number 5
+    # (parser.clj special-read-string), which then fails the declared string
+    # type — row 1 is a type violation, not a crash
+    (tag_type_id,) = [k for k in m if k.startswith("tag.")]
+    assert m[tag_type_id].tolist() == [True, False]
+
+
+def test_attribute_group_inside_extension():
+    """<attributeGroup ref> under complexContent/extension must compile its
+    constraints (it was silently dropped before)."""
+    p = profile_from_xsd(
+        """<schema>
+             <attributeGroup name="g">
+               <attribute name="score" use="required">
+                 <simpleType><restriction base="integer">
+                   <minInclusive value="0"/></restriction></simpleType>
+               </attribute>
+             </attributeGroup>
+             <complexType name="base">
+               <all><element name="id" type="string"/></all>
+             </complexType>
+             <element name="doc">
+               <complexType>
+                 <complexContent><extension base="base">
+                   <attributeGroup ref="g"/>
+                 </extension></complexContent>
+               </complexType>
+             </element>
+           </schema>"""
+    )
+    v = p.compile()
+    t = pa.table({"id": pa.array(["a", "b", "c"]),
+                  "score": pa.array([1, -5, None], type=pa.int64())})
+    m = v.masks(t)
+    assert m["score.range"].tolist() == [True, False, True]
+    assert m["score.required"].tolist() == [True, True, False]
