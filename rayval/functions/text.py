@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from rayval.state.hashing import hash64, rehash
+from rayval.state.hashing import hash64, rehash, window_hashes
 
 # Regex classes pinned to RE2 (DuckDB) semantics so oracle comparisons hold on
 # NON-ascii text too: RE2's \s is [\t\n\f\r ] and \w is [0-9A-Za-z_], while
@@ -165,8 +165,6 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     """uint64 hashes of the k-char shingle set of the normalized text —
     sliding-window polynomial hashes over the UTF-32 codepoints (ONE
     vectorized pass, no per-window substring objects)."""
-    from rayval.state.hashing import window_hashes
-
     s = _norm_for_shingles(text, k)
     codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     return np.unique(window_hashes(codes, k))
@@ -185,8 +183,6 @@ def batch_minhash_signatures(
     row by row (same window hash, same salted rehash, min over multiset ==
     min over set).
     """
-    from rayval.state.hashing import window_hashes
-
     norm = [_norm_for_shingles(t, k) for t in texts]
     n_docs = len(norm)
     if n_docs == 0:

@@ -41,6 +41,13 @@ def _collect(ds: "ray.data.Dataset", schema: pa.Schema) -> pa.Table:
     return collect_tables(ds, schema)
 
 
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """int64 rounding with DuckDB ROUND parity: half AWAY from zero.
+    np.round is banker's (half-even) — 62.5 rounds to 62 vs DuckDB's 63 —
+    so an exactly-representable .5 product would hash-mismatch the oracle."""
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 def _violations_query(ds: "ray.data.Dataset", profile: Profile, key_sql_cols: list[str]) -> pa.Table:
     """Run the compiled profile over the dataset; return (row_key, constraint_id).
     ``row_key`` = '-'-joined string of the key columns."""
@@ -524,34 +531,11 @@ FROM events GROUP BY user_id % 8
 """
 
 
-def q_jsonl_events_by_type(sf_dir: str) -> pa.Table:
-    """Second source format: the events table round-tripped through JSONL
-    (json.dumps repr floats -> exact double round-trip), read with
-    ``ray.data.read_json``, then the same grouped aggregate as
-    events_by_type — proving the engine is source-format-agnostic."""
-    import hashlib as _hashlib
-    import json as _json
-    import os as _os
-
-    import pyarrow.parquet as pq
-
-    src = f"{sf_dir}/events.parquet"
-    tag = _hashlib.md5(_os.path.abspath(src).encode()).hexdigest()[:8]
-    jdir = f"/tmp/rayval_jsonl_{tag}"
-    jpath = f"{jdir}/events.jsonl"
-    if not _os.path.exists(jpath):
-        _os.makedirs(jdir, exist_ok=True)
-        t = pq.read_table(src, columns=["event_type", "value"])
-        tmp = jpath + ".tmp"
-        with open(tmp, "w") as fh:
-            for et, v in zip(t["event_type"].to_pylist(), t["value"].to_pylist()):
-                fh.write(_json.dumps({"event_type": et, "value": v}) + "\n")
-        _os.replace(tmp, jpath)
-
-    ds = ray.data.read_json(jpath)
+def _events_by_type_agg(ds: "ray.data.Dataset") -> pa.Table:
+    """Shared by the parquet and JSONL variants — one body, two sources."""
 
     def to_int(batch: pa.Table) -> pa.Table:
-        e3 = np.round(batch["value"].to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
+        e3 = _round_half_away(batch["value"].to_numpy(zero_copy_only=False) * 1000)
         return pa.table({"event_type": batch["event_type"], "value_e3": pa.array(e3)})
 
     from ray.data.aggregate import Count, Sum
@@ -564,6 +548,17 @@ def q_jsonl_events_by_type(sf_dir: str) -> pa.Table:
     return _collect(
         out, pa.schema([("event_type", pa.string()), ("n", pa.int64()), ("sum_value_e3", pa.int64())])
     )
+
+
+def q_jsonl_events_by_type(sf_dir: str) -> pa.Table:
+    """Second source format: the events table round-tripped through JSONL
+    (json.dumps repr floats -> exact double round-trip), read with
+    ``ray.data.read_json``, then the same grouped aggregate as
+    events_by_type — proving the engine is source-format-agnostic."""
+    from rayval.sources.jsonl import jsonl_cache_of_parquet
+
+    jpath = jsonl_cache_of_parquet(f"{sf_dir}/events.parquet", ["event_type", "value"])
+    return _events_by_type_agg(ray.data.read_json(jpath))
 
 
 SQL_JSONL_EVENTS_BY_TYPE = """
@@ -583,9 +578,9 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
         # group per batch leaves the task, so the groupby shuffle moves
         # ~6 rows/batch instead of every input row (guide: "Aggregation at
         # scale" — pre-aggregate before a groupby)
-        qty = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
-        cents = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        disc = np.round(batch["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        qty = _round_half_away(batch["l_quantity"].to_numpy(zero_copy_only=False))
+        cents = _round_half_away(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        disc = _round_half_away(batch["l_discount"].to_numpy(zero_copy_only=False) * 100)
         t = pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
@@ -681,22 +676,7 @@ FROM customer GROUP BY c_mktsegment
 
 
 def q_events_by_type(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-
-    def to_int(batch: pa.Table) -> pa.Table:
-        e3 = np.round(batch["value"].to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
-        return pa.table({"event_type": batch["event_type"], "value_e3": pa.array(e3)})
-
-    from ray.data.aggregate import Count, Sum
-
-    out = (
-        ds.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("value_e3", alias_name="sum_value_e3"))
-    )
-    return _collect(
-        out, pa.schema([("event_type", pa.string()), ("n", pa.int64()), ("sum_value_e3", pa.int64())])
-    )
+    return _events_by_type_agg(_read(sf_dir, "events", ["event_type", "value"]))
 
 
 SQL_EVENTS_BY_TYPE = """
@@ -1367,8 +1347,9 @@ def q_audio_features(sf_dir: str) -> pa.Table:
 
 def q_image_resize(sf_dir: str) -> pa.Table:
     """Multimodal actor-pool stage demo: resize the synthetic images table to
-    32x32 thumbnails (real decode + numpy resample + PNG re-encode); returns
-    (image_id, resize_ok, thumb_bytes_len) — deterministic."""
+    thumbnails at the stage's default 64x64 (real decode + numpy resample +
+    PNG re-encode); returns (image_id, resize_ok, thumb_bytes_len) —
+    deterministic."""
     from rayval.sources.parquet import list_fragments, read_fragments
     from rayval.sources.images import generate_images
     from rayval.stages.multimodal import ImageResize

@@ -31,7 +31,7 @@ from rayval.functions.text import (
     exact_jaccard,
 )
 from rayval.functions.phash import _popcount64
-from rayval.state.hashing import rehash
+from rayval.state.hashing import hash64, rehash
 
 
 # ------------------------------------------------------------- exact dedup
@@ -41,11 +41,18 @@ def exact_dup_members(ds: "ray.data.Dataset", text_col: str, key_col: str) -> pa
     broadcast dup-set -> member filter."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pandas().fillna("")
+        # NULL text is excluded, matching SQL semantics (md5(NULL) IS NULL and
+        # never IN-matches) — fillna("") would silently group null docs with
+        # empty-string docs and diverge from the oracle
+        col = batch[text_col]
+        batch = batch.filter(col.is_valid()) if col.null_count else batch
+        texts = batch[text_col].to_pandas()
         h = np.array([hashlib.md5(s.encode()).hexdigest() for s in texts], dtype=object)
         return pa.table({key_col: batch[key_col], "h": pa.array(h, type=pa.string())})
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize: BOTH the count pass and the member pass consume this —
+    # a lazy plan would re-run the read + per-row md5 loop twice
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     def partial(batch: pa.Table) -> pa.Table:
         vc = pc.value_counts(batch["h"].combine_chunks() if isinstance(batch["h"], pa.ChunkedArray) else batch["h"])
@@ -230,12 +237,20 @@ def minhash_lsh_candidates(
         exploded.groupby(["band", "bh"]).map_groups(pairs, batch_format="pyarrow"),
         value_col="est_jaccard",
     )
+    if exact_threshold is None or texts_for_verify is None:
+        # return the typed Arrow table as-is: a pandas round-trip would
+        # re-infer EMPTY string columns as null type, breaking downstream
+        # concat/write against the documented (string, string, float64) schema
+        return cand_t
     df = cand_t.to_pandas()
-    if exact_threshold is not None and texts_for_verify is not None:
-        sh = {k: char_shingles(texts_for_verify.get(k, ""), shingle_k) for k in set(df.a) | set(df.b)}
-        df["jaccard"] = [round(exact_jaccard(sh[a], sh[b]), 6) for a, b in zip(df.a, df.b)]
-        df = df[df.jaccard >= exact_threshold].reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    sh = {k: char_shingles(texts_for_verify.get(k, ""), shingle_k) for k in set(df.a) | set(df.b)}
+    df["jaccard"] = [round(exact_jaccard(sh[a], sh[b]), 6) for a, b in zip(df.a, df.b)]
+    df = df[df.jaccard >= exact_threshold].reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df,
+        schema=cand_t.schema.append(pa.field("jaccard", pa.float64())),
+        preserve_index=False,
+    )
 
 
 def _collect_dedup_pairs(cand: "ray.data.Dataset", value_col: str, value_type=pa.float64()) -> pa.Table:
@@ -422,9 +437,15 @@ def simhash_neardups(
 
     Bucketed by ``max_hamming + 1`` bit-bands (pigeonhole: a pair at distance
     <= max_hamming must agree on at least one band), so recall is exact for
-    any ``max_hamming`` <= 63; the default 3 gives the classic 4 x 16-bit
-    scheme.  Per-bucket pairing is vectorized with the same hot-bucket guard
-    as MinHash (identical-signature chains + capped representative pairing).
+    any ``max_hamming`` <= 63 — EXCEPT inside hot buckets: a band bucket with
+    more than ``hot_cap`` DISTINCT signatures skips its cross-signature
+    all-pairs step (see ``_bucket_pair_indices``), so a pair whose ONLY
+    shared band is such a degenerate bucket is dropped.  That is the
+    deliberate skew trade (O(b^2) on a hot band bucket is the scale killer);
+    raise ``hot_cap`` to buy recall back.  The default 3 gives the classic
+    4 x 16-bit scheme.  Per-bucket pairing is vectorized with the same
+    hot-bucket guard as MinHash (identical-signature chains + capped
+    representative pairing).
     """
     n_bands = max_hamming + 1
     band_bits = 64 // n_bands
@@ -553,8 +574,6 @@ def ngram_jaccard_pairs(
         parts = [flat.slice(j, L - n + 1).filter(mask) for j in range(n)]
         gram = pc.binary_join_element_wise(*parts, " ")
         if hash_grams:
-            from rayval.state.hashing import hash64
-
             gram = pa.array(hash64(gram).view(np.int64))
         keys = batch[key_col].take(pa.array(p[: L - n + 1][ok]))
         df = pd.DataFrame({key_col: keys.to_pandas(), "gram": gram.to_pandas()}).drop_duplicates()

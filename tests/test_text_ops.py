@@ -578,3 +578,36 @@ def test_fragment_id_stable_and_collision_guard(tmp_path):
         pq_mod.write_table(t, str(tmp_path / name))
     with pytest.raises(ValueError, match="collision"):
         list_fragments(str(tmp_path))
+
+
+def test_exact_dup_null_text_matches_sql_semantics(ray_session):
+    """NULL texts are excluded (SQL: md5(NULL) IS NULL, never IN-matches);
+    they must NOT be grouped with empty-string docs."""
+    import ray.data
+
+    from rayval.stages.docdedup import exact_dup_members
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(["a", "b", "c", "d"]),
+                  "text": pa.array([None, None, "", ""], type=pa.string())})
+    )
+    out = exact_dup_members(ds, "text", "doc_id")
+    assert sorted(out["doc_id"].to_pylist()) == ["c", "d"]  # empties dup; nulls out
+
+
+def test_minhash_empty_result_keeps_schema(ray_session):
+    """Zero candidates must return the typed (string, string, float64)
+    schema, not pandas-inferred null columns."""
+    import ray.data
+
+    from rayval.stages.docdedup import minhash_lsh_candidates
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(["x", "y"]),
+                  "text": pa.array(["totally unique first document text here",
+                                    "completely different second content entirely"])})
+    )
+    out = minhash_lsh_candidates(ds, "text", "doc_id", est_threshold=0.99)
+    assert out.num_rows == 0
+    assert out.schema.field("a").type == pa.string()
+    assert out.schema.field("b").type == pa.string()
