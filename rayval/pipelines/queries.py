@@ -993,6 +993,24 @@ ON a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= 0
 """
 
 
+def q_embedding_neardups_lsh(sf_dir: str) -> pa.Table:
+    """Scale-path near-dup pairs: LSH-bucketed candidates + exact cosine
+    verify (precision 1.0, recall approximate — gated >= 0.9 vs the exact
+    block join in tests).  Rows-only: candidate generation is stochastic-
+    bucketed, not SQL-expressible."""
+    from rayval.stages.similarity import embedding_neardups_lsh
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # band shape tuned to the 0.35-threshold regime (angle ~70°, per-plane
+    # agreement p~0.61): 4-bit bands x 24 -> expected recall ~0.97; measured
+    # 257/257 at sf0.001, 1-2% missed at larger sf (pytest gates the
+    # high-threshold near-dup regime at >= 0.9 recall vs the exact join)
+    out = embedding_neardups_lsh(ds, threshold=0.35, n_planes=4, bands=24)
+    return pa.table({"a": out["a"], "b": out["b"]}).cast(
+        pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    )
+
+
 def q_top_orders(sf_dir: str) -> pa.Table:
     """Distributed sort + limit: top-10 orders by price (ds.sort is a full
     range-partitioned shuffle; fine here, demonstrated deliberately)."""
@@ -1614,6 +1632,7 @@ QUERIES = {
     "minhash_neardups": (q_minhash_neardups, None),
     "simhash_neardups": (q_simhash_neardups, None),
     "lsh_topk": (q_lsh_topk, None),
+    "embedding_neardups_lsh": (q_embedding_neardups_lsh, None),
     "ivf_topk": (q_ivf_topk, None),
     "minhash_dup_groups": (q_minhash_dup_groups, None),
     "images_validation": (q_images_validation, None),

@@ -319,3 +319,97 @@ def embedding_neardups(
 
     schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())])
     return collect_tables(out, schema).sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def embedding_neardups_lsh(
+    ds: "ray.data.Dataset",
+    threshold: float,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 10,
+    bands: int = 4,
+    seed: int = 11,
+    hot_cap: int = 1024,
+) -> pa.Table:
+    """(a, b, cos) pairs with cosine >= threshold, a < b — APPROXIMATE
+    candidate generation, EXACT verification: the 10^12-row path beside
+    :func:`embedding_neardups` (whose exact block join shuffles
+    ``n_blocks x rows`` and does O((n/n_blocks)^2) work per cell).
+
+    ``bands`` independent random-hyperplane signatures (``n_planes`` bits
+    each — the SimHash-for-vectors analog of MinHash banding): a pair lands
+    in the same bucket of band b iff it agrees on all of b's planes, so
+    near-identical vectors (the near-dup regime) collide in >=1 band with
+    probability ~1 - (1 - p^n_planes)^bands, p = 1 - angle/pi.  Shuffle
+    carries (band, bucket, key, vector): ``bands x d`` floats per row —
+    linear in rows, vs the exact join's ``n_blocks x d``.  Within a bucket
+    one matmul scores all pairs; every emitted pair is EXACTLY verified
+    (cos >= threshold on the true vectors), so precision is 1.0 and only
+    recall is approximate.  Buckets with more than ``hot_cap`` rows skip
+    cross pairs (degenerate band: carries ~no signal; the skew bound —
+    same trade as docdedup's LSH guard).  Cross-band duplicate pairs are
+    deduped DISTRIBUTED by ``groupby(a, b).min`` before the driver collect.
+    """
+    from rayval.util import collect_tables
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"band": pa.array([], pa.int32()), "bucket": pa.array([], pa.int64()),
+                 key_col: pa.array([], batch[key_col].type),
+                 emb_col: pa.array([], batch[emb_col].type)}
+            )
+        # derive each band's planes deterministically from (seed, band)
+        m = _normalize(_matrix(batch[emb_col]))
+        d = m.shape[1]
+        buckets = np.empty((bands, n), dtype=np.int64)
+        for b in range(bands):
+            planes = np.random.default_rng(seed + b).standard_normal((d, n_planes))
+            bits = (m @ planes) > 0
+            buckets[b] = (
+                bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)
+            ).sum(axis=1).astype(np.int64)
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
+        taken = batch.select([key_col, emb_col]).take(idx)
+        return (
+            pa.table(
+                {"band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+                 "bucket": pa.array(buckets.reshape(-1))}
+            )
+            .append_column(key_col, taken[key_col])
+            .append_column(emb_col, taken[emb_col])
+        )
+
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "cos": pa.array([], pa.float64())}
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2 or n > hot_cap:
+            return empty
+        keys = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_matrix(g[emb_col]))
+        scores = m @ m.T
+        iu, ju = np.triu_indices(n, k=1)
+        hit = (scores[iu, ju] >= threshold) & (keys[iu] != keys[ju])
+        ka, kb = keys[iu[hit]], keys[ju[hit]]
+        return pa.table(
+            {"a": pa.array(np.minimum(ka, kb)), "b": pa.array(np.maximum(ka, kb)),
+             "cos": pa.array(scores[iu, ju][hit], type=pa.float64())}
+        )
+
+    out = (
+        ds.select_columns([key_col, emb_col])
+        .map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        # a pair found by several bands carries the SAME exact cos: min == any
+        .groupby(["a", "b"])
+        .min("cos")
+        .map_batches(lambda b: b.rename_columns(["a", "b", "cos"]), batch_format="pyarrow")
+    )
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())])
+    return collect_tables(out, schema).sort_by([("a", "ascending"), ("b", "ascending")])

@@ -611,3 +611,31 @@ def test_minhash_empty_result_keeps_schema(ray_session):
     assert out.num_rows == 0
     assert out.schema.field("a").type == pa.string()
     assert out.schema.field("b").type == pa.string()
+
+
+def test_embedding_neardups_lsh_recall_gate(ray_session):
+    """The LSH-bucketed near-dup path: precision must be 1.0 (exact verify —
+    every emitted pair is a true pair) and recall >= 0.9 vs the exact block
+    join on a corpus with planted near-dup clusters."""
+    import ray.data
+
+    from rayval.stages.similarity import embedding_neardups, embedding_neardups_lsh
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((60, 16))
+    for i in range(0, 30, 3):  # plant 10 near-dup pairs
+        base[i + 1] = base[i] + rng.standard_normal(16) * 0.05
+    t = _emb_table(base)
+    ds = ray.data.from_arrow(t)
+    exact = embedding_neardups(ds, threshold=0.9)
+    approx = embedding_neardups_lsh(ds, threshold=0.9, n_planes=6, bands=8, seed=3)
+    exact_pairs = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+    approx_pairs = set(zip(approx["a"].to_pylist(), approx["b"].to_pylist()))
+    assert exact_pairs, "fixture must contain true near-dups"
+    assert approx_pairs <= exact_pairs  # precision 1.0 by construction
+    recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, (recall, len(exact_pairs))
+    # exact cos values agree for recovered pairs
+    ex = {(a, b): c for a, b, c in zip(exact["a"].to_pylist(), exact["b"].to_pylist(), exact["cos"].to_pylist())}
+    for a, b, c in zip(approx["a"].to_pylist(), approx["b"].to_pylist(), approx["cos"].to_pylist()):
+        assert abs(ex[(a, b)] - c) < 1e-9
