@@ -7,7 +7,7 @@ num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...per-query sec...}, "sf": ..., "num_cpus": N}
 
---scaling: run the bench twice in FRESH processes (num_cpus=4 then 16 by
+--scaling: run the bench twice in FRESH processes (num_cpus=2 then 8 by
 default; $RAYVAL_SCALING_LO/HI override) on the same input — the sandbox
 stand-in for the north_rule's N vs 4N node clusters — and print both
 throughputs + scaling efficiency (also recorded in BASELINE.md).
