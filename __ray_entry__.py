@@ -29,7 +29,10 @@ def _ensure_workers_can_run_rayval() -> None:
     the driver's sys.path.  If neither points at this repo, register every
     rayval module with cloudpickle for BY-VALUE serialization so map_batches
     callables ship their code instead of an import reference."""
-    if os.getcwd() == _REPO or _REPO in os.environ.get("PYTHONPATH", ""):
+    # compare PYTHONPATH as os.pathsep-split ENTRIES — a substring test
+    # would let /root/repo/tools or /root/repo-backup wrongly disable the
+    # by-value registration workers depend on
+    if os.getcwd() == _REPO or _REPO in os.environ.get("PYTHONPATH", "").split(os.pathsep):
         return
     try:
         import importlib

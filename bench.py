@@ -30,19 +30,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+
+
+def _sf_of(path: str) -> float:
+    """sf from the dir name (last 'sf<float>' component); 0.1 if absent —
+    never crash at import on an unconventional path."""
+    import re
+
+    m = re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(path.rstrip("/")))
+    return float(m.group(1)) if m else 0.1
+
+
+SF = _sf_of(SF_DIR)
 
 IMAGES_N = max(2000, int(2_500_000 * SF))  # 250k at sf0.1: decode must dominate fixed job costs
 IMAGES_FRAGMENTS = 64
 IMAGES_DIMS = (64, 192)  # bigger than test default: decode work must dominate job overhead
 
 
+_WARMED: set = set()
+
+
+def _warm_files(paths) -> None:
+    """Serial page-cache warm; missing files are skipped (a custom SF dir
+    need not ship every table)."""
+    for p in paths:
+        try:
+            with open(p, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+        except FileNotFoundError:
+            pass
+
+
 def bench_images(num_cpus: int) -> float:
     from rayval.pipelines.validate_images import RunConfig, run
     from rayval.sources.images import generate_images
 
+    # cache dir keyed by EVERY generation arg: a partially-keyed name reused
+    # across arg changes would leave stale extra fragments in place (the
+    # per-args .done marker only guards identical args)
     data = generate_images(
-        f"/tmp/rayval_bench/imgs_n{IMAGES_N}_d{IMAGES_DIMS[1]}",
+        f"/tmp/rayval_bench/imgs_n{IMAGES_N}_f{IMAGES_FRAGMENTS}_s42_d{IMAGES_DIMS[0]}x{IMAGES_DIMS[1]}",
         n=IMAGES_N,
         fragments=IMAGES_FRAGMENTS,
         seed=42,
@@ -50,13 +79,12 @@ def bench_images(num_cpus: int) -> float:
     )
     out = f"/tmp/rayval_bench/out_{os.getpid()}"
     shutil.rmtree(out, ignore_errors=True)
-    # warm the page cache (first generation writes it warm; later fresh
-    # processes re-read from disk — untimed here so both scaling runs match)
+    # warm the page cache ONCE per process (first generation writes it warm;
+    # later fresh processes re-read from disk — untimed so scaling runs match)
     img_dir = data + "/images"
-    for f in sorted(os.listdir(img_dir)):
-        with open(os.path.join(img_dir, f), "rb") as fh:
-            while fh.read(1 << 24):
-                pass
+    if img_dir not in _WARMED:
+        _WARMED.add(img_dir)
+        _warm_files(os.path.join(img_dir, f) for f in sorted(os.listdir(img_dir)))
     # Decode mode by cpu count, picked by interleaved idle-host A/B on THIS
     # sandbox: <=16 cpus the FUSED task mode wins clearly (read->validate->
     # decode->write->partials in one task, no object-store hop, ~20s vs ~29s
@@ -123,15 +151,14 @@ def run_bench() -> dict:
 
     from rayval.pipelines import queries as Q
 
-    # warm the page cache so the first timed read isn't a cold-disk artifact
-    for t in ("lineitem", "documents", "embeddings", "events"):
-        with open(f"{SF_DIR}/{t}.parquet", "rb") as fh:
-            while fh.read(1 << 24):
-                pass
-
     timings: dict[str, float] = {}
 
     only_images = os.environ.get("RAYVAL_BENCH_ONLY") == "images"
+    if not only_images:
+        # warm the page cache so the first timed read isn't a cold-disk
+        # artifact — skipped in images-only (scaling) runs, which never
+        # touch these tables
+        _warm_files(f"{SF_DIR}/{t}.parquet" for t in ("lineitem", "documents", "embeddings", "events"))
     # min of 2 trials by default — for the flagship AND the small queries: a
     # sub-5s query in a fresh session carries ~1s of fixed Ray job cost whose
     # variance would otherwise read as a code regression (round-2's phantom
@@ -195,15 +222,20 @@ def run_scaling() -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            PYTHONPATH="/root/repo",
+            PYTHONPATH=os.path.dirname(os.path.abspath(__file__)),
             RAYVAL_BENCH_ONLY="images",
             RAYVAL_BENCH_TRIALS="2",
             RAYVAL_BENCH_CALIBRATE="1",
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True
+        )
+        if proc.returncode != 0:
+            # surface the child's traceback — check=True would swallow the
+            # captured stderr and leave the failure undiagnosable
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"scaling subprocess (num_cpus={ncpu}) exited {proc.returncode}")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     r_lo = sub(lo)
     r_hi = sub(hi)

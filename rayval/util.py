@@ -17,7 +17,8 @@ def collect_tables(ds: "ray.data.Dataset", schema: Optional[pa.Schema] = None) -
     re-runs any upstream all-to-all) — materialize pins one execution and the
     refs are then zero-copy reads from the object store.
     """
-    tables = [t for t in map(ray.get, ds.materialize().to_arrow_refs()) if t.num_rows]
+    # one batched ray.get: per-ref gets would pay a driver round trip per block
+    tables = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
     if not tables:
         return schema.empty_table() if schema is not None else pa.table({})
     if schema is not None:

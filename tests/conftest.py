@@ -9,7 +9,8 @@ os.environ.setdefault("RAY_DEDUP_LOGS", "0")
 def ray_session():
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(
             address="local",
             num_cpus=4,
@@ -25,4 +26,7 @@ def ray_session():
     except Exception:
         pass
     yield
-    ray.shutdown()
+    # only tear down a session WE started — shutting down a caller's
+    # pre-initialized Ray would break any post-pytest work in that process
+    if owns_session:
+        ray.shutdown()

@@ -8,13 +8,16 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+# resolve the repo from THIS file, not a hardcoded path — a checkout
+# elsewhere must validate its own code, never a stray /root/repo copy
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -46,6 +49,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently matching nothing would exit 0 = false pass
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
