@@ -1,0 +1,138 @@
+"""Composed training-data cleaning pipeline over a documents table — the
+end-to-end workflow the engine's text operators exist for, chained as ONE
+streaming pass per stage family (engine-new surface; the reference has no
+corpus tooling):
+
+    read (column-pruned)
+      -> quality + language annotation   (vectorized map_batches, no shuffle)
+      -> quality / language FILTER       (streaming filter)
+      -> exact dedup, keep-first         (partial counts -> tiny groupby ->
+                                          broadcast losers; no row shuffle)
+      -> near-dup dedup, keep-canonical  (MinHash-LSH banded shuffle ->
+                                          connected components -> broadcast
+                                          non-canonical members)
+      -> write cleaned parquet (partitioned) + per-stage report
+
+Scale shape: the corpus text crosses the cluster exactly once per annotate/
+filter pass and NEVER enters a shuffle — both dedup stages exchange only
+(hash/band, key, signature) rows, and the drop-sets broadcast via ``ray.put``
+are bounded by |duplicate members|, not corpus size (the same small-side
+assumption as stages/dedup.py, with the semi-join fallback documented there
+when it breaks).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from rayval.functions.text import langid, quality_scores
+from rayval.stages.docdedup import exact_dup_members, minhash_lsh_candidates, dup_groups_from_pairs
+
+
+@dataclass
+class CleanConfig:
+    min_tokens: int = 5
+    max_stop_ratio_e6: int = 900_000   # drop docs that are ~all stopwords
+    allowed_langs: Optional[frozenset] = None  # None = keep every language
+    minhash_est_threshold: float = 0.7
+    write_partitions: int = 8
+
+
+def annotate(batch: pa.Table) -> pa.Table:
+    """Quality + language columns, fully vectorized (functions/text.py)."""
+    texts = batch["text"].to_pandas().fillna("")
+    q = quality_scores(texts)
+    n_tok = q["n_tokens"].to_numpy(dtype=np.int64)
+    n_stop = q["n_stop"].to_numpy(dtype=np.int64)
+    stop_e6 = np.zeros(len(n_tok), dtype=np.int64)
+    nz = n_tok > 0
+    stop_e6[nz] = (1_000_000 * n_stop[nz]) // n_tok[nz]
+    return (
+        batch.append_column("n_tokens", pa.array(n_tok))
+        .append_column("stop_ratio_e6", pa.array(stop_e6))
+        .append_column("lang_pred", pa.array(langid(texts), type=pa.string()))
+    )
+
+
+def clean_corpus(
+    ds: "ray.data.Dataset",
+    out_dir: Optional[str] = None,
+    cfg: CleanConfig = CleanConfig(),
+) -> dict:
+    """Run the full cleaning chain; returns a per-stage report dict
+    (counts are exact).  ``out_dir`` writes the cleaned corpus as
+    partitioned parquet; None skips the write (report only)."""
+    report: dict = {}
+    ds = ds.map_batches(annotate, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    report["rows_in"] = ds.count()
+
+    kept = ds.filter(
+        expr=f"n_tokens >= {cfg.min_tokens} and stop_ratio_e6 <= {cfg.max_stop_ratio_e6}"
+    )
+    if cfg.allowed_langs is not None:
+        langs = sorted(cfg.allowed_langs)
+        quoted = ", ".join(f"'{l}'" for l in langs)
+        kept = kept.filter(expr=f"lang_pred in ({quoted})")
+    kept = kept.materialize()
+    report["rows_after_quality"] = kept.count()
+
+    # exact dedup: drop every member of an exact-dup group EXCEPT its min key
+    members = exact_dup_members(kept, "text", "doc_id")
+    drop_exact: set = set()
+    if members.num_rows:
+        mdf = members.to_pandas()
+        winners = mdf.groupby("h")["doc_id"].min()
+        drop_exact = set(mdf["doc_id"]) - set(winners)
+    report["exact_dup_members"] = int(members.num_rows)
+    report["exact_dropped"] = len(drop_exact)
+    if drop_exact:
+        ref = ray.put(pa.array(sorted(drop_exact)))
+        kept = kept.map_batches(
+            lambda b: b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=ray.get(ref)))),
+            batch_format="pyarrow",
+        ).materialize()
+
+    # near-dup dedup: connected components over LSH candidates, keep the
+    # canonical (lexicographically-smallest) member of each group
+    str_keyed = kept.map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(b["doc_id"], pa.string()), "text": b["text"]}),
+        batch_format="pyarrow",
+    )
+    pairs = minhash_lsh_candidates(
+        str_keyed, "text", "doc_id", est_threshold=cfg.minhash_est_threshold
+    )
+    drop_near: set = set()
+    if pairs.num_rows:
+        groups = dup_groups_from_pairs(pairs)
+        gdf = groups.to_pandas()
+        drop_near = set(gdf[gdf["key"] != gdf["group"]]["key"])
+    report["near_dup_pairs"] = int(pairs.num_rows)
+    report["near_dropped"] = len(drop_near)
+    if drop_near:
+        # keys came back as strings from the dedup layer; map to the column type
+        key_t = kept.schema().base_schema.field("doc_id").type
+        vals = sorted(drop_near)
+        arr = pa.array([int(v) for v in vals], type=key_t) if pa.types.is_integer(key_t) else pa.array(vals, type=key_t)
+        ref2 = ray.put(arr)
+        kept = kept.map_batches(
+            lambda b: b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=ray.get(ref2)))),
+            batch_format="pyarrow",
+        )
+    kept = kept.materialize()
+    report["rows_out"] = kept.count()
+
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        kept.repartition(cfg.write_partitions).write_parquet(out_dir)
+        report["out_dir"] = out_dir
+    report["_kept"] = kept
+    return report

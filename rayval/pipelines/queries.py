@@ -1011,6 +1011,29 @@ def q_embedding_neardups_lsh(sf_dir: str) -> pa.Table:
     )
 
 
+def q_clean_corpus(sf_dir: str) -> pa.Table:
+    """Composed training-data cleaning chain (quality filter -> exact dedup
+    keep-first -> near-dup keep-canonical) over the documents table; returns
+    the kept doc_ids plus the per-stage counts as columns (deterministic).
+    Rows-only: langid + MinHash stages are not SQL-expressible."""
+    from rayval.pipelines.clean_corpus import CleanConfig, clean_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rep = clean_corpus(ds, cfg=CleanConfig(min_tokens=5, minhash_est_threshold=0.7))
+    kept = rep["_kept"]
+    ids = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+    n = len(ids)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "rows_in": pa.array([rep["rows_in"]] * n, type=pa.int64()),
+            "rows_after_quality": pa.array([rep["rows_after_quality"]] * n, type=pa.int64()),
+            "exact_dropped": pa.array([rep["exact_dropped"]] * n, type=pa.int64()),
+            "near_dropped": pa.array([rep["near_dropped"]] * n, type=pa.int64()),
+        }
+    )
+
+
 def q_top_orders(sf_dir: str) -> pa.Table:
     """Distributed sort + limit: top-10 orders by price (ds.sort is a full
     range-partitioned shuffle; fine here, demonstrated deliberately)."""
@@ -1635,6 +1658,7 @@ QUERIES = {
     "embedding_neardups_lsh": (q_embedding_neardups_lsh, None),
     "ivf_topk": (q_ivf_topk, None),
     "minhash_dup_groups": (q_minhash_dup_groups, None),
+    "clean_corpus": (q_clean_corpus, None),
     "images_validation": (q_images_validation, None),
     "image_resize": (q_image_resize, None),
     "audio_features": (q_audio_features, None),

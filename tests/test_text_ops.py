@@ -639,3 +639,57 @@ def test_embedding_neardups_lsh_recall_gate(ray_session):
     ex = {(a, b): c for a, b, c in zip(exact["a"].to_pylist(), exact["b"].to_pylist(), exact["cos"].to_pylist())}
     for a, b, c in zip(approx["a"].to_pylist(), approx["b"].to_pylist(), approx["cos"].to_pylist()):
         assert abs(ex[(a, b)] - c) < 1e-9
+
+
+# ------------------------------------------------- composed cleaning pipeline
+def test_clean_corpus_end_to_end(ray_session):
+    """Composed pipeline: quality filter -> exact dedup keep-first ->
+    near-dup keep-canonical, with exact per-stage counts."""
+    import ray.data
+
+    from rayval.pipelines.clean_corpus import CleanConfig, clean_corpus
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog " * 3,
+        2: "the quick brown fox jumps over the lazy dog " * 3,      # exact dup of 1
+        3: "the quick brown fox jumps over the lazy dog " * 3 + "x y z",  # near dup of 1
+        4: "completely different content about streaming engines today",
+        5: "tiny",                                                   # < min_tokens
+        6: "the the the the the the the the",                        # all stopwords
+    }
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(texts), type=pa.int64()),
+                  "text": pa.array(list(texts.values()))})
+    )
+    rep = clean_corpus(ds, cfg=CleanConfig(min_tokens=5, minhash_est_threshold=0.6))
+    assert rep["rows_in"] == 6
+    assert rep["rows_after_quality"] == 4          # 5 (short) and 6 (stopwords) out
+    assert rep["exact_dropped"] == 1               # doc 2
+    assert rep["near_dropped"] == 1                # doc 3 (canonical is 1)
+    assert rep["rows_out"] == 2
+    kept_ids = sorted(r["doc_id"] for r in rep["_kept"].take_all())
+    assert kept_ids == [1, 4]
+
+
+def test_clean_corpus_writes_partitioned(ray_session, tmp_path):
+    import glob
+
+    import ray.data
+
+    from rayval.pipelines.clean_corpus import CleanConfig, clean_corpus
+
+    rng = np.random.default_rng(17)
+    words = np.array("alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu nu xi "
+                     "omicron pi rho sigma tau upsilon phi chi psi omega".split())
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                  "text": pa.array([" ".join(rng.choice(words, size=12, replace=True)) for _ in range(40)])})
+    )
+    out = str(tmp_path / "cleaned")
+    rep = clean_corpus(ds, out_dir=out, cfg=CleanConfig(write_partitions=4))
+    assert rep["rows_out"] == 40
+    files = glob.glob(out + "/*.parquet")
+    assert files
+    import pyarrow.parquet as pq_mod
+    total = sum(pq_mod.read_metadata(f).num_rows for f in files)
+    assert total == 40
