@@ -693,3 +693,22 @@ def test_clean_corpus_writes_partitioned(ray_session, tmp_path):
     import pyarrow.parquet as pq_mod
     total = sum(pq_mod.read_metadata(f).num_rows for f in files)
     assert total == 40
+
+
+def test_ngram_jaccard_property_random_corpora(ray_session):
+    """Property check across seeded random corpora: the distributed
+    inverted-index join must equal the pure-Python set reference exactly
+    (hypothesis-style, seeds enumerated to keep Ray round-trips bounded)."""
+    vocab = ("red blue green gold iron copper river stone cloud meadow "
+             "falcon harbor ember willow quartz cedar").split()
+    for seed in (0, 1, 2, 3):
+        rng = np.random.default_rng(seed)
+        texts = {}
+        for i in range(14):
+            n_words = int(rng.integers(0, 18))
+            texts[f"d{i:02d}"] = " ".join(rng.choice(vocab, size=n_words)) if n_words else ""
+        # plant one near-dup pair per corpus
+        texts["d90"] = texts["d00"] + " extra tail words"
+        got = _run_ngram(texts, threshold_e6=100_000, max_df=8)
+        exp = _ref_ngram_pairs(texts, threshold_e6=100_000, max_df=8)
+        assert got == exp, (seed, got, exp)
