@@ -66,11 +66,13 @@ def annotate(batch: pa.Table) -> pa.Table:
 def clean_corpus(
     ds: "ray.data.Dataset",
     out_dir: Optional[str] = None,
-    cfg: CleanConfig = CleanConfig(),
+    cfg: Optional[CleanConfig] = None,
 ) -> dict:
     """Run the full cleaning chain; returns a per-stage report dict
     (counts are exact).  ``out_dir`` writes the cleaned corpus as
     partitioned parquet; None skips the write (report only)."""
+    cfg = cfg or CleanConfig()  # fresh per call: a shared mutable default
+    # dataclass would leak one caller's mutations into every later call
     report: dict = {}
     ds = ds.map_batches(annotate, batch_format="pyarrow", zero_copy_batch=True).materialize()
     report["rows_in"] = ds.count()
@@ -81,7 +83,10 @@ def clean_corpus(
     if cfg.allowed_langs is not None:
         langs = sorted(cfg.allowed_langs)
         quoted = ", ".join(f"'{l}'" for l in langs)
-        kept = kept.filter(expr=f"lang_pred in ({quoted})")
+        # BRACKET list syntax: Ray's filter-expr parser has no visit_Tuple,
+        # so `in ('en', 'es')` crashes and `in ('en')` parses as a plain
+        # string whose characters get iterated
+        kept = kept.filter(expr=f"lang_pred in [{quoted}]")
     kept = kept.materialize()
     report["rows_after_quality"] = kept.count()
 
@@ -111,18 +116,25 @@ def clean_corpus(
         str_keyed, "text", "doc_id", est_threshold=cfg.minhash_est_threshold
     )
     drop_near: set = set()
+    key_t = kept.schema().base_schema.field("doc_id").type
     if pairs.num_rows:
         groups = dup_groups_from_pairs(pairs)
         gdf = groups.to_pandas()
-        drop_near = set(gdf[gdf["key"] != gdf["group"]]["key"])
+        # pick the canonical member by the NATIVE key order, matching the
+        # exact-dedup stage (lexicographic min of the stringified id would
+        # keep 10 over 2 for integer keys — inconsistent 'keep-first')
+        if pa.types.is_integer(key_t):
+            gdf["key_n"] = gdf["key"].astype(np.int64)
+        elif pa.types.is_string(key_t) or pa.types.is_large_string(key_t):
+            gdf["key_n"] = gdf["key"]
+        else:
+            raise NotImplementedError(f"clean_corpus key type {key_t} (int/string supported)")
+        canon = gdf.groupby("group")["key_n"].transform("min")
+        drop_near = set(gdf.loc[gdf["key_n"] != canon, "key_n"])
     report["near_dup_pairs"] = int(pairs.num_rows)
     report["near_dropped"] = len(drop_near)
     if drop_near:
-        # keys came back as strings from the dedup layer; map to the column type
-        key_t = kept.schema().base_schema.field("doc_id").type
-        vals = sorted(drop_near)
-        arr = pa.array([int(v) for v in vals], type=key_t) if pa.types.is_integer(key_t) else pa.array(vals, type=key_t)
-        ref2 = ray.put(arr)
+        ref2 = ray.put(pa.array(sorted(drop_near), type=key_t))
         kept = kept.map_batches(
             lambda b: b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=ray.get(ref2)))),
             batch_format="pyarrow",

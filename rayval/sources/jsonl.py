@@ -25,9 +25,17 @@ JSONL_VERSION = 1
 
 
 def jsonl_cache_of_parquet(src: str, columns: list[str]) -> str:
-    """Path to a JSONL rendering of ``src``'s ``columns`` under /tmp."""
+    """Path to a JSONL rendering of ``src``'s ``columns`` under /tmp.
+
+    Column contract: JSON-native, FINITE values (strings/ints/finite
+    floats/bools) — ``allow_nan=False`` makes a NaN/Infinity a loud error at
+    write time instead of committing a cache file Arrow's JSON reader can't
+    parse.  The cache tag keys the source's (mtime, size) too, so an
+    overwritten parquet at the same path regenerates instead of silently
+    serving stale rows."""
+    st = os.stat(src)
     tag = hashlib.md5(
-        f"{os.path.abspath(src)}|{','.join(columns)}".encode()
+        f"{os.path.abspath(src)}|{','.join(columns)}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:8]
     jdir = f"/tmp/rayval_jsonl_v{JSONL_VERSION}_{tag}"
     jpath = f"{jdir}/data.jsonl"
@@ -38,6 +46,6 @@ def jsonl_cache_of_parquet(src: str, columns: list[str]) -> str:
     tmp = f"{jpath}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as fh:
         for row in zip(*[t[c].to_pylist() for c in columns]):
-            fh.write(json.dumps(dict(zip(columns, row))) + "\n")
+            fh.write(json.dumps(dict(zip(columns, row)), allow_nan=False) + "\n")
     os.replace(tmp, jpath)
     return jpath

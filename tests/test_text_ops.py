@@ -712,3 +712,39 @@ def test_ngram_jaccard_property_random_corpora(ray_session):
         got = _run_ngram(texts, threshold_e6=100_000, max_df=8)
         exp = _ref_ngram_pairs(texts, threshold_e6=100_000, max_df=8)
         assert got == exp, (seed, got, exp)
+
+
+def test_clean_corpus_allowed_langs(ray_session):
+    """The language gate: multi-lang and SINGLE-lang sets both work (Ray's
+    filter-expr parser rejects tuple syntax and mis-parses a one-element
+    parenthesized list — the bracket form must be used)."""
+    import ray.data
+
+    from rayval.pipelines.clean_corpus import CleanConfig, clean_corpus
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": pa.array(["the cat is on the mat and the dog sat",
+                                    "el perro en la casa come y duerme bien",
+                                    "der hund und die katze laufen im garten"])})
+    )
+    rep2 = clean_corpus(ds, cfg=CleanConfig(min_tokens=3, allowed_langs=frozenset({"en", "es"})))
+    assert sorted(r["doc_id"] for r in rep2["_kept"].take_all()) == [1, 2]
+    rep1 = clean_corpus(ds, cfg=CleanConfig(min_tokens=3, allowed_langs=frozenset({"de"})))
+    assert sorted(r["doc_id"] for r in rep1["_kept"].take_all()) == [3]
+
+
+def test_clean_corpus_near_dup_keeps_native_min(ray_session):
+    """Canonical keep uses NATIVE key order: group {2, 10} keeps 2, not the
+    lexicographic '10'."""
+    import ray.data
+
+    from rayval.pipelines.clean_corpus import CleanConfig, clean_corpus
+
+    t = "the quick brown fox jumps over the lazy dog " * 3
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([2, 10], type=pa.int64()),
+                  "text": pa.array([t, t + "tail"])})
+    )
+    rep = clean_corpus(ds, cfg=CleanConfig(min_tokens=5, minhash_est_threshold=0.6))
+    assert [r["doc_id"] for r in rep["_kept"].take_all()] == [2]
