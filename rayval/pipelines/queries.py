@@ -1067,6 +1067,40 @@ def q_top_orders_combiner(sf_dir: str) -> pa.Table:
     ).slice(0, 10)
 
 
+def q_top_orders_per_customer(sf_dir: str) -> pa.Table:
+    """Top-3 orders per customer (windowed rank): per-batch partial top-N
+    combiner prunes before the groupby shuffle — the groupwise analog of
+    top_orders_combiner.  Price as cents so floats can't wobble the hash."""
+    from rayval.stages.topn import topn_per_group
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderkey"])
+    out = topn_per_group(ds, "o_custkey", "o_totalprice", 3, tie_col="o_orderkey")
+
+    def project(b: pa.Table) -> pa.Table:
+        cents = _round_half_away(b["o_totalprice"].to_numpy(zero_copy_only=False) * 100)
+        return pa.table(
+            {"o_custkey": b["o_custkey"], "o_orderkey": b["o_orderkey"],
+             "price_cents": pa.array(cents)}
+        )
+
+    return _collect(
+        out.map_batches(project, batch_format="pyarrow"),
+        pa.schema([("o_custkey", pa.int64()), ("o_orderkey", pa.int64()), ("price_cents", pa.int64())]),
+    ).sort_by([("o_custkey", "ascending"), ("price_cents", "descending"), ("o_orderkey", "ascending")])
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+ORDER BY o_custkey, price_cents DESC, o_orderkey
+"""
+
+
 def q_distinct_priorities(sf_dir: str) -> pa.Table:
     """Distinct values of one column (ds.unique — a shuffle de-dup)."""
     ds = _read(sf_dir, "orders", ["o_orderpriority"])
@@ -1636,6 +1670,7 @@ QUERIES = {
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "top_orders_combiner": (q_top_orders_combiner, SQL_TOP_ORDERS),
+    "top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER),
     "distinct_priorities": (q_distinct_priorities, SQL_DISTINCT_PRIORITIES),
     "dedup_first_per_group": (q_dedup_first_per_group, SQL_DEDUP_FIRST),
     "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),

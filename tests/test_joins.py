@@ -110,3 +110,29 @@ def test_bucket_join_hot_keys_refuses_right_outer(ray_session):
     r = ray.data.from_arrow(pa.table({"k": pa.array([2, 42], pa.int64()), "b": [1, 2]}))
     with _pt.raises(ValueError, match="right/outer"):
         bucket_join(l, r, key="k", how="outer", hot_keys=np.array([42]))
+
+
+def test_topn_per_group_multiblock(ray_session):
+    """Per-batch partial pruning must still produce the exact global top-N
+    per group when a group's rows span many blocks (incl. a hot group)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.topn import topn_per_group
+
+    rng = np.random.default_rng(8)
+    g = np.concatenate([np.full(60, 7), rng.integers(0, 5, 40)])  # group 7 is hot
+    v = rng.integers(0, 1000, 100)
+    k = np.arange(100)
+    blocks = [
+        pa.table({"g": pa.array(g[i:i+10], pa.int64()), "v": pa.array(v[i:i+10], pa.int64()),
+                  "k": pa.array(k[i:i+10], pa.int64())})
+        for i in range(0, 100, 10)
+    ]
+    out = topn_per_group(ray.data.from_arrow(blocks), "g", "v", 3, tie_col="k")
+    got = sorted((r["g"], r["v"], r["k"]) for r in out.take_all())
+    import pandas as pd
+    df = pd.DataFrame({"g": g, "v": v, "k": k}).sort_values(["g", "v", "k"], ascending=[True, False, True])
+    exp = sorted(df.groupby("g").head(3).itertuples(index=False, name=None))
+    assert got == exp
