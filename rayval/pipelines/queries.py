@@ -1156,6 +1156,33 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_events_asof_view(sf_dir: str) -> pa.Table:
+    """As-of join: for every purchase event, the most recent preceding (or
+    simultaneous) view event of the same user — null when none precedes.
+    (user_id, ts) is unique in the fixture, so the semantics is unambiguous."""
+    from rayval.stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    left = ev.filter(expr="event_type == 'purchase'")
+    right = ev.filter(expr="event_type == 'view'")
+    out = asof_join(
+        left, right, by="user_id", on="ts",
+        left_keep=["event_id"], right_pick="event_id", out_col="view_event_id",
+    )
+    return _collect(
+        out, pa.schema([("event_id", pa.int64()), ("view_event_id", pa.int64())])
+    ).sort_by([("event_id", "ascending")])
+
+
+SQL_EVENTS_ASOF_VIEW = """
+SELECT p.event_id, v.event_id AS view_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""
+
+
 def q_sample_documents(sf_dir: str) -> pa.Table:
     """Deterministic ~10% hash sample: md5(doc_id-as-string) prefix bucket —
     reproducible across engines, so even SAMPLING gets a DuckDB oracle."""
@@ -1667,6 +1694,7 @@ QUERIES = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_with_prev": (q_events_with_prev, SQL_EVENTS_WITH_PREV),
+    "events_asof_view": (q_events_asof_view, SQL_EVENTS_ASOF_VIEW),
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "top_orders_combiner": (q_top_orders_combiner, SQL_TOP_ORDERS),

@@ -136,3 +136,41 @@ def test_topn_per_group_multiblock(ray_session):
     df = pd.DataFrame({"g": g, "v": v, "k": k}).sort_values(["g", "v", "k"], ascending=[True, False, True])
     exp = sorted(df.groupby("g").head(3).itertuples(index=False, name=None))
     assert got == exp
+
+
+def test_asof_join_brute_force(ray_session):
+    """As-of join vs a pure-Python reference: per key, each left row matches
+    the greatest right 'on' <= its own, else null — including keys with no
+    right rows, right-only keys, and exact-timestamp matches."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.asof import asof_join
+
+    rng = np.random.default_rng(12)
+    n_l, n_r = 60, 50
+    l = pa.table({
+        "k": pa.array(rng.integers(0, 6, n_l), pa.int64()),
+        "t": pa.array(rng.choice(10_000, size=n_l, replace=False).astype(np.int64)),
+        "lid": pa.array(np.arange(n_l), pa.int64()),
+    })
+    r = pa.table({
+        "k": pa.array(rng.integers(0, 8, n_r), pa.int64()),  # keys 6,7 right-only
+        "t": pa.array((rng.choice(10_000, size=n_r, replace=False) + 20_000).astype(np.int64) - 20_000),
+        "rid": pa.array(np.arange(n_r) + 1000, pa.int64()),
+    })
+    # force one exact-timestamp match
+    r = r.set_column(1, "t", pa.array(np.r_[l["t"].to_numpy()[:1], r["t"].to_numpy()[1:]]))
+    r = r.set_column(0, "k", pa.array(np.r_[l["k"].to_numpy()[:1], r["k"].to_numpy()[1:]]))
+    out = asof_join(
+        ray.data.from_arrow(l), ray.data.from_arrow(r),
+        by="k", on="t", left_keep=["lid"], right_pick="rid", out_col="m",
+    )
+    got = {row["lid"]: row["m"] for row in out.take_all()}
+    rr = list(zip(r["k"].to_pylist(), r["t"].to_pylist(), r["rid"].to_pylist()))
+    for k, t, lid in zip(l["k"].to_pylist(), l["t"].to_pylist(), l["lid"].to_pylist()):
+        cand = [(rt, rid) for rk, rt, rid in rr if rk == k and rt <= t]
+        exp = max(cand)[1] if cand else None
+        assert got[lid] == exp, (lid, got[lid], exp)
+    assert len(got) == n_l
