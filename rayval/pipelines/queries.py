@@ -1183,6 +1183,33 @@ ORDER BY p.event_id
 """
 
 
+def q_events_range_count(sf_dir: str) -> pa.Table:
+    """Range join (count form): views within the hour preceding each
+    purchase, per user — interval containment as two searchsorted calls per
+    key log."""
+    from rayval.stages.asof import range_count_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = range_count_join(
+        ev.filter(expr="event_type == 'purchase'"),
+        ev.filter(expr="event_type == 'view'"),
+        by="user_id", on="ts", width=np.timedelta64(1, "h"),
+        left_keep=["event_id"], out_col="n_views_1h",
+    )
+    return _collect(
+        out, pa.schema([("event_id", pa.int64()), ("n_views_1h", pa.int64())])
+    ).sort_by([("event_id", "ascending")])
+
+
+SQL_EVENTS_RANGE_COUNT = """
+SELECT p.event_id,
+       (SELECT count(*) FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = p.user_id
+          AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts) AS n_views_1h
+FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id
+"""
+
+
 def q_sample_documents(sf_dir: str) -> pa.Table:
     """Deterministic ~10% hash sample: md5(doc_id-as-string) prefix bucket —
     reproducible across engines, so even SAMPLING gets a DuckDB oracle."""
@@ -1695,6 +1722,7 @@ QUERIES = {
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_with_prev": (q_events_with_prev, SQL_EVENTS_WITH_PREV),
     "events_asof_view": (q_events_asof_view, SQL_EVENTS_ASOF_VIEW),
+    "events_range_count": (q_events_range_count, SQL_EVENTS_RANGE_COUNT),
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "top_orders_combiner": (q_top_orders_combiner, SQL_TOP_ORDERS),

@@ -174,3 +174,30 @@ def test_asof_join_brute_force(ray_session):
         exp = max(cand)[1] if cand else None
         assert got[lid] == exp, (lid, got[lid], exp)
     assert len(got) == n_l
+
+
+def test_range_count_join_brute_force(ray_session):
+    """Range count join vs a pure-Python reference, incl. boundary inclusion
+    at both window ends and keys with no right rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.asof import range_count_join
+
+    rng = np.random.default_rng(33)
+    l = pa.table({"k": pa.array(rng.integers(0, 4, 40), pa.int64()),
+                  "t": pa.array(rng.integers(0, 500, 40), pa.int64()),
+                  "lid": pa.array(np.arange(40), pa.int64())})
+    r = pa.table({"k": pa.array(rng.integers(0, 5, 60), pa.int64()),
+                  "t": pa.array(rng.integers(0, 500, 60), pa.int64())})
+    out = range_count_join(
+        ray.data.from_arrow(l), ray.data.from_arrow(r),
+        by="k", on="t", width=50, left_keep=["lid"], out_col="n",
+    )
+    got = {row["lid"]: row["n"] for row in out.take_all()}
+    rr = list(zip(r["k"].to_pylist(), r["t"].to_pylist()))
+    for k, t, lid in zip(l["k"].to_pylist(), l["t"].to_pylist(), l["lid"].to_pylist()):
+        exp = sum(1 for rk, rt in rr if rk == k and t - 50 <= rt <= t)
+        assert got[lid] == exp, (lid, got[lid], exp)
+    assert len(got) == 40
