@@ -1,29 +1,68 @@
-"""As-of join — an operator Ray Data lacks, composed from the engine's
-partitioned-log shape (the build brief's canonical custom-operator example).
-
-For every LEFT row, the RIGHT row with the greatest ``on`` value <= the left
-row's ``on`` value, within the same ``by`` key (SQL: ``ASOF LEFT JOIN ... ON
-l.by = r.by AND l.on >= r.on``).
+"""Temporal joins — as-of and range, operators Ray Data lacks, composed from
+the engine's partitioned-log shape (the build brief's canonical
+custom-operator examples).
 
 Shape (scales): both sides project to narrow columns, tag a side marker,
 union, and ``groupby(by).map_groups`` — each key's log is sorted once and
-matched VECTORIZED with one ``np.searchsorted`` (no per-row Python).  This is
-the same partitioning assumption as the sessionization/LAG windows
-(pipelines/queries.py): one key's rows fit a reducer; skewed keys are
-bounded by per-key log length, and a pathological single-key log would be
-salted by time-range exactly like the windowed aggregates.
+matched VECTORIZED with ``np.searchsorted`` (no per-row Python).  This is the
+same partitioning assumption as the sessionization/LAG windows
+(pipelines/queries.py): one key's rows fit a reducer; skewed keys are bounded
+by per-key log length, and a pathological single-key log would be salted by
+time-range exactly like the windowed aggregates.
 
-Determinism: ties on ``on`` within a key are broken by the largest right-side
-``pick`` column (callers should ensure (by, on) unique on the right — the
-ASOF semantics itself is ambiguous under duplicates).
+Null semantics (matches the SQL oracles): a left row with a NULL ``on``
+matches nothing (comparisons with NULL are never true); right rows with a
+NULL ``on`` never match.  Ties on ``on`` within a key are broken by the
+LARGEST right-side pick value (lexsort over (on, pick)), so output is
+deterministic even when (by, on) repeats on the right.
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
+
+
+def _tag_union(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    by: str,
+    on: str,
+    l_cols: list[str],
+    pick_col: Optional[str],
+    pick_type,
+    l_types: dict,
+) -> "ray.data.Dataset":
+    """Union of both sides over the LEFT schema + side marker (+ optional
+    pick column).  All types are resolved ONCE on the driver and captured as
+    plain values — capturing a Dataset object inside a per-batch closure
+    would serialize the whole upstream plan into every task."""
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        t = b.select(l_cols)
+        t = t.append_column("__side", pa.array(np.zeros(b.num_rows, dtype=np.int8)))
+        if pick_col is not None:
+            t = t.append_column("__pick", pa.nulls(b.num_rows, pick_type))
+        return t
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {c: (b[c] if c in b.column_names else pa.nulls(n, l_types[c])) for c in l_cols}
+        t = pa.table(cols)
+        t = t.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
+        if pick_col is not None:
+            t = t.append_column("__pick", b[pick_col])
+        return t
+
+    r_proj = list(dict.fromkeys([by, on] + ([pick_col] if pick_col else [])))
+    return left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.select_columns(r_proj).map_batches(tag_right, batch_format="pyarrow")
+    )
 
 
 def asof_join(
@@ -35,59 +74,56 @@ def asof_join(
     right_pick: str,
     out_col: str = "matched",
 ) -> "ray.data.Dataset":
-    """LEFT as-of join: emit ``left_keep`` columns plus ``out_col`` = the
-    ``right_pick`` value of the matched right row (null when no right row
-    precedes the left row in its key)."""
+    """LEFT as-of join: for every left row, the right row of the same ``by``
+    key with the greatest ``on`` <= the left row's ``on`` (SQL ``ASOF LEFT
+    JOIN ... ON l.by = r.by AND l.on >= r.on``).  Emits ``left_keep`` columns
+    plus ``out_col`` = that row's ``right_pick`` value (null when nothing
+    precedes)."""
     l_cols = list(dict.fromkeys([by, on] + left_keep))
-
-    def tag_left(b: pa.Table) -> pa.Table:
-        t = b.select(l_cols)
-        return (
-            t.append_column("__side", pa.array(np.zeros(b.num_rows, dtype=np.int8)))
-            .append_column("__pick", pa.nulls(b.num_rows, right.schema().base_schema.field(right_pick).type))
-        )
-
-    def tag_right(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        cols = {c: (b[c] if c in b.column_names else pa.nulls(n, left.schema().base_schema.field(c).type)) for c in l_cols}
-        t = pa.table(cols)
-        return (
-            t.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
-            .append_column("__pick", b[right_pick])
-        )
-
-    both = left.map_batches(tag_left, batch_format="pyarrow").union(
-        right.select_columns(list(dict.fromkeys([by, on, right_pick]))).map_batches(
-            tag_right, batch_format="pyarrow"
-        )
-    )
+    pick_type = right.schema().base_schema.field(right_pick).type
+    l_schema = left.schema().base_schema
+    l_types = {c: l_schema.field(c).type for c in l_cols}
+    keep_types = {c: l_types[c] for c in left_keep}
+    both = _tag_union(left, right, by, on, l_cols, right_pick, pick_type, l_types)
 
     def per_key(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {**{c: pa.array([], keep_types[c]) for c in left_keep},
+             out_col: pa.array([], pick_type)}
+        )
         side = g["__side"].to_numpy(zero_copy_only=False)
-        onv = g[on].to_numpy(zero_copy_only=False)
-        is_l = side == 0
-        lt = g.filter(pa.array(is_l))
+        lt = g.filter(pa.array(side == 0))
         if lt.num_rows == 0:
-            return pa.table(
-                {**{c: pa.array([], lt[c].type) for c in left_keep},
-                 out_col: pa.array([], g["__pick"].type)}
-            )
-        r_on = onv[~is_l]
-        picks = g["__pick"].filter(pa.array(~is_l))
-        order = np.argsort(r_on, kind="stable")
+            return empty
+        rt = g.filter(pa.array(side == 1))
+        # right rows with null `on` can never match; drop them BEFORE any
+        # to_numpy (a null would force a float64/NaT conversion, and NaN/NaT
+        # sort greater-than-everything in searchsorted — silently matching)
+        rt = rt.filter(rt[on].is_valid())
+        out_cols = {c: lt[c] for c in left_keep}
+        if rt.num_rows == 0:
+            out_cols[out_col] = pa.nulls(lt.num_rows, pick_type)
+            return pa.table(out_cols)
+        r_on = rt[on].to_numpy(zero_copy_only=False)
+        picks = rt["__pick"].combine_chunks() if isinstance(rt["__pick"], pa.ChunkedArray) else rt["__pick"]
+        picks_np = picks.to_numpy(zero_copy_only=False)
+        # sort by (on, pick): among equal `on`, searchsorted's rightmost hit
+        # is the LARGEST pick — the documented deterministic tie-break
+        order = np.lexsort((picks_np, r_on))
         r_on = r_on[order]
         picks = picks.take(pa.array(order))
-        idx = np.searchsorted(r_on, onv[is_l], side="right") - 1
-        matched = pa.nulls(lt.num_rows, picks.type)
+        l_valid = lt[on].is_valid().to_numpy(zero_copy_only=False)
+        idx = np.zeros(lt.num_rows, dtype=np.int64)
+        if l_valid.any():
+            l_on = lt.filter(pa.array(l_valid))[on].to_numpy(zero_copy_only=False)
+            idx[l_valid] = np.searchsorted(r_on, l_on, side="right") - 1
+        idx[~l_valid] = -1  # null `on` matches nothing (SQL semantics)
         hit = idx >= 0
-        if hit.any() and len(r_on):
-            taken = picks.take(pa.array(np.where(hit, idx, 0)))
-            matched = pa.Array.from_pandas(
-                taken.to_pandas().where(hit), type=picks.type
-            )
-        out = {c: lt[c] for c in left_keep}
-        out[out_col] = matched
-        return pa.table(out)
+        # Arrow-native masking: a pandas .where round-trip would convert
+        # int64 picks through float64, corrupting values > 2^53
+        taken = picks.take(pa.array(np.where(hit, idx, 0)))
+        out_cols[out_col] = pc.if_else(pa.array(hit), taken, pa.scalar(None, pick_type))
+        return pa.table(out_cols)
 
     return both.groupby(by).map_groups(per_key, batch_format="pyarrow")
 
@@ -103,43 +139,37 @@ def range_count_join(
 ) -> "ray.data.Dataset":
     """RANGE join (count form): for every LEFT row, the number of RIGHT rows
     of the same ``by`` key whose ``on`` lies in ``[left.on - width, left.on]``
-    — the interval-join composition (same partitioned-log shape as
-    :func:`asof_join`): per key, sort the right side's ``on`` once, then TWO
-    vectorized ``np.searchsorted`` calls bound every left row's window.  A
-    full materializing range join (emit the pairs) is the same shape with a
-    take per window; the count form is the aggregation-pushed variant that
-    avoids the pair blowup at scale."""
+    — per key, sort the right ``on`` once, then TWO vectorized
+    ``np.searchsorted`` calls bound every window.  A full materializing range
+    join (emit the pairs) is the same shape with a take per window; the
+    count form is the aggregation-pushed variant that avoids the pair blowup
+    at scale.  A left row with null ``on`` counts 0."""
     l_cols = list(dict.fromkeys([by, on] + left_keep))
-
-    def tag_left(b: pa.Table) -> pa.Table:
-        return b.select(l_cols).append_column(
-            "__side", pa.array(np.zeros(b.num_rows, dtype=np.int8))
-        )
-
-    def tag_right(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        cols = {c: (b[c] if c in b.column_names else pa.nulls(n, left.schema().base_schema.field(c).type)) for c in l_cols}
-        return pa.table(cols).append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
-
-    both = left.map_batches(tag_left, batch_format="pyarrow").union(
-        right.select_columns(list(dict.fromkeys([by, on]))).map_batches(tag_right, batch_format="pyarrow")
-    )
+    l_schema = left.schema().base_schema
+    l_types = {c: l_schema.field(c).type for c in l_cols}
+    keep_types = {c: l_types[c] for c in left_keep}
+    both = _tag_union(left, right, by, on, l_cols, None, None, l_types)
 
     def per_key(g: pa.Table) -> pa.Table:
         side = g["__side"].to_numpy(zero_copy_only=False)
-        onv = g[on].to_numpy(zero_copy_only=False)
-        is_l = side == 0
-        lt = g.filter(pa.array(is_l))
+        lt = g.filter(pa.array(side == 0))
         if lt.num_rows == 0:
             return pa.table(
-                {**{c: pa.array([], lt[c].type) for c in left_keep},
+                {**{c: pa.array([], keep_types[c]) for c in left_keep},
                  out_col: pa.array([], pa.int64())}
             )
-        r_on = np.sort(onv[~is_l], kind="stable")
-        lo = np.searchsorted(r_on, onv[is_l] - width, side="left")
-        hi = np.searchsorted(r_on, onv[is_l], side="right")
+        rt = g.filter(pa.array(side == 1))
+        rt = rt.filter(rt[on].is_valid())
+        counts = np.zeros(lt.num_rows, dtype=np.int64)
+        l_valid = lt[on].is_valid().to_numpy(zero_copy_only=False)
+        if rt.num_rows and l_valid.any():
+            r_on = np.sort(rt[on].to_numpy(zero_copy_only=False), kind="stable")
+            l_on = lt.filter(pa.array(l_valid))[on].to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(r_on, l_on - width, side="left")
+            hi = np.searchsorted(r_on, l_on, side="right")
+            counts[l_valid] = hi - lo
         out = {c: lt[c] for c in left_keep}
-        out[out_col] = pa.array((hi - lo).astype(np.int64))
+        out[out_col] = pa.array(counts)
         return pa.table(out)
 
     return both.groupby(by).map_groups(per_key, batch_format="pyarrow")

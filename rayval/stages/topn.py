@@ -26,8 +26,11 @@ def topn_per_group(
     n: int,
     tie_col: str,
 ) -> "ray.data.Dataset":
-    """Rows of the top ``n`` per ``group_col`` ordered by ``value_col``
-    descending, ties broken by ``tie_col`` ascending."""
+    """Top ``n`` rows per ``group_col`` ordered by ``value_col`` descending,
+    ties broken by ``tie_col`` ascending.  OUTPUT IS PROJECTED to exactly
+    (group_col, value_col, tie_col) — join other columns back by ``tie_col``
+    if needed.  Null group keys form their own partition (SQL ROW_NUMBER
+    PARTITION BY semantics: the NULL partition is kept, not dropped)."""
     cols = [group_col, value_col, tie_col]
 
     def head_n(t: pa.Table) -> pa.Table:
@@ -35,7 +38,8 @@ def topn_per_group(
         df = df.sort_values(
             [group_col, value_col, tie_col], ascending=[True, False, True], kind="stable"
         )
-        df = df.groupby(group_col, sort=False).head(n)
+        # dropna=False: pandas' default silently discards null-keyed rows
+        df = df.groupby(group_col, sort=False, dropna=False).head(n)
         return pa.Table.from_pandas(df, preserve_index=False).cast(t.select(cols).schema)
 
     partials = ds.map_batches(head_n, batch_format="pyarrow", zero_copy_batch=True)

@@ -201,3 +201,65 @@ def test_range_count_join_brute_force(ray_session):
         exp = sum(1 for rk, rt in rr if rk == k and t - 50 <= rt <= t)
         assert got[lid] == exp, (lid, got[lid], exp)
     assert len(got) == 40
+
+
+def test_asof_join_null_on_and_tie_break(ray_session):
+    """Null `on` values match nothing (SQL comparison semantics; naive
+    to_numpy would NaN-convert and match everything), and duplicate
+    (by, on) right rows deterministically yield the LARGEST pick."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.asof import asof_join
+
+    l = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                  "t": pa.array([10, None, 3], pa.int64()),
+                  "lid": pa.array([0, 1, 2], pa.int64())})
+    for r_order in ([100, 7], [7, 100]):  # both arrival orders
+        r = pa.table({"k": pa.array([1, 1], pa.int64()),
+                      "t": pa.array([5, 5], pa.int64()),
+                      "rid": pa.array(r_order, pa.int64())})
+        out = asof_join(ray.data.from_arrow(l), ray.data.from_arrow(r),
+                        by="k", on="t", left_keep=["lid"], right_pick="rid", out_col="m")
+        got = {row["lid"]: row["m"] for row in out.take_all()}
+        assert got == {0: 100, 1: None, 2: None}, (r_order, got)
+    # null right `on` rows never match
+    r2 = pa.table({"k": pa.array([1], pa.int64()),
+                   "t": pa.array([None], pa.int64()),
+                   "rid": pa.array([55], pa.int64())})
+    out2 = asof_join(ray.data.from_arrow(l), ray.data.from_arrow(r2),
+                     by="k", on="t", left_keep=["lid"], right_pick="rid", out_col="m")
+    assert all(row["m"] is None for row in out2.take_all())
+
+
+def test_range_count_join_null_on(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.asof import range_count_join
+
+    l = pa.table({"k": pa.array([1, 1], pa.int64()),
+                  "t": pa.array([10, None], pa.int64()),
+                  "lid": pa.array([0, 1], pa.int64())})
+    r = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                  "t": pa.array([8, None, 100], pa.int64())})
+    out = range_count_join(ray.data.from_arrow(l), ray.data.from_arrow(r),
+                           by="k", on="t", width=5, left_keep=["lid"], out_col="n")
+    got = {row["lid"]: row["n"] for row in out.take_all()}
+    assert got == {0: 1, 1: 0}  # null right `on` not counted; null left counts 0
+
+
+def test_topn_per_group_null_keys_kept(ray_session):
+    """Null group keys form their own partition (ROW_NUMBER PARTITION BY
+    keeps the NULL partition; pandas' groupby default would drop it)."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.topn import topn_per_group
+
+    t = pa.table({"g": pa.array([1, None, None, 1], pa.int64()),
+                  "v": pa.array([5, 9, 3, 7], pa.int64()),
+                  "k": pa.array([0, 1, 2, 3], pa.int64())})
+    out = topn_per_group(ray.data.from_arrow(t), "g", "v", 1, tie_col="k")
+    rows = sorted(((r["g"], r["v"], r["k"]) for r in out.take_all()), key=str)
+    assert rows == [(1, 7, 3), (None, 9, 1)]
