@@ -1067,6 +1067,72 @@ def q_top_orders_combiner(sf_dir: str) -> pa.Table:
     ).slice(0, 10)
 
 
+def q_top_customers_per_nation(sf_dir: str) -> pa.Table:
+    """Composite: distributed aggregate (revenue per customer, exact cents)
+    -> broadcast dim join (nation) -> windowed rank (top-2 per nation).
+    Three engine operators chained; every intermediate stays a Dataset."""
+    from ray.data.aggregate import Sum
+
+    from rayval.stages.join import broadcast_join
+    from rayval.stages.topn import topn_per_group
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": b["o_custkey"],
+             "cents": pa.array(_round_half_away(b["o_totalprice"].to_numpy(zero_copy_only=False) * 100))}
+        )
+
+    rev = (
+        orders.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b.rename_columns(["o_custkey", "c_nationkey"]), batch_format="pyarrow"
+    )
+    import pyarrow.parquet as pq_mod
+
+    dim = pq_mod.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    with_nation = broadcast_join(
+        broadcast_join(rev, _collect(cust, None) if False else cust_table(sf_dir), key="o_custkey"),
+        dim.rename_columns(["c_nationkey", "n_name"]),
+        key="c_nationkey",
+    )
+    top = topn_per_group(with_nation, "n_name", "revenue_cents", 2, tie_col="o_custkey")
+    return _collect(
+        top.map_batches(
+            lambda b: b.rename_columns(["n_name", "revenue_cents", "o_custkey"]),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("n_name", pa.string()), ("revenue_cents", pa.int64()), ("o_custkey", pa.int64())]),
+    ).sort_by([("n_name", "ascending"), ("revenue_cents", "descending"), ("o_custkey", "ascending")])
+
+
+def cust_table(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq_mod
+
+    t = pq_mod.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    return t.rename_columns(["o_custkey", "c_nationkey"])
+
+
+SQL_TOP_CUSTOMERS_PER_NATION = """
+SELECT n_name, revenue_cents, o_custkey FROM (
+  SELECT n_name, r.revenue_cents, r.o_custkey,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY r.revenue_cents DESC, r.o_custkey ASC) AS rn
+  FROM (
+    SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders GROUP BY o_custkey
+  ) r
+  JOIN customer ON c_custkey = r.o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+) WHERE rn <= 2
+ORDER BY n_name, revenue_cents DESC, o_custkey
+"""
+
+
 def q_top_orders_per_customer(sf_dir: str) -> pa.Table:
     """Top-3 orders per customer (windowed rank): per-batch partial top-N
     combiner prunes before the groupby shuffle — the groupwise analog of
