@@ -1089,14 +1089,11 @@ def q_top_customers_per_nation(sf_dir: str) -> pa.Table:
         .groupby("o_custkey")
         .aggregate(Sum("cents", alias_name="revenue_cents"))
     )
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-        lambda b: b.rename_columns(["o_custkey", "c_nationkey"]), batch_format="pyarrow"
-    )
     import pyarrow.parquet as pq_mod
 
     dim = pq_mod.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     with_nation = broadcast_join(
-        broadcast_join(rev, _collect(cust, None) if False else cust_table(sf_dir), key="o_custkey"),
+        broadcast_join(rev, cust_table(sf_dir), key="o_custkey"),
         dim.rename_columns(["c_nationkey", "n_name"]),
         key="c_nationkey",
     )
@@ -1760,12 +1757,39 @@ SELECT image_id, 'caption.maxLength' FROM imgs WHERE caption IS NOT NULL AND len
 """
 
 
+# Registry order is DELIBERATE: the driver sweeps in this order under a
+# wall-clock budget (round 3 recorded only the first 50 of 57), so the
+# flagship, the multimodal stages and the headline scale paths come FIRST;
+# entries whose operator is also exercised by an earlier entry (top_orders ~
+# top_orders_combiner, union_violations ~ union_annotate, events_by_type ~
+# jsonl_events_by_type, customer_stats ~ pricing_summary, lsh_topk ~
+# ivf_topk) sit at the tail where a truncated sweep costs the least.
+# Rows-only entries (oracle None) are the non-SQL-expressible ops:
+# heuristics, sketch/LSH ops, image decode.
 QUERIES = {
+    # flagship + multimodal (the north-rule core)
+    "images_validation": (q_images_validation, None),
+    "images_meta_violations": (q_images_meta_violations, SQL_IMAGES_META_VIOLATIONS),
+    "partition_verdicts": (q_partition_verdicts, SQL_PARTITION_VERDICTS),
+    "image_resize": (q_image_resize, None),
+    "audio_features": (q_audio_features, None),
+    # headline scale paths (dedup / similarity / corpus cleaning)
+    "embedding_neardups_lsh": (q_embedding_neardups_lsh, None),
+    "clean_corpus": (q_clean_corpus, None),
+    "ivf_topk": (q_ivf_topk, None),
+    "minhash_neardups": (q_minhash_neardups, None),
+    "minhash_dup_groups": (q_minhash_dup_groups, None),
+    "simhash_neardups": (q_simhash_neardups, None),
+    "langid_predictions": (q_langid, None),
+    "sketch_stats": (q_sketch_stats, None),
+    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    # reference semantics (XSD constraint engine)
     "lineitem_violations": (q_lineitem_violations, SQL_LINEITEM_VIOLATIONS),
     "part_violations": (q_part_violations, SQL_PART_VIOLATIONS),
     "orders_violations": (q_orders_violations, SQL_ORDERS_VIOLATIONS),
     "length_violations": (q_length_violations, SQL_LENGTH_VIOLATIONS),
-    "union_violations": (q_union_violations, SQL_UNION_VIOLATIONS),
     "union_annotate": (q_union_annotate, SQL_UNION_ANNOTATE),
     "choice_violations": (q_choice_violations, SQL_CHOICE_VIOLATIONS),
     "fixed_default_violations": (q_fixed_default_violations, SQL_FIXED_DEFAULT_VIOLATIONS),
@@ -1777,46 +1801,34 @@ QUERIES = {
     "scalar_inference_violations": (q_scalar_inference_violations, SQL_SCALAR_INFERENCE_VIOLATIONS),
     "nested_struct_violations": (q_nested_struct_violations, SQL_NESTED_STRUCT_VIOLATIONS),
     "structural_violations": (q_structural_violations, SQL_STRUCTURAL_VIOLATIONS),
-    "images_meta_violations": (q_images_meta_violations, SQL_IMAGES_META_VIOLATIONS),
-    "partition_verdicts": (q_partition_verdicts, SQL_PARTITION_VERDICTS),
+    # sources / aggregates / windows / temporal joins
     "jsonl_events_by_type": (q_jsonl_events_by_type, SQL_JSONL_EVENTS_BY_TYPE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "customer_stats": (q_customer_stats, SQL_CUSTOMER_STATS),
     "acctbal_median": (q_acctbal_median, SQL_ACCTBAL_MEDIAN),
-    "events_by_type": (q_events_by_type, SQL_EVENTS_BY_TYPE),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_with_prev": (q_events_with_prev, SQL_EVENTS_WITH_PREV),
     "events_asof_view": (q_events_asof_view, SQL_EVENTS_ASOF_VIEW),
     "events_range_count": (q_events_range_count, SQL_EVENTS_RANGE_COUNT),
+    # joins / windowed rank / dedup / text
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
-    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION),
     "top_orders_combiner": (q_top_orders_combiner, SQL_TOP_ORDERS),
     "top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER),
-    "distinct_priorities": (q_distinct_priorities, SQL_DISTINCT_PRIORITIES),
     "dedup_first_per_group": (q_dedup_first_per_group, SQL_DEDUP_FIRST),
     "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),
-    "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),
     "sample_documents": (q_sample_documents, SQL_SAMPLE_DOCUMENTS),
-    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
-    "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
-    # rows-only (non-SQL-expressible: heuristics, sketch/LSH ops, image decode)
-    "langid_predictions": (q_langid, None),
-    "sketch_stats": (q_sketch_stats, None),
-    "minhash_neardups": (q_minhash_neardups, None),
-    "simhash_neardups": (q_simhash_neardups, None),
+    "distinct_priorities": (q_distinct_priorities, SQL_DISTINCT_PRIORITIES),
+    # tail: operator also covered by an earlier entry (see note above)
     "lsh_topk": (q_lsh_topk, None),
-    "embedding_neardups_lsh": (q_embedding_neardups_lsh, None),
-    "ivf_topk": (q_ivf_topk, None),
-    "minhash_dup_groups": (q_minhash_dup_groups, None),
-    "clean_corpus": (q_clean_corpus, None),
-    "images_validation": (q_images_validation, None),
-    "image_resize": (q_image_resize, None),
-    "audio_features": (q_audio_features, None),
+    "customer_stats": (q_customer_stats, SQL_CUSTOMER_STATS),
+    "events_by_type": (q_events_by_type, SQL_EVENTS_BY_TYPE),
+    "union_violations": (q_union_violations, SQL_UNION_VIOLATIONS),
+    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
 }

@@ -1,8 +1,8 @@
 """Join / lookup operators.
 
 ``broadcast_join``: the small-side dimension join (guide: "Joins and
-lookups") — the small table is ``ray.put`` ONCE and each batch does a
-vectorized pandas merge against it; no shuffle, no per-batch re-ship.
+lookups") — the small table is ``ray.put`` ONCE and each batch does one
+Arrow hash-join against it; no shuffle, no per-batch re-ship.
 
 ``bucket_join``: both-sides-large equi-join as an explicit partitioned hash
 join: both sides get ``bucket = hash64(key) % B``, matching buckets join
@@ -14,8 +14,8 @@ template); B is the documented partitioning assumption.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -125,9 +125,16 @@ def bucket_join(
         right.map_batches(tag("r"), batch_format="pyarrow")
     )
 
-    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == "l"][lcols]
-        r = group[group["__side"] == "r"][[key] + [c for c in rcols if c != key]]
-        return l.merge(r, on=key, how=how)
+    join_type = _JOIN_TYPES.get(how, how)
+    r_proj = [key] + [c for c in rcols if c != key]
 
-    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+    def per_bucket(group: pa.Table) -> pa.Table:
+        # Arrow-native merge: no pandas round-trip, so int64 columns with
+        # nulls never pass through float64.  Null keys don't match (SQL
+        # semantics; pandas merge would have matched NaN == NaN).
+        lmask = pc.equal(group["__side"], "l")
+        l = group.filter(lmask).select(lcols)
+        r = group.filter(pc.invert(lmask)).select(r_proj)
+        return l.join(r, keys=key, join_type=join_type).select(all_cols)
+
+    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")

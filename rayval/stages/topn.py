@@ -14,7 +14,9 @@ hot group cannot flood one reducer; no salting needed.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -30,17 +32,34 @@ def topn_per_group(
     ties broken by ``tie_col`` ascending.  OUTPUT IS PROJECTED to exactly
     (group_col, value_col, tie_col) — join other columns back by ``tie_col``
     if needed.  Null group keys form their own partition (SQL ROW_NUMBER
-    PARTITION BY semantics: the NULL partition is kept, not dropped)."""
+    PARTITION BY semantics: the NULL partition is kept, not dropped).
+    Nulls in value/tie sort last (DuckDB's NULLS LAST default both ways).
+
+    Arrow-native end to end: no pandas round-trip, so int64 value/tie columns
+    with nulls are never squeezed through float64 (values > 2^53 survive)."""
     cols = [group_col, value_col, tie_col]
+    sort_keys = [(group_col, "ascending"), (value_col, "descending"), (tie_col, "ascending")]
 
     def head_n(t: pa.Table) -> pa.Table:
-        df = t.select(cols).to_pandas()
-        df = df.sort_values(
-            [group_col, value_col, tie_col], ascending=[True, False, True], kind="stable"
-        )
-        # dropna=False: pandas' default silently discards null-keyed rows
-        df = df.groupby(group_col, sort=False, dropna=False).head(n)
-        return pa.Table.from_pandas(df, preserve_index=False).cast(t.select(cols).schema)
+        t = t.select(cols)
+        if t.num_rows == 0:
+            return t
+        idx = pc.sort_indices(t, sort_keys=sort_keys, null_placement="at_end")
+        t = t.take(idx)
+        # group codes on the SORTED batch: dictionary indices, nulls -> -1
+        # (null group rows are contiguous at the end, so -1 is one run)
+        g = t[group_col].combine_chunks().dictionary_encode()
+        codes = g.indices.to_numpy(zero_copy_only=False)
+        if codes.dtype.kind == "f":
+            codes = np.where(np.isnan(codes), -1, codes)
+        codes = codes.astype(np.int64)
+        m = len(codes)
+        new_grp = np.empty(m, dtype=bool)
+        new_grp[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=new_grp[1:])
+        pos = np.arange(m, dtype=np.int64)
+        starts = np.maximum.accumulate(np.where(new_grp, pos, 0))
+        return t.filter(pa.array(pos - starts < n))
 
     partials = ds.map_batches(head_n, batch_format="pyarrow", zero_copy_batch=True)
     # final exact rank per group (each group sees <= n x num_batches rows)

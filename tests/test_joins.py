@@ -263,3 +263,66 @@ def test_topn_per_group_null_keys_kept(ray_session):
     out = topn_per_group(ray.data.from_arrow(t), "g", "v", 1, tie_col="k")
     rows = sorted(((r["g"], r["v"], r["k"]) for r in out.take_all()), key=str)
     assert rows == [(1, 7, 3), (None, 9, 1)]
+
+
+def test_topn_per_group_int64_beyond_2_53_with_nulls(ray_session):
+    """int64 values > 2^53 with nulls present survive exactly: a pandas
+    round-trip would widen the nullable int64 column to float64 and silently
+    round the values; the Arrow-native path must not."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.topn import topn_per_group
+
+    big = 2**60 + 1  # not representable in float64 (rounds to 2**60)
+    t = pa.table({"g": pa.array([1, 1, 1, 2], pa.int64()),
+                  "v": pa.array([big, None, big - 1, 5], pa.int64()),
+                  "k": pa.array([0, 1, 2, 3], pa.int64())})
+    out = topn_per_group(ray.data.from_arrow(t), "g", "v", 2, tie_col="k")
+    rows = sorted(((r["g"], r["v"], r["k"]) for r in out.take_all()))
+    assert rows == [(1, big - 1, 2), (1, big, 0), (2, 5, 3)]
+
+
+def test_bucket_join_int64_beyond_2_53_with_nulls(ray_session):
+    """Same guarantee for the partitioned hash join's reducer: unmatched left
+    rows make the right value column nullable, which pandas would widen to
+    float64 — the Arrow join must keep the exact int64 payload."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.join import bucket_join
+
+    big = 2**60 + 1
+    l = pa.table({"k": pa.array([1, 2], pa.int64()), "lv": pa.array([10, 20], pa.int64())})
+    r = pa.table({"k": pa.array([1], pa.int64()), "rv": pa.array([big], pa.int64())})
+    out = bucket_join(ray.data.from_arrow(l), ray.data.from_arrow(r),
+                      key="k", n_buckets=4, how="left")
+    rows = sorted((row["k"], row["lv"], row["rv"]) for row in out.take_all())
+    assert rows == [(1, 10, big), (2, 20, None)]
+
+
+def test_top_customers_per_nation_composite(ray_session, tmp_path):
+    """The composite aggregate -> broadcast join -> windowed-rank pipeline vs
+    a DuckDB ROW_NUMBER oracle on a small synthetic multiblock input."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rayval.pipelines.queries import SQL_TOP_CUSTOMERS_PER_NATION, q_top_customers_per_nation
+
+    rng = np.random.default_rng(5)
+    n_cust, n_orders = 40, 400
+    nation = pa.table({"n_nationkey": pa.array(np.arange(4), pa.int64()),
+                       "n_name": pa.array([f"N{i}" for i in range(4)], pa.string())})
+    customer = pa.table({"c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+                         "c_nationkey": pa.array(rng.integers(0, 4, n_cust), pa.int64())})
+    orders = pa.table({"o_custkey": pa.array(rng.integers(0, n_cust, n_orders), pa.int64()),
+                       "o_totalprice": pa.array(np.round(rng.uniform(1, 9e4, n_orders), 2))})
+    for name, t in [("nation", nation), ("customer", customer), ("orders", orders)]:
+        pq.write_table(t, str(tmp_path / f"{name}.parquet"), row_group_size=64)
+    got = q_top_customers_per_nation(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    for name in ("nation", "customer", "orders"):
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{tmp_path}/{name}.parquet')")
+    exp = con.execute(SQL_TOP_CUSTOMERS_PER_NATION).df()
+    assert got.values.tolist() == exp.values.tolist()
