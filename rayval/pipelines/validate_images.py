@@ -48,7 +48,7 @@ from rayval.sources.images import MAX_CAPTION
 from rayval.sources.parquet import list_fragments, read_fragments
 from rayval.stages.decode import DecodeCheck
 from rayval.stages.dedup import dup_counts_and_top_bucketed, duplicate_violations
-from rayval.stages.referential import referential_violations
+from rayval.stages.referential import referential_violations, referential_violations_ds
 from rayval.stages.stats import ColumnStats, drift_violations, global_stats, merge_partials, sketch_partials
 from rayval.stages.validate import MetaValidate, annotate_from_masks, explode_violations
 from rayval.state import ShardedBloom, bloom_from_bytes
@@ -128,6 +128,15 @@ class RunConfig:
     # reference's primary output shape (to-hiccup-meta / with-status,
     # parser.clj:345-371, 384-400) — derived from the narrow results read-back,
     # no extra decode pass
+    distributed_violations: bool = False  # escape hatch for WHOLESALE-violating
+    # inputs: phase-1 tasks write their batch's violations as their OWN parquet
+    # part file (same deterministic retry-safe naming as the narrow results)
+    # instead of shipping IPC blobs to the driver, and phase 2 merges the
+    # committed violation parts + dedup/referential violations as a streaming
+    # Dataset union written distributed — the driver only ever holds COUNTS
+    # (violations total, per-constraint, per-partition verdicts).  Default off:
+    # when violations << rows the driver-side concat is one small file and the
+    # final listing is a single sorted part.
 
 
 def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Manifest:
@@ -155,6 +164,13 @@ def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Mani
         tmp_results = paths["results"] + ".tmp"
         _clean(tmp_results)  # a killed run may have left partial files; Ray's
         os.makedirs(tmp_results, exist_ok=True)  # uuid-named parts would otherwise accumulate
+        tmp_viol = paths["violations"] + ".tmp"
+        _clean(tmp_viol)
+        os.makedirs(tmp_viol, exist_ok=True)
+        # distributed mode: phase-1 tasks write violation part files straight
+        # into the group's tmp dir (published by the same atomic rename), so
+        # the listing never concentrates on the driver
+        viol_dir = tmp_viol if cfg.distributed_violations else None
         if cfg.decode_concurrency:
             # actor-pool mode: split fragments so the pool packs evenly; the
             # wide blocks cross the object store once (read op -> actor op)
@@ -171,11 +187,11 @@ def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Mani
             # ONE read-back pass over the narrow results computes the
             # violation rows AND the sketch + Bloom partials (fused to
             # amortize job startup).  Violations travel back as per-batch
-            # Arrow IPC blobs (they are a small fraction of rows; a config
-            # flip to a distributed write is the escape hatch if a
-            # pathological group violates wholesale).
+            # Arrow IPC blobs (they are a small fraction of rows;
+            # cfg.distributed_violations flips to per-task parquet parts when
+            # a pathological group violates wholesale).
             results = ray.data.read_parquet(_expand([tmp_results]))
-            partials = _derive_group_outputs(results, cfg)
+            partials = _derive_group_outputs(results, cfg, viol_dir=viol_dir)
         else:
             # FUSED task mode (default): read -> validate -> decode -> write
             # narrow part file -> emit (stats, bloom, viol) partials, ALL in
@@ -193,22 +209,23 @@ def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Mani
             # fragment block instead.
             partials = ds.map_batches(
                 _DecodeWriteDerive(tmp_results, cfg.bloom_expected, cfg.ref_buckets,
-                                   psnr_check=cfg.psnr_check),
+                                   psnr_check=cfg.psnr_check, viol_dir=viol_dir),
                 batch_format="pyarrow",
                 batch_size=None,
                 zero_copy_batch=True,
                 **kw,
             ).take_all()
         n_rows = _parquet_rows(tmp_results)  # metadata only — no Ray job
-        tmp_viol = paths["violations"] + ".tmp"
-        _clean(tmp_viol)
-        os.makedirs(tmp_viol, exist_ok=True)
-        viol_tables = [_ipc_read(r["viol"]) for r in partials if r["viol"] is not None]
-        viol_all = (
-            pa.concat_tables(viol_tables) if viol_tables else VIOLATION_SCHEMA.empty_table()
-        )
-        pq.write_table(viol_all, os.path.join(tmp_viol, "part-0.parquet"))
-        n_viol = viol_all.num_rows
+        if cfg.distributed_violations:
+            # listing already on disk as per-task part files; only counts here
+            n_viol = sum(r["n_viol"] for r in partials)
+        else:
+            viol_tables = [_ipc_read(r["viol"]) for r in partials if r["viol"] is not None]
+            viol_all = (
+                pa.concat_tables(viol_tables) if viol_tables else VIOLATION_SCHEMA.empty_table()
+            )
+            pq.write_table(viol_all, os.path.join(tmp_viol, "part-0.parquet"))
+            n_viol = viol_all.num_rows
 
         tmp_annot = None
         if cfg.annotated_output:
@@ -325,6 +342,8 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
     # dedup and referential are independent DAGs over the same narrow results;
     # dispatch them concurrently so their (mostly fixed) all-to-all overheads
     # overlap instead of serializing — phase 2 is the flagship's serial tail.
+    distributed = cfg.distributed_violations
+
     def _dedup_job():
         # ONE distributed count pass (blob-bucketed exchange) feeds both the
         # duplicate filter and the skew report; only dup-group-sized
@@ -336,6 +355,8 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
         if "unique" not in rule_kinds:
             return top10, []
         dup_ds = duplicate_violations(results, hot_threshold=cfg.hot_threshold, counts=dup_tbl)
+        if distributed:
+            return top10, [dup_ds]  # stays a Dataset end to end
         return top10, [t for t in _ds_tables(dup_ds) if t.num_rows]
 
     def _ref_job():
@@ -343,6 +364,11 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
             return None
         bloom = _merged_bloom(manifest, entries)
         captions = ray.data.read_parquet(captions_path)
+        if distributed:
+            return referential_violations_ds(
+                captions, results, bloom, key="caption_id", n_buckets=cfg.ref_buckets,
+                compare_col="caption",
+            )
         return referential_violations(
             captions, results, bloom, key="caption_id", n_buckets=cfg.ref_buckets, compare_col="caption"
         )
@@ -354,7 +380,18 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
         ref = f_ref.result()
 
     # --- referential (image_id.ref) ------------------------------------------
-    if ref is not None and ref.num_rows:
+    if distributed:
+        if ref is not None:
+            extra_violations.append(
+                ref.map_batches(
+                    lambda b: pa.table(
+                        {PARTITION_COL: b[PARTITION_COL], "image_id": b["caption_id"],
+                         "constraint_id": b["constraint_id"]}
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+    elif ref is not None and ref.num_rows:
         ref = pa.table(
             {
                 PARTITION_COL: ref[PARTITION_COL],
@@ -383,17 +420,63 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
                 )
             )
 
-    # --- final outputs (violations are the small output; driver-side merge) --
-    tables = [pq.read_table(f) for f in _expand(viol_dirs)]
-    tables += [t.cast(VIOLATION_SCHEMA) for t in extra_violations]
-    viol_final_t = pa.concat_tables([t for t in tables if t.num_rows]) if tables else None
-    if viol_final_t is None or viol_final_t.num_rows == 0:
-        viol_final_t = VIOLATION_SCHEMA.empty_table()
     final_dir = os.path.join(out_dir, "final_violations")
     _clean(final_dir + ".tmp")
     os.makedirs(final_dir + ".tmp", exist_ok=True)
-    pq.write_table(viol_final_t, os.path.join(final_dir + ".tmp", "part-0.parquet"))
-    _replace_dir(final_dir)
+    if distributed:
+        # --- distributed merge: committed per-task violation parts + the
+        # dedup/referential Datasets + (tiny) drift tables union as a
+        # streaming Dataset and write as partitioned parquet — the full
+        # listing never exists in any single process.  Counts for the report
+        # come from a read-back aggregate over the written parts.
+        comps: list["ray.data.Dataset"] = []
+        viol_parts = _expand(viol_dirs)
+        if viol_parts:
+            comps.append(ray.data.read_parquet(viol_parts))
+        for x in extra_violations:
+            comps.append(x if isinstance(x, ray.data.Dataset) else ray.data.from_arrow(x))
+        if comps:
+            norm = [
+                c.map_batches(
+                    lambda b: b.select(VIOLATION_SCHEMA.names).cast(VIOLATION_SCHEMA),
+                    batch_format="pyarrow",
+                )
+                for c in comps
+            ]
+            ds = norm[0]
+            for c in norm[1:]:
+                ds = ds.union(c)
+            ds.write_parquet(final_dir + ".tmp")
+        if not _expand([final_dir + ".tmp"]):  # zero violations: keep the
+            # empty-listing contract readable (pq.read_table needs >= 1 part)
+            pq.write_table(
+                VIOLATION_SCHEMA.empty_table(), os.path.join(final_dir + ".tmp", "part-0.parquet")
+            )
+        _replace_dir(final_dir)
+        from ray.data.aggregate import Count
+
+        vds = ray.data.read_parquet(_expand([final_dir]))
+        n_viol_total = vds.count()
+        if n_viol_total:
+            by_constraint = {
+                r["constraint_id"]: r["n"]
+                for r in vds.groupby("constraint_id").aggregate(Count(alias_name="n")).take_all()
+            }
+            bad_parts = set(vds.unique(PARTITION_COL))
+        else:
+            by_constraint, bad_parts = {}, set()
+    else:
+        # --- small-listing default: driver-side merge into one sorted part --
+        tables = [pq.read_table(f) for f in _expand(viol_dirs)]
+        tables += [t.cast(VIOLATION_SCHEMA) for t in extra_violations]
+        viol_final_t = pa.concat_tables([t for t in tables if t.num_rows]) if tables else None
+        if viol_final_t is None or viol_final_t.num_rows == 0:
+            viol_final_t = VIOLATION_SCHEMA.empty_table()
+        pq.write_table(viol_final_t, os.path.join(final_dir + ".tmp", "part-0.parquet"))
+        _replace_dir(final_dir)
+        n_viol_total = viol_final_t.num_rows
+        by_constraint = _count_by(viol_final_t, "constraint_id")
+        bad_parts = set(viol_final_t[PARTITION_COL].to_pylist())
 
     stats_rows = [st.row(pid) for pid, st in sorted(per_partition.items())]
     stats_table = pa.Table.from_pylist(stats_rows)
@@ -407,16 +490,14 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
         with open(os.path.join(out_dir, "global_profile.bin"), "wb") as fh:
             fh.write(g_prof.to_bytes())
 
-    viol_final = viol_final_t
-    bad_parts = set(viol_final[PARTITION_COL].to_pylist())
     verdicts = {pid: (pid not in bad_parts) for pid in sorted(per_partition)}
     g = global_stats(per_partition)
     report = {
         "rows_scanned": sum(e["rows_scanned"] for e in entries),
-        "violations": viol_final.num_rows,
-        "global_verdict": viol_final.num_rows == 0,
+        "violations": n_viol_total,
+        "global_verdict": n_viol_total == 0,
         "partition_verdicts": {str(k): v for k, v in verdicts.items()},
-        "violations_by_constraint": _count_by(viol_final, "constraint_id"),
+        "violations_by_constraint": by_constraint,
         "hot_phash_top10": top10.to_pylist(),
         "global_distinct_image_id": round(g.unique["image_id"].estimate()) if g else 0,
     }
@@ -466,7 +547,9 @@ def _ipc_write(table: pa.Table) -> bytes:
     return sink.getvalue()
 
 
-def _derive_group_outputs(results: "ray.data.Dataset", cfg: RunConfig) -> list[dict]:
+def _derive_group_outputs(
+    results: "ray.data.Dataset", cfg: RunConfig, viol_dir: Optional[str] = None
+) -> list[dict]:
     """One fused pass: per batch, emit (stats partial, bloom partial,
     violations-as-IPC) — amortizes Ray job startup across the three derived
     outputs instead of three separate dataset executions.
@@ -474,20 +557,40 @@ def _derive_group_outputs(results: "ray.data.Dataset", cfg: RunConfig) -> list[d
     The Bloom partial is SHARDED (``n_shards = cfg.ref_buckets``) and
     serializes only the shards this batch touched — the per-batch blob scales
     with the batch's bucket spread, not with ``bloom_expected`` (a monolithic
-    partial at 10^12 expected keys would be ~1.2 TB per batch)."""
+    partial at 10^12 expected keys would be ~1.2 TB per batch).
+
+    ``viol_dir`` (distributed-violations mode): each batch's violations are
+    written as the task's own parquet part file instead of riding back in the
+    partials row — the driver sees a count, never the listing."""
     bloom_expected = cfg.bloom_expected
     bloom_shards = cfg.ref_buckets
 
     def fused(batch: pa.Table) -> pa.Table:
-        return _derive_row(batch, bloom_expected, bloom_shards)
+        return _derive_row(batch, bloom_expected, bloom_shards, viol_dir=viol_dir)
 
     return results.map_batches(fused, batch_format="pyarrow", zero_copy_batch=True).take_all()
 
 
-def _derive_row(batch: pa.Table, bloom_expected: int, bloom_shards: int) -> pa.Table:
+def _part_tag(t: pa.Table) -> str:
+    """Retry-safe, collision-proof part-file tag for a block: hash of (first
+    key, last key, row count) — two blocks of one fragment can share a first
+    image_id (duplicate ids are a planted fixture class) but not the whole
+    triple, so distinct blocks never overwrite each other while a RETRIED
+    block still replaces its own file."""
+    import hashlib as _hl
+
+    first_key = str(t["image_id"][0].as_py())
+    last_key = str(t["image_id"][-1].as_py())
+    return _hl.md5(f"{first_key}|{last_key}|{t.num_rows}".encode()).hexdigest()[:16]
+
+
+def _derive_row(
+    batch: pa.Table, bloom_expected: int, bloom_shards: int, viol_dir: Optional[str] = None
+) -> pa.Table:
     """One narrow-results batch -> one partials row-group: (partition_id,
     stats blob) per partition present, plus a sharded-Bloom partial and the
-    batch's violations as one Arrow IPC blob."""
+    batch's violations as one Arrow IPC blob (or, with ``viol_dir``, written
+    as this task's own parquet part — only the count returns)."""
     part_rows = sketch_partials(batch)
     stats_blobs = part_rows["stats"].to_pylist()
     pids = part_rows[PARTITION_COL].to_pylist()
@@ -496,13 +599,24 @@ def _derive_row(batch: pa.Table, bloom_expected: int, bloom_shards: int) -> pa.T
     if t.num_rows:
         b.add(t["image_id"])
     viol = explode_violations(batch)
+    if viol_dir is not None:
+        if viol.num_rows:
+            pid = pids[0] if pids else -1
+            pq.write_table(
+                viol.cast(VIOLATION_SCHEMA),
+                os.path.join(viol_dir, f"viol-{pid}-{_part_tag(batch)}.parquet"),
+            )
+        viol_blob = None
+    else:
+        viol_blob = _ipc_write(viol)
     n = max(len(pids), 1)
     return pa.table(
         {
             PARTITION_COL: pa.array(pids or [-1], type=pa.int64()),
             "stats": pa.array(stats_blobs or [None], type=pa.binary()),
             "bloom": pa.array([b.to_bytes()] + [None] * (n - 1), type=pa.binary()),
-            "viol": pa.array([_ipc_write(viol)] + [None] * (n - 1), type=pa.binary()),
+            "viol": pa.array([viol_blob] + [None] * (n - 1), type=pa.binary()),
+            "n_viol": pa.array([viol.num_rows] + [0] * (n - 1), type=pa.int64()),
         }
     )
 
@@ -514,31 +628,33 @@ class _DecodeWriteDerive:
     the wide payload bytes live and die inside a single task."""
 
     def __init__(self, out_dir: str, bloom_expected: int, bloom_shards: int,
-                 psnr_check: bool = False):
+                 psnr_check: bool = False, viol_dir: Optional[str] = None):
         self.out_dir = out_dir
         self.bloom_expected = bloom_expected
         self.bloom_shards = bloom_shards
+        self.viol_dir = viol_dir
         self.decode = DecodeCheck(psnr_check=psnr_check)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
                 {PARTITION_COL: pa.array([], pa.int64()), "stats": pa.array([], pa.binary()),
-                 "bloom": pa.array([], pa.binary()), "viol": pa.array([], pa.binary())}
+                 "bloom": pa.array([], pa.binary()), "viol": pa.array([], pa.binary()),
+                 "n_viol": pa.array([], pa.int64())}
             )
         narrow = self.decode(batch)
-        # DETERMINISTIC part name — (partition_id, first image_id) identifies
-        # this batch's row span, so a Ray task RETRY overwrites its own file
-        # instead of duplicating the block (uuid names would double-count
-        # every row of a retried block downstream), and a truncated file from
-        # a mid-write kill is replaced, not accumulated
-        import hashlib as _hl
-
+        # DETERMINISTIC part name — (partition_id, first/last image_id, row
+        # count) identifies this batch's row span, so a Ray task RETRY
+        # overwrites its own file instead of duplicating the block (uuid names
+        # would double-count every row of a retried block downstream), a
+        # truncated file from a mid-write kill is replaced, not accumulated,
+        # and two blocks of one fragment that happen to share a first
+        # image_id (duplicate ids are a planted fixture class) still get
+        # distinct names
         pid = narrow[PARTITION_COL][0].as_py() if PARTITION_COL in narrow.column_names else 0
-        first_key = str(narrow["image_id"][0].as_py())
-        tag = _hl.md5(first_key.encode()).hexdigest()[:16]
+        tag = _part_tag(narrow)
         pq.write_table(narrow, os.path.join(self.out_dir, f"part-{pid}-{tag}.parquet"))
-        return _derive_row(narrow, self.bloom_expected, self.bloom_shards)
+        return _derive_row(narrow, self.bloom_expected, self.bloom_shards, viol_dir=self.viol_dir)
 
 
 def _clean(path: str) -> None:

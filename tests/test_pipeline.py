@@ -335,3 +335,65 @@ def test_manifest_lineage_metrics(finished_run):
         assert e["bloom_bytes"] > 0
         assert e["partitions"] >= 1
         assert e["violations_emitted"] >= 0
+
+
+def test_distributed_violations_matches_default(finished_run, tmp_path):
+    """cfg.distributed_violations flips the listing to per-task parquet parts
+    (phase 1) + a streaming Dataset union (phase 2) — same exact listing and
+    report counts as the driver-merged default."""
+    import glob
+
+    data_dir, out_default, report_default = finished_run
+    out = str(tmp_path / "dist_run")
+    cfg = RunConfig(group_size=3, decode_concurrency=2, hot_threshold=3,
+                    bloom_expected=10_000, distributed_violations=True)
+    report = run(data_dir + "/images", out, captions_path=data_dir + "/captions.parquet", cfg=cfg)
+    assert _violations_set(os.path.join(out, "final_violations")) == _violations_set(
+        os.path.join(out_default, "final_violations")
+    )
+    assert report["violations"] == report_default["violations"]
+    assert report["violations_by_constraint"] == report_default["violations_by_constraint"]
+    assert report["partition_verdicts"] == report_default["partition_verdicts"]
+    # phase-1 listings are per-task parts, never a driver-written part-0
+    group_parts = glob.glob(os.path.join(out, "violations", "group-*", "*.parquet"))
+    assert group_parts and all(os.path.basename(p).startswith("viol-") for p in group_parts)
+
+
+def test_distributed_violations_wholesale(data_dir, tmp_path):
+    """Violation rate ~1.0 (every row fails an impossible image_id pattern):
+    the distributed path writes and counts the full listing without the
+    driver ever concatenating it — the wholesale-failure scenario that the
+    driver-merged default exists to avoid at 10^12 rows."""
+    import glob
+
+    from rayval.constraints import Enum, Field as F, MaxLength, Pattern, Profile, Range, Restriction
+    from rayval.constraints.profile import TableRule
+    from rayval.sources.images import MAX_CAPTION
+
+    impossible = Profile(
+        "images",
+        [
+            F("image_id", Pattern(r"never-\d{40}"), required=True),
+            F("bytes", required=True),
+            F("w", Restriction("int", [Range(min=1, max=8192)])),
+            F("h", Restriction("int", [Range(min=1, max=8192)])),
+            F("fmt", Enum(["jpeg", "png", "webp"])),
+            F("caption", MaxLength(MAX_CAPTION), required=True),
+            F("phash", "long"),
+        ],
+        kind="all",
+        key="image_id",
+        table_rules=[TableRule("unique", "phash")],
+    )
+    out = str(tmp_path / "wholesale")
+    cfg = RunConfig(group_size=3, decode_concurrency=2, hot_threshold=3,
+                    bloom_expected=10_000, profile=impossible, distributed_violations=True)
+    report = run(data_dir + "/images", out, cfg=cfg)
+    listing = pq.read_table(os.path.join(out, "final_violations"))
+    # every non-null image_id row violates the pattern -> rate ~1.0
+    assert report["violations"] == listing.num_rows >= 400
+    assert report["violations_by_constraint"]["image_id.pattern"] >= 390
+    assert report["global_verdict"] is False
+    assert all(v is False for v in report["partition_verdicts"].values())
+    group_parts = glob.glob(os.path.join(out, "violations", "group-*", "*.parquet"))
+    assert group_parts and all(os.path.basename(p).startswith("viol-") for p in group_parts)
