@@ -1273,6 +1273,36 @@ FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id
 """
 
 
+def q_events_range_pairs(sf_dir: str) -> pa.Table:
+    """Range join (pair form): WHICH views landed in the hour before each
+    purchase, per user — one row per (purchase, view) pair.  The count form
+    covers aggregates; this is the materializing variant (same correlated
+    interval, inner semantics)."""
+    from rayval.stages.asof import range_pairs_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = range_pairs_join(
+        ev.filter(expr="event_type == 'purchase'"),
+        ev.filter(expr="event_type == 'view'"),
+        by="user_id", on="ts", width=np.timedelta64(1, "h"),
+        left_keep=["event_id"], right_pick="event_id", out_col="view_event_id",
+        max_pairs_per_key=10_000_000,
+    )
+    return _collect(
+        out, pa.schema([("event_id", pa.int64()), ("view_event_id", pa.int64())])
+    ).sort_by([("event_id", "ascending"), ("view_event_id", "ascending")])
+
+
+SQL_EVENTS_RANGE_PAIRS = """
+SELECT p.event_id, v.event_id AS view_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = p.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+ORDER BY p.event_id, view_event_id
+"""
+
+
 def q_sample_documents(sf_dir: str) -> pa.Table:
     """Deterministic ~10% hash sample: md5(doc_id-as-string) prefix bucket —
     reproducible across engines, so even SAMPLING gets a DuckDB oracle."""
@@ -1810,6 +1840,7 @@ QUERIES = {
     "events_with_prev": (q_events_with_prev, SQL_EVENTS_WITH_PREV),
     "events_asof_view": (q_events_asof_view, SQL_EVENTS_ASOF_VIEW),
     "events_range_count": (q_events_range_count, SQL_EVENTS_RANGE_COUNT),
+    "events_range_pairs": (q_events_range_pairs, SQL_EVENTS_RANGE_PAIRS),
     # joins / windowed rank / dedup / text
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),

@@ -13,8 +13,9 @@ time-range exactly like the windowed aggregates.
 Null semantics (matches the SQL oracles): a left row with a NULL ``on``
 matches nothing (comparisons with NULL are never true); right rows with a
 NULL ``on`` never match.  Ties on ``on`` within a key are broken by the
-LARGEST right-side pick value (lexsort over (on, pick)), so output is
-deterministic even when (by, on) repeats on the right.
+LARGEST right-side pick value (Arrow sort over (on, pick), null picks
+smallest), so output is deterministic even when (by, on) repeats on the
+right.
 """
 
 from __future__ import annotations
@@ -104,14 +105,20 @@ def asof_join(
         if rt.num_rows == 0:
             out_cols[out_col] = pa.nulls(lt.num_rows, pick_type)
             return pa.table(out_cols)
-        r_on = rt[on].to_numpy(zero_copy_only=False)
         picks = rt["__pick"].combine_chunks() if isinstance(rt["__pick"], pa.ChunkedArray) else rt["__pick"]
-        picks_np = picks.to_numpy(zero_copy_only=False)
-        # sort by (on, pick): among equal `on`, searchsorted's rightmost hit
-        # is the LARGEST pick — the documented deterministic tie-break
-        order = np.lexsort((picks_np, r_on))
-        r_on = r_on[order]
-        picks = picks.take(pa.array(order))
+        # sort by (on asc, pick asc, nulls first): among equal `on`,
+        # searchsorted's rightmost hit is the LARGEST pick — the documented
+        # deterministic tie-break; a NULL pick sorts smallest, so it loses a
+        # tie to any non-null pick (and a tie of only-null picks yields null).
+        # Arrow sort, not np.lexsort: an object array of (None, str) from a
+        # null-bearing string pick column would TypeError inside lexsort.
+        order = pc.sort_indices(
+            pa.table({"__on": rt[on], "__p": picks}),
+            sort_keys=[("__on", "ascending"), ("__p", "ascending")],
+            null_placement="at_start",
+        )
+        r_on = rt[on].take(order).to_numpy(zero_copy_only=False)
+        picks = picks.take(order)
         l_valid = lt[on].is_valid().to_numpy(zero_copy_only=False)
         idx = np.zeros(lt.num_rows, dtype=np.int64)
         if l_valid.any():
@@ -170,6 +177,85 @@ def range_count_join(
             counts[l_valid] = hi - lo
         out = {c: lt[c] for c in left_keep}
         out[out_col] = pa.array(counts)
+        return pa.table(out)
+
+    return both.groupby(by).map_groups(per_key, batch_format="pyarrow")
+
+
+def range_pairs_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    by: str,
+    on: str,
+    width,
+    left_keep: list[str],
+    right_pick: str,
+    out_col: str = "r_pick",
+    max_pairs_per_key: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """RANGE join (pair form): one output row per (left row, right row) pair
+    of the same ``by`` key with ``right.on`` in ``[left.on - width, left.on]``
+    — "which views preceded this purchase".  Emits ``left_keep`` plus
+    ``out_col`` = the matched right row's ``right_pick``.  INNER semantics:
+    a left row with an empty window (or a null ``on``) emits nothing — use
+    :func:`range_count_join` when you need the zeros.
+
+    Same partitioned-log skeleton as the count form; the windows are bounded
+    by the same two ``searchsorted`` calls, then materialized with one
+    vectorized gather (np.repeat over window starts + flat offsets).
+
+    Skew guard: the pair count per key is quadratic in a hot key's density
+    (every left row can window every right row).  ``max_pairs_per_key``
+    REFUSES (raises) past the cap instead of silently flooding a reducer —
+    at scale, salt the hot key by time-range or fall back to the count form."""
+    l_cols = list(dict.fromkeys([by, on] + left_keep))
+    pick_type = right.schema().base_schema.field(right_pick).type
+    l_schema = left.schema().base_schema
+    l_types = {c: l_schema.field(c).type for c in l_cols}
+    keep_types = {c: l_types[c] for c in left_keep}
+    both = _tag_union(left, right, by, on, l_cols, right_pick, pick_type, l_types)
+
+    def per_key(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {**{c: pa.array([], keep_types[c]) for c in left_keep},
+             out_col: pa.array([], pick_type)}
+        )
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0))
+        if lt.num_rows == 0:
+            return empty
+        rt = g.filter(pa.array(side == 1))
+        rt = rt.filter(rt[on].is_valid())
+        lt = lt.filter(lt[on].is_valid())  # null left `on` matches nothing
+        if rt.num_rows == 0 or lt.num_rows == 0:
+            return empty
+        picks = rt["__pick"].combine_chunks() if isinstance(rt["__pick"], pa.ChunkedArray) else rt["__pick"]
+        order = pc.sort_indices(
+            pa.table({"__on": rt[on], "__p": picks}),
+            sort_keys=[("__on", "ascending"), ("__p", "ascending")],
+            null_placement="at_start",
+        )
+        r_on = rt[on].take(order).to_numpy(zero_copy_only=False)
+        picks = picks.take(order)
+        l_on = lt[on].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(r_on, l_on - width, side="left")
+        hi = np.searchsorted(r_on, l_on, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if max_pairs_per_key is not None and total > max_pairs_per_key:
+            raise ValueError(
+                f"range_pairs_join: key {g[by][0].as_py()!r} would emit {total} pairs "
+                f"(> max_pairs_per_key={max_pairs_per_key}); salt the key by time-range "
+                "or use range_count_join"
+            )
+        if total == 0:
+            return empty
+        l_idx = np.repeat(np.arange(lt.num_rows, dtype=np.int64), counts)
+        ends = np.cumsum(counts)
+        offsets = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+        r_idx = np.repeat(lo, counts) + offsets
+        out = {c: lt[c].take(pa.array(l_idx)) for c in left_keep}
+        out[out_col] = picks.take(pa.array(r_idx))
         return pa.table(out)
 
     return both.groupby(by).map_groups(per_key, batch_format="pyarrow")

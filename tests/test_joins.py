@@ -326,3 +326,77 @@ def test_top_customers_per_nation_composite(ray_session, tmp_path):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{tmp_path}/{name}.parquet')")
     exp = con.execute(SQL_TOP_CUSTOMERS_PER_NATION).df()
     assert got.values.tolist() == exp.values.tolist()
+
+
+def test_range_pairs_join_brute_force(ray_session):
+    """Pair-form range join vs a pure-Python reference: exact pair set incl.
+    boundary inclusion, keys with no right rows, and null `on` on both sides
+    (inner semantics: such rows emit nothing)."""
+    import numpy as np
+    import ray.data
+
+    from rayval.stages.asof import range_pairs_join
+
+    rng = np.random.default_rng(77)
+    l = pa.table({"k": pa.array(rng.integers(0, 4, 40), pa.int64()),
+                  "t": pa.array([None if i % 13 == 5 else int(x) for i, x in
+                                 enumerate(rng.integers(0, 300, 40))], pa.int64()),
+                  "lid": pa.array(np.arange(40), pa.int64())})
+    r = pa.table({"k": pa.array(rng.integers(0, 5, 60), pa.int64()),
+                  "t": pa.array([None if i % 11 == 3 else int(x) for i, x in
+                                 enumerate(rng.integers(0, 300, 60))], pa.int64()),
+                  "rid": pa.array(np.arange(60) + 500, pa.int64())})
+    out = range_pairs_join(
+        ray.data.from_arrow(l), ray.data.from_arrow(r),
+        by="k", on="t", width=40, left_keep=["lid"], right_pick="rid", out_col="rid",
+    )
+    got = sorted((row["lid"], row["rid"]) for row in out.take_all())
+    rr = list(zip(r["k"].to_pylist(), r["t"].to_pylist(), r["rid"].to_pylist()))
+    exp = sorted(
+        (lid, rid)
+        for k, t, lid in zip(l["k"].to_pylist(), l["t"].to_pylist(), l["lid"].to_pylist())
+        if t is not None
+        for rk, rt, rid in rr
+        if rk == k and rt is not None and t - 40 <= rt <= t
+    )
+    assert got == exp
+
+
+def test_range_pairs_join_cap_refuses(ray_session):
+    import numpy as np
+    import pytest
+    import ray.data
+
+    from rayval.stages.asof import range_pairs_join
+
+    l = pa.table({"k": pa.array([1] * 20, pa.int64()), "t": pa.array(np.arange(20), pa.int64()),
+                  "lid": pa.array(np.arange(20), pa.int64())})
+    r = pa.table({"k": pa.array([1] * 20, pa.int64()), "t": pa.array(np.arange(20), pa.int64()),
+                  "rid": pa.array(np.arange(20), pa.int64())})
+    out = range_pairs_join(ray.data.from_arrow(l), ray.data.from_arrow(r),
+                           by="k", on="t", width=100, left_keep=["lid"],
+                           right_pick="rid", max_pairs_per_key=10)
+    with pytest.raises(Exception, match="max_pairs_per_key"):
+        out.take_all()
+
+
+def test_asof_join_string_pick_with_nulls(ray_session):
+    """A string right_pick column containing nulls must not crash the
+    reducer (np.lexsort over an object array raises TypeError); null picks
+    lose ties to non-null picks and surface as null only when matched row's
+    pick is itself null."""
+    import ray.data
+
+    from rayval.stages.asof import asof_join
+
+    l = pa.table({"k": pa.array([1, 1], pa.int64()),
+                  "t": pa.array([10, 20], pa.int64()),
+                  "lid": pa.array([0, 1], pa.int64())})
+    r = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                  "t": pa.array([5, 5, 15], pa.int64()),
+                  "name": pa.array(["abc", None, None], pa.string())})
+    out = asof_join(ray.data.from_arrow(l), ray.data.from_arrow(r),
+                    by="k", on="t", left_keep=["lid"], right_pick="name", out_col="m")
+    got = {row["lid"]: row["m"] for row in out.take_all()}
+    # lid 0: tie at t=5 -> non-null "abc" beats null; lid 1: t=15 row picked, null pick
+    assert got == {0: "abc", 1: None}
