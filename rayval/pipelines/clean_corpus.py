@@ -14,11 +14,12 @@ corpus tooling):
       -> write cleaned parquet (partitioned) + per-stage report
 
 Scale shape: the corpus text crosses the cluster exactly once per annotate/
-filter pass and NEVER enters a shuffle — both dedup stages exchange only
-(hash/band, key, signature) rows, and the drop-sets broadcast via ``ray.put``
-are bounded by |duplicate members|, not corpus size (the same small-side
-assumption as stages/dedup.py, with the semi-join fallback documented there
-when it breaks).
+filter pass and (below ``broadcast_drop_limit``) NEVER enters a shuffle —
+both dedup stages exchange only (hash/band, key, signature) rows, and the
+drop-sets broadcast via ``ray.put`` are bounded by |duplicate members|, not
+corpus size.  When a majority-duplicate corpus breaks that small-side
+assumption, :func:`_filter_out` routes the member filter through an explicit
+hash-partitioned anti semi-join instead (path recorded in the report).
 """
 
 from __future__ import annotations
@@ -45,6 +46,14 @@ class CleanConfig:
     allowed_langs: Optional[frozenset] = None  # None = keep every language
     minhash_est_threshold: float = 0.7
     write_partitions: int = 8
+    broadcast_drop_limit: int = 1_000_000  # drop-sets up to this broadcast via
+    # ray.put + per-batch is_in (the duplicate-members-are-few fast path);
+    # BIGGER sets (majority-duplicate corpora) route through an explicit
+    # hash-partitioned anti semi-join (stages/join.bucket_join against the
+    # drop-key set), so no process ever holds the whole drop set — the corpus
+    # pays one all-to-all in that regime, which is unavoidable: the keep/drop
+    # decision needs every row co-located with 1/B of a corpus-sized set
+    drop_join_buckets: int = 32
 
 
 def annotate(batch: pa.Table) -> pa.Table:
@@ -60,6 +69,33 @@ def annotate(batch: pa.Table) -> pa.Table:
         batch.append_column("n_tokens", pa.array(n_tok))
         .append_column("stop_ratio_e6", pa.array(stop_e6))
         .append_column("lang_pred", pa.array(langid(texts), type=pa.string()))
+    )
+
+
+def _filter_out(
+    kept: "ray.data.Dataset", drop: set, key_t, cfg: CleanConfig, report: dict, stage: str
+) -> "ray.data.Dataset":
+    """Remove rows whose doc_id is in ``drop``: broadcast is_in below
+    ``cfg.broadcast_drop_limit``, hash-partitioned anti semi-join above it.
+    Records the path taken in ``report[f"{stage}_filter_path"]``."""
+    if len(drop) <= cfg.broadcast_drop_limit:
+        report[f"{stage}_filter_path"] = "broadcast"
+        ref = ray.put(pa.array(sorted(drop), type=key_t))
+        return kept.map_batches(
+            lambda b: b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=ray.get(ref)))),
+            batch_format="pyarrow",
+        )
+    report[f"{stage}_filter_path"] = "semijoin"
+    from rayval.stages.join import bucket_join
+
+    drop_ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(sorted(drop), type=key_t),
+                  "__drop": pa.array(np.ones(len(drop), dtype=np.int8))})
+    )
+    cols = list(kept.schema().names)
+    joined = bucket_join(kept, drop_ds, key="doc_id", n_buckets=cfg.drop_join_buckets, how="left")
+    return joined.map_batches(
+        lambda b: b.filter(b["__drop"].is_null()).select(cols), batch_format="pyarrow"
     )
 
 
@@ -99,12 +135,9 @@ def clean_corpus(
         drop_exact = set(mdf["doc_id"]) - set(winners)
     report["exact_dup_members"] = int(members.num_rows)
     report["exact_dropped"] = len(drop_exact)
+    key_t0 = kept.schema().base_schema.field("doc_id").type
     if drop_exact:
-        ref = ray.put(pa.array(sorted(drop_exact)))
-        kept = kept.map_batches(
-            lambda b: b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=ray.get(ref)))),
-            batch_format="pyarrow",
-        ).materialize()
+        kept = _filter_out(kept, drop_exact, key_t0, cfg, report, "exact").materialize()
 
     # near-dup dedup: connected components over LSH candidates, keep the
     # canonical (lexicographically-smallest) member of each group
@@ -134,11 +167,7 @@ def clean_corpus(
     report["near_dup_pairs"] = int(pairs.num_rows)
     report["near_dropped"] = len(drop_near)
     if drop_near:
-        ref2 = ray.put(pa.array(sorted(drop_near), type=key_t))
-        kept = kept.map_batches(
-            lambda b: b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=ray.get(ref2)))),
-            batch_format="pyarrow",
-        )
+        kept = _filter_out(kept, drop_near, key_t, cfg, report, "near")
     kept = kept.materialize()
     report["rows_out"] = kept.count()
 

@@ -748,3 +748,32 @@ def test_clean_corpus_near_dup_keeps_native_min(ray_session):
     )
     rep = clean_corpus(ds, cfg=CleanConfig(min_tokens=5, minhash_est_threshold=0.6))
     assert [r["doc_id"] for r in rep["_kept"].take_all()] == [2]
+
+
+def test_clean_corpus_semijoin_fallback_majority_dup(ray_session):
+    """A majority-duplicate corpus with broadcast_drop_limit=0 must route
+    member filtering through the hash-partitioned anti semi-join (path
+    recorded in the report) and produce counts identical to the broadcast
+    path."""
+    import ray.data
+
+    from rayval.pipelines.clean_corpus import CleanConfig, clean_corpus
+
+    base = "some sufficiently long unique sentence about distributed engines number"
+    texts = {}
+    for i in range(30):   # 30 docs in 10 exact-dup triples -> 20 dropped
+        texts[i] = f"{base} {i % 10} with extra shared words appended here"
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(texts), type=pa.int64()),
+                  "text": pa.array(list(texts.values()))})
+    )
+    rep_b = clean_corpus(ds, cfg=CleanConfig(min_tokens=3))
+    rep_s = clean_corpus(ds, cfg=CleanConfig(min_tokens=3, broadcast_drop_limit=0))
+    assert rep_b.get("exact_filter_path") == "broadcast"
+    assert rep_s.get("exact_filter_path") == "semijoin"
+    for k in ("rows_in", "rows_after_quality", "exact_dropped", "near_dropped", "rows_out"):
+        assert rep_s[k] == rep_b[k], k
+    assert rep_s["exact_dropped"] == 20
+    assert sorted(r["doc_id"] for r in rep_s["_kept"].take_all()) == sorted(
+        r["doc_id"] for r in rep_b["_kept"].take_all()
+    )
