@@ -148,6 +148,18 @@ def run_bench() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # Silence the cosmetic "RefBundle with a different schema ... new
+    # schema: ." warning: it is emitted by Ray's sort machinery for EMPTY
+    # sort partitions (reproducible with a bare groupby().map_groups() whose
+    # input has more blocks than keys — Ray builds the empty partition block
+    # as a zero-column table internally); every UDF in this repo returns
+    # schema-carrying tables even for zero rows, so the warning carries no
+    # signal here.
+    import logging as _logging
+
+    _logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(_logging.ERROR)
 
     from rayval.pipelines import queries as Q
 

@@ -514,7 +514,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold_e6: int = 500_000,
     max_df: int = 64,
-    hash_grams: bool = False,
+    hash_grams: bool = True,
 ) -> pa.Table:
     """EXACT word-n-gram Jaccard near-dup pairs via a distributed
     inverted-index join — the SQL-oracled complement to MinHash (which
@@ -532,12 +532,17 @@ def ngram_jaccard_pairs(
     in exact int64 fixed-point (floor at 1e-6, association-free).  The only
     shuffles carry (gram, key, int) and (a, b, ints) — never text.
 
-    ``hash_grams=True`` is the 10^12-doc path: grams become uint64
-    polynomial hashes (``state.hashing.hash64``) BEFORE the shuffle, so the
-    exchange moves fixed 8-byte keys instead of variable-length strings —
-    identical output barring a 2^-64-scale collision (asserted equal to the
-    string path in tests).  The default ships gram strings for byte-exact
-    DuckDB oracle parity.
+    ``hash_grams=True`` (the DEFAULT — the 10^12-doc path): grams become
+    uint64 polynomial hashes (``state.hashing.hash64``) BEFORE the shuffle,
+    so the exchange moves fixed 8-byte keys instead of variable-length
+    strings.  Collision note: a hash collision merges two distinct grams'
+    posting lists, which can only ever ADD candidate pairs / inflate a
+    shared-gram count by 1 — at 2^-64 per gram pair it is negligible against
+    10^12-doc gram volumes, and the output is asserted equal to the string
+    path in tests.  ``hash_grams=False`` ships the gram strings themselves —
+    the byte-exact DuckDB-oracle-parity mode (the oracle compares doc pairs,
+    which match either way; the string mode exists so the gram-level
+    intermediate can also be diffed against SQL when debugging).
 
     Input contract: ``key_col`` is UNIQUE per row (a document table's
     primary key).  A repeated key degrades gracefully — same-gram-group
