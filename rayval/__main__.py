@@ -5,9 +5,11 @@
         with the same --out to skip committed fragment groups).
 
     python -m rayval check --schema FILE(.xsd|.json) --table FILE.parquet
-        [--element NAME] [--key COL]
+        [--element NAME] [--key COL] [--annotated-out DIR]
         Compile a schema (XSD subset or JSON DSL) and validate one parquet
         table; prints the violation listing as CSV and exits non-zero if any.
+        --annotated-out additionally writes the reference's in-band output
+        shape (struct<value,status> per checked column + row_valid).
 
 Owns its Ray session (guarded init; the driver/test harness never imports
 this module).
@@ -89,11 +91,25 @@ def cmd_check(args) -> int:
 
         return batch.append_column(PARTITION_COL, pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
 
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(MetaValidate(validator), batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(lambda b: explode_violations(b, key="__key"), batch_format="pyarrow")
+    masked = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        MetaValidate(validator), batch_format="pyarrow", zero_copy_batch=True
     )
+    if args.annotated_out:
+        # the reference's primary output shape (to-hiccup-meta / with-status,
+        # parser.clj:345-371, 384-400) for ANY profile: every validated
+        # column becomes struct<value, status> plus row_valid, derived from
+        # the same mask pass that feeds the violation listing (materialize
+        # once; no second validate)
+        from rayval.stages.validate import annotate_from_masks
+
+        masked = masked.materialize()
+        masked.map_batches(
+            lambda b: annotate_from_masks(b, drop_masks=True).drop_columns(
+                ["__key", PARTITION_COL]
+            ),
+            batch_format="pyarrow",
+        ).write_parquet(args.annotated_out)
+    out = masked.map_batches(lambda b: explode_violations(b, key="__key"), batch_format="pyarrow")
     t = collect_tables(
         out,
         pa.schema(
@@ -152,6 +168,9 @@ def main(argv=None) -> int:
     c.add_argument("--table", required=True)
     c.add_argument("--element", default=None, help="XSD top-level element to use")
     c.add_argument("--key", default=None, help="column to report violation keys by")
+    c.add_argument("--annotated-out", default=None,
+                   help="also write the in-band annotated parquet (each checked column "
+                        "as struct<value,status> + row_valid) to this directory")
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_check)
 

@@ -70,3 +70,34 @@ def test_cli_check_missing_required_column(tmp_path, ray_session, capsys):
     out = capsys.readouterr().out
     assert rc == 1
     assert "v.missing" in out
+
+
+def test_cli_check_annotated_out_roundtrip(tmp_path, ray_session, capsys):
+    """--annotated-out writes the with-status form for an arbitrary profile:
+    struct<value,status> per checked column + row_valid, consistent with the
+    CSV violation listing from the same run."""
+    from rayval.__main__ import main
+
+    spec = {"name": "t", "key": "k",
+            "fields": {"v": {"min": 0}, "s": {"pattern": "a+"}}}
+    js = tmp_path / "s.json"
+    js.write_text(json.dumps(spec))
+    table = tmp_path / "t.parquet"
+    pq.write_table(
+        pa.table({"k": ["a", "b", "c"], "v": [1, -2, 3], "s": ["aa", "ab", "a"]}), table
+    )
+    out_dir = tmp_path / "annotated"
+    rc = main(["check", "--schema", str(js), "--table", str(table),
+               "--key", "k", "--annotated-out", str(out_dir)])
+    assert rc == 1
+    t = pq.read_table(str(out_dir)).to_pandas().set_index("k").sort_index()
+    assert set(t.columns) >= {"v", "s", "row_valid"}
+    # struct columns round-trip as dicts: value preserved, status per row
+    assert t.loc["a", "v"] == {"value": 1, "status": True}
+    assert t.loc["b", "v"] == {"value": -2, "status": False}
+    assert t.loc["b", "s"] == {"value": "ab", "status": False}
+    assert t.loc["c", "s"] == {"value": "a", "status": True}
+    assert list(t["row_valid"]) == [True, False, True]
+    # consistent with the listing printed by the same run
+    out = capsys.readouterr().out
+    assert "b,v.range" in out and "b,s.pattern" in out
