@@ -1021,11 +1021,14 @@ def q_clean_corpus(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     rep = clean_corpus(ds, cfg=CleanConfig(min_tokens=5, minhash_est_threshold=0.7))
     kept = rep["_kept"]
-    ids = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+    # Arrow-block collect of the one projected column (row-based take_all
+    # would build a python dict per row)
+    ids_t = _collect(kept.select_columns(["doc_id"]), pa.schema([("doc_id", pa.int64())]))
+    ids = ids_t.sort_by("doc_id")["doc_id"]
     n = len(ids)
     return pa.table(
         {
-            "doc_id": pa.array(ids, type=pa.int64()),
+            "doc_id": ids,
             "rows_in": pa.array([rep["rows_in"]] * n, type=pa.int64()),
             "rows_after_quality": pa.array([rep["rows_after_quality"]] * n, type=pa.int64()),
             "exact_dropped": pa.array([rep["exact_dropped"]] * n, type=pa.int64()),
@@ -1323,6 +1326,73 @@ SQL_SAMPLE_DOCUMENTS = """
 SELECT doc_id, lang FROM documents
 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 10 = 0
 """
+
+
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Deterministic STRATIFIED sample: the 20 smallest-md5 docs per
+    language — per-group sampling as a bottom-n windowed rank (the topn
+    combiner prunes per batch, so no group's rows ever co-locate beyond
+    20 x num_batches).  Hash order makes it reproducible across engines,
+    so even stratified sampling gets a ROW_NUMBER oracle."""
+    from rayval.stages.topn import topn_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def with_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        batch = batch.copy()
+        batch["h"] = batch["doc_id"].astype(str).map(
+            lambda s: hashlib.md5(s.encode()).hexdigest()[:12]
+        )
+        return batch
+
+    out = topn_per_group(
+        ds.map_batches(with_hash, batch_format="pandas"),
+        "lang", "h", 20, tie_col="doc_id", ascending=True,
+    )
+    t = _collect(
+        out.map_batches(lambda b: b.select(["lang", "doc_id"]), batch_format="pyarrow"),
+        pa.schema([("lang", pa.string()), ("doc_id", pa.int64())]),
+    )
+    return t.sort_by([("lang", "ascending"), ("doc_id", "ascending")])
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20 ORDER BY lang, doc_id
+"""
+
+
+def q_grouped_quantiles(sf_dir: str) -> pa.Table:
+    """Approximate per-group quantiles from mergeable KLL partials
+    (stages/stats.grouped_quantiles_sketch) — the 10^12-row grouped
+    percentile shape: only sketch blobs shuffle, never rows.  Rows-only:
+    estimates carry KLL rank error (pytest gates them against the exact
+    quantiles); output is deterministic (sorted-blob merges)."""
+    from rayval.stages.stats import grouped_quantiles_sketch
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = grouped_quantiles_sketch(ds, "o_orderpriority", "o_totalprice", qs=(0.25, 0.5, 0.75))
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cols = {"o_orderpriority": b["o_orderpriority"], "n": b["n"]}
+        for q in ("q_25", "q_50", "q_75"):
+            cents = _round_half_away(b[q].to_numpy(zero_copy_only=False) * 100)
+            cols[q + "_cents"] = pa.array(cents)
+        return pa.table(cols)
+
+    t = _collect(
+        out.map_batches(to_cents, batch_format="pyarrow"),
+        pa.schema([("o_orderpriority", pa.string()), ("n", pa.int64()),
+                   ("q_25_cents", pa.int64()), ("q_50_cents", pa.int64()),
+                   ("q_75_cents", pa.int64())]),
+    )
+    return t.sort_by("o_orderpriority")
 
 
 # ===================================================== rows-only (non-SQL)
@@ -1812,6 +1882,7 @@ QUERIES = {
     "simhash_neardups": (q_simhash_neardups, None),
     "langid_predictions": (q_langid, None),
     "sketch_stats": (q_sketch_stats, None),
+    "grouped_quantiles": (q_grouped_quantiles, None),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
@@ -1855,6 +1926,7 @@ QUERIES = {
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),
     "sample_documents": (q_sample_documents, SQL_SAMPLE_DOCUMENTS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "distinct_priorities": (q_distinct_priorities, SQL_DISTINCT_PRIORITIES),
     # tail: operator also covered by an earlier entry (see note above)
     "lsh_topk": (q_lsh_topk, None),

@@ -18,7 +18,7 @@ profile").
 from __future__ import annotations
 
 import pickle
-from typing import Iterable, Optional
+from typing import Iterable, Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -176,3 +176,73 @@ def drift_violations(
                 if d == d and d > max(threshold, crit):  # NaN-safe
                     out.append((pid, None, f"stats.drift.{c}"))
     return out
+
+
+def grouped_quantiles_sketch(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    k: int = 200,
+) -> "ray.data.Dataset":
+    """Approximate per-group quantiles via mergeable KLL partials — the
+    10^12-row shape for grouped percentiles: each batch emits ONE (group,
+    sketch blob) row per group it touches, so the ``groupby(group)`` exchange
+    carries num_batches-bounded blob rows, never the data rows.  Contrast
+    with the exact in-group sort (queries.q_acctbal_median): that co-locates
+    every row of a group on one reducer; this co-locates only its partials,
+    so a group of any size costs O(num_batches × sketch_size).
+
+    Determinism: KLL compaction is merge-order-sensitive, so each group's
+    partials are merged in sorted-blob order (same device as sketch_stats) —
+    identical input blocks give identical estimates.
+
+    Output: one row per group — (group_col, n, q_<pct> float64 per q).
+    Estimates carry KLL rank error (~1.3%/sqrt(k) of rank, not value); gate
+    against the exact quantile in tests, don't diff it against SQL."""
+    import ray.data  # noqa: F401  (type only)
+
+    q_list = [float(q) for q in qs]
+    q_names = [f"q_{int(round(q * 100)):02d}" for q in q_list]
+    g_type = ds.schema().base_schema.field(group_col).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch[value_col].is_valid())
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], g_type), "kll": pa.array([], pa.binary())})
+        gcol = t[group_col].combine_chunks() if isinstance(t[group_col], pa.ChunkedArray) else t[group_col]
+        codes_arr = gcol.dictionary_encode()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        if codes.dtype.kind == "f":
+            codes = np.where(np.isnan(codes), -1, codes)
+        codes = codes.astype(np.int64)
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(codes, kind="stable")
+        codes_s, vals_s = codes[order], vals[order]
+        ids, starts = np.unique(codes_s, return_index=True)
+        bounds = np.append(starts, len(vals_s))
+        keys, blobs = [], []
+        dict_vals = codes_arr.dictionary
+        for gi, a, b in zip(ids, bounds[:-1], bounds[1:]):
+            keys.append(None if gi < 0 else dict_vals[int(gi)].as_py())
+            blobs.append(KLL(k=k).add(vals_s[a:b]).to_bytes())
+        return pa.table({group_col: pa.array(keys, type=g_type), "kll": pa.array(blobs, type=pa.binary())})
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        blobs = sorted(b.as_py() for b in group["kll"])
+        sk = KLL.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            sk = sk.merge(KLL.from_bytes(b))
+        est = sk.quantiles(q_list)
+        cols = {group_col: group[group_col].slice(0, 1),
+                "n": pa.array([sk.n], type=pa.int64())}
+        for name, v in zip(q_names, est):
+            cols[name] = pa.array([float(v)], type=pa.float64())
+        return pa.table(cols)
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(merge_group, batch_format="pyarrow")
+    )

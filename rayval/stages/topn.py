@@ -27,18 +27,21 @@ def topn_per_group(
     value_col: str,
     n: int,
     tie_col: str,
+    ascending: bool = False,
 ) -> "ray.data.Dataset":
-    """Top ``n`` rows per ``group_col`` ordered by ``value_col`` descending,
-    ties broken by ``tie_col`` ascending.  OUTPUT IS PROJECTED to exactly
-    (group_col, value_col, tie_col) — join other columns back by ``tie_col``
-    if needed.  Null group keys form their own partition (SQL ROW_NUMBER
-    PARTITION BY semantics: the NULL partition is kept, not dropped).
-    Nulls in value/tie sort last (DuckDB's NULLS LAST default both ways).
+    """Top ``n`` rows per ``group_col`` ordered by ``value_col`` descending
+    (``ascending=True`` flips to bottom-n — e.g. smallest-hash stratified
+    sampling), ties broken by ``tie_col`` ascending.  OUTPUT IS PROJECTED to
+    exactly (group_col, value_col, tie_col) — join other columns back by
+    ``tie_col`` if needed.  Null group keys form their own partition (SQL
+    ROW_NUMBER PARTITION BY semantics: the NULL partition is kept, not
+    dropped).  Nulls in value/tie sort last (DuckDB's NULLS LAST default).
 
     Arrow-native end to end: no pandas round-trip, so int64 value/tie columns
     with nulls are never squeezed through float64 (values > 2^53 survive)."""
     cols = [group_col, value_col, tie_col]
-    sort_keys = [(group_col, "ascending"), (value_col, "descending"), (tie_col, "ascending")]
+    v_dir = "ascending" if ascending else "descending"
+    sort_keys = [(group_col, "ascending"), (value_col, v_dir), (tie_col, "ascending")]
 
     def head_n(t: pa.Table) -> pa.Table:
         t = t.select(cols)

@@ -400,3 +400,17 @@ def test_asof_join_string_pick_with_nulls(ray_session):
     got = {row["lid"]: row["m"] for row in out.take_all()}
     # lid 0: tie at t=5 -> non-null "abc" beats null; lid 1: t=15 row picked, null pick
     assert got == {0: "abc", 1: None}
+
+
+def test_topn_per_group_ascending_bottom_n(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.topn import topn_per_group
+
+    t = pa.table({"g": pa.array([1, 1, 1, 2], pa.int64()),
+                  "v": pa.array(["c", "a", "b", "z"], pa.string()),
+                  "k": pa.array([0, 1, 2, 3], pa.int64())})
+    out = topn_per_group(ray.data.from_arrow(t), "g", "v", 2, tie_col="k", ascending=True)
+    rows = sorted((r["g"], r["v"], r["k"]) for r in out.take_all())
+    assert rows == [(1, "a", 1), (1, "b", 2), (2, "z", 3)]

@@ -146,3 +146,54 @@ def test_blob_version_stamp_refused():
     # dispatch picks the right shape from the magic
     assert isinstance(bloom_from_bytes(ShardedBloom(10, n_shards=2).to_bytes()), ShardedBloom)
     assert isinstance(bloom_from_bytes(Bloom(10).to_bytes()), Bloom)
+
+
+def test_grouped_quantiles_sketch_accuracy_and_determinism(ray_session):
+    """Grouped KLL quantiles: estimates' true RANK within 5% of target for
+    every group (k=200 => ~1.3% expected), byte-identical across runs
+    (sorted-blob merge order), and only sketch rows ever shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.stats import grouped_quantiles_sketch
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    g = rng.integers(0, 4, n)
+    v = np.where(g == 0, rng.normal(100, 10, n), rng.lognormal(3, 1, n))
+    blocks = [
+        pa.table({"g": pa.array(g[i:i + 2000], pa.int64()),
+                  "v": pa.array(v[i:i + 2000], pa.float64())})
+        for i in range(0, n, 2000)
+    ]
+
+    def run_once():
+        out = grouped_quantiles_sketch(
+            ray.data.from_arrow(blocks), "g", "v", qs=(0.25, 0.5, 0.75)
+        ).take_all()
+        return sorted(((r["g"], r["n"], r["q_25"], r["q_50"], r["q_75"]) for r in out))
+
+    got = run_once()
+    assert got == run_once()  # deterministic
+    assert [r[0] for r in got] == [0, 1, 2, 3]
+    for grp, n_g, *ests in got:
+        vals = np.sort(v[g == grp])
+        assert n_g == len(vals)
+        for q, est in zip((0.25, 0.5, 0.75), ests):
+            rank = np.searchsorted(vals, est) / len(vals)
+            assert abs(rank - q) < 0.05, (grp, q, est, rank)
+
+
+def test_grouped_quantiles_sketch_null_values_and_groups(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.stats import grouped_quantiles_sketch
+
+    t = pa.table({"g": pa.array(["a", "a", None, None], pa.string()),
+                  "v": pa.array([1.0, None, 5.0, 7.0], pa.float64())})
+    out = grouped_quantiles_sketch(ray.data.from_arrow(t), "g", "v", qs=(0.5,)).take_all()
+    by_g = {r["g"]: r for r in out}
+    assert by_g["a"]["n"] == 1 and by_g["a"]["q_50"] == 1.0  # null v excluded
+    assert by_g[None]["n"] == 2  # null group keys form their own partition
