@@ -46,6 +46,7 @@ def cmd_validate(args) -> int:
         group_size=args.group_size,
         decode_concurrency=args.decode_concurrency,
         annotated_output=args.annotated,
+        distributed_violations=args.distributed_violations,
     )
     ref = load_profile(args.reference) if args.reference else None
     report = run(args.images, args.out, captions_path=args.captions,
@@ -158,6 +159,10 @@ def main(argv=None) -> int:
              "(read->decode in one task, bytes never enter the object store)",
     )
     v.add_argument("--annotated", action="store_true")
+    v.add_argument("--distributed-violations", action="store_true",
+                   help="write the violation listing as per-task parquet parts and merge "
+                        "it as a streaming Dataset (for wholesale-violating inputs; the "
+                        "driver then only ever holds counts)")
     v.add_argument("--reference", default=None,
                    help="global_profile.bin from a previous run: enables drift checks")
     v.add_argument("--num-cpus", type=int, default=None)

@@ -397,3 +397,27 @@ def test_distributed_violations_wholesale(data_dir, tmp_path):
     assert all(v is False for v in report["partition_verdicts"].values())
     group_parts = glob.glob(os.path.join(out, "violations", "group-*", "*.parquet"))
     assert group_parts and all(os.path.basename(p).startswith("viol-") for p in group_parts)
+
+
+def test_distributed_violations_resume(data_dir, tmp_path):
+    """Resume semantics are unchanged under distributed_violations: committed
+    groups (and their per-task violation parts) are skipped on restart, and
+    the final listing still matches the planted oracle."""
+    cfg = RunConfig(group_size=3, decode_concurrency=2, hot_threshold=3,
+                    bloom_expected=10_000, distributed_violations=True)
+    out = str(tmp_path / "dist_resume")
+    frags = sorted(os.listdir(data_dir + "/images"))
+    partial_dir = str(tmp_path / "dist_partial_imgs")
+    os.makedirs(partial_dir)
+    for f in frags[:5]:
+        os.symlink(os.path.join(data_dir, "images", f), os.path.join(partial_dir, f))
+    run_phase1(partial_dir, out, cfg)
+    committed_before = Manifest(out).committed()
+    for f in frags[5:]:
+        os.symlink(os.path.join(data_dir, "images", f), os.path.join(partial_dir, f))
+    run_phase1(partial_dir, out, cfg)
+    assert Manifest(out).committed()[: len(committed_before)] == committed_before
+    run_phase2(out, captions_path=data_dir + "/captions.parquet", cfg=cfg)
+    got = _violations_set(os.path.join(out, "final_violations"))
+    exp = _violations_set(os.path.join(data_dir, "expected_violations.parquet"))
+    assert got == exp
