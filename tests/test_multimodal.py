@@ -126,3 +126,17 @@ def test_wav_odd_data_chunk_is_data_not_crash():
     data += b"\x00"
     s, rate, ch = wav_decode(bytes(data))
     assert rate == 8000 and len(s) == 200  # dangling byte dropped
+
+
+def test_lance_reader_import_gate():
+    """No lance in this container: the real-cluster Lance entry must raise a
+    clear NotImplementedError pointing at the tested parquet stand-in (the
+    honest-stub pattern), from both the list and read surfaces."""
+    import pytest
+
+    from rayval.sources.lance import list_lance_fragments, read_lance_fragments
+
+    with pytest.raises(NotImplementedError, match="read_fragments"):
+        list_lance_fragments("/tmp/nonexistent.lance")
+    with pytest.raises(NotImplementedError, match="parquet"):
+        read_lance_fragments("/tmp/nonexistent.lance")
