@@ -359,6 +359,24 @@ def test_distributed_violations_matches_default(finished_run, tmp_path):
     assert group_parts and all(os.path.basename(p).startswith("viol-") for p in group_parts)
 
 
+def test_distributed_violations_fused_mode(finished_run, tmp_path):
+    """The flag must also hold in FUSED task mode (decode_concurrency=None,
+    the default): violations written per fused task, same listing."""
+    import glob
+
+    data_dir, out_default, report_default = finished_run
+    out = str(tmp_path / "dist_fused")
+    cfg = RunConfig(group_size=3, decode_concurrency=None, hot_threshold=3,
+                    bloom_expected=10_000, distributed_violations=True)
+    report = run(data_dir + "/images", out, captions_path=data_dir + "/captions.parquet", cfg=cfg)
+    assert _violations_set(os.path.join(out, "final_violations")) == _violations_set(
+        os.path.join(out_default, "final_violations")
+    )
+    assert report["violations"] == report_default["violations"]
+    group_parts = glob.glob(os.path.join(out, "violations", "group-*", "*.parquet"))
+    assert group_parts and all(os.path.basename(p).startswith("viol-") for p in group_parts)
+
+
 def test_distributed_violations_wholesale(data_dir, tmp_path):
     """Violation rate ~1.0 (every row fails an impossible image_id pattern):
     the distributed path writes and counts the full listing without the
