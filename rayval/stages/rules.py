@@ -196,8 +196,9 @@ def run_table_rules(
     schema = pa.schema(
         [(PARTITION_COL, pa.int64()), (key, pa.string()), ("constraint_id", pa.string())]
     )
-    parts: list[pa.Table] = []
-    for rule in profile.table_rules:
+
+    def _run_rule(rule) -> list[pa.Table]:
+        parts: list[pa.Table] = []
         if rule.kind == "unique":
             t = unique_violations(
                 ds, rule.column, key,
@@ -290,6 +291,21 @@ def run_table_rules(
                 )
         else:
             raise ValueError(f"unknown table rule kind {rule.kind!r}")
+        return parts
+
+    # rules are independent DAGs over the same input — dispatch them
+    # concurrently (same device as the flagship's phase-2 dedup/ref overlap)
+    # so their mostly-fixed Ray job launch costs overlap; results gather in
+    # DECLARATION order and the final sort pins the output regardless
+    rules = list(profile.table_rules)
+    if len(rules) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(rules))) as ex:
+            results = list(ex.map(_run_rule, rules))
+    else:
+        results = [_run_rule(r) for r in rules]
+    parts = [t for sub in results for t in sub]
     if not parts:
         return schema.empty_table()
     return pa.concat_tables(parts).sort_by(
