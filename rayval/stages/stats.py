@@ -184,6 +184,7 @@ def grouped_quantiles_sketch(
     value_col: str,
     qs: Sequence[float] = (0.25, 0.5, 0.75),
     k: int = 200,
+    sketch: str = "kll",
 ) -> "ray.data.Dataset":
     """Approximate per-group quantiles via mergeable KLL partials — the
     10^12-row shape for grouped percentiles: each batch emits ONE (group,
@@ -198,10 +199,23 @@ def grouped_quantiles_sketch(
     identical input blocks give identical estimates.
 
     Output: one row per group — (group_col, n, q_<pct> float64 per q).
-    Estimates carry KLL rank error (~1.3%/sqrt(k) of rank, not value); gate
-    against the exact quantile in tests, don't diff it against SQL."""
+    Estimates carry rank error (not value error); gate against the exact
+    quantile in tests, don't diff it against SQL.
+
+    ``sketch``: "kll" (default; uniform rank resolution) or "tdigest"
+    (state/tdigest.py; k1 scale — resolution concentrates at the tails, the
+    p99.9-style choice; ``k`` is its compression δ).  Both are mergeable and
+    deterministic under the sorted-blob merge below."""
     import ray.data  # noqa: F401  (type only)
 
+    if sketch == "kll":
+        make, load = (lambda: KLL(k=k)), KLL.from_bytes
+    elif sketch == "tdigest":
+        from rayval.state import TDigest
+
+        make, load = (lambda: TDigest(delta=k)), TDigest.from_bytes
+    else:
+        raise ValueError(f"unknown sketch {sketch!r} (kll | tdigest)")
     q_list = [float(q) for q in qs]
     q_names = [f"q_{int(round(q * 100)):02d}" for q in q_list]
     g_type = ds.schema().base_schema.field(group_col).type
@@ -225,14 +239,14 @@ def grouped_quantiles_sketch(
         dict_vals = codes_arr.dictionary
         for gi, a, b in zip(ids, bounds[:-1], bounds[1:]):
             keys.append(None if gi < 0 else dict_vals[int(gi)].as_py())
-            blobs.append(KLL(k=k).add(vals_s[a:b]).to_bytes())
+            blobs.append(make().add(vals_s[a:b]).to_bytes())
         return pa.table({group_col: pa.array(keys, type=g_type), "kll": pa.array(blobs, type=pa.binary())})
 
     def merge_group(group: pa.Table) -> pa.Table:
         blobs = sorted(b.as_py() for b in group["kll"])
-        sk = KLL.from_bytes(blobs[0])
+        sk = load(blobs[0])
         for b in blobs[1:]:
-            sk = sk.merge(KLL.from_bytes(b))
+            sk = sk.merge(load(b))
         est = sk.quantiles(q_list)
         cols = {group_col: group[group_col].slice(0, 1),
                 "n": pa.array([sk.n], type=pa.int64())}

@@ -197,3 +197,80 @@ def test_grouped_quantiles_sketch_null_values_and_groups(ray_session):
     by_g = {r["g"]: r for r in out}
     assert by_g["a"]["n"] == 1 and by_g["a"]["q_50"] == 1.0  # null v excluded
     assert by_g[None]["n"] == 2  # null group keys form their own partition
+
+
+def test_tdigest_accuracy_tails_and_merge():
+    """t-digest: tail quantiles (p99/p999) land within tight RANK error on a
+    skewed distribution; merging split partials agrees with the single-build
+    digest to the same tolerance; serialization round-trips; delta mismatch
+    refuses to merge."""
+    import numpy as np
+    import pytest
+
+    from rayval.state import TDigest
+
+    rng = np.random.default_rng(3)
+    v = rng.lognormal(0, 2, 50_000)
+    whole = TDigest(delta=100).add(v)
+    srt = np.sort(v)
+
+    def rank_of(x):
+        return np.searchsorted(srt, x) / len(srt)
+
+    for q, tol in ((0.01, 0.005), (0.5, 0.02), (0.99, 0.005), (0.999, 0.002)):
+        est = whole.quantile(q)
+        assert abs(rank_of(est) - q) < tol, (q, est, rank_of(est))
+    assert whole.quantile(0.0) == srt[0] and whole.quantile(1.0) == srt[-1]
+
+    parts = [TDigest(delta=100).add(chunk) for chunk in np.array_split(v, 13)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert merged.n == len(v)
+    for q in (0.01, 0.5, 0.99, 0.999):
+        assert abs(rank_of(merged.quantile(q)) - q) < 0.01, q
+
+    rt = TDigest.from_bytes(merged.to_bytes())
+    assert rt.quantiles([0.5, 0.99]) == merged.quantiles([0.5, 0.99])
+    with pytest.raises(ValueError, match="delta mismatch"):
+        TDigest(delta=100).add([1.0]).merge(TDigest(delta=50).add([2.0]))
+
+
+def test_tdigest_centroid_count_bounded():
+    """The whole point at 10^12 rows: centroids stay O(delta) no matter how
+    many values stream in, so a partial is a fixed-size blob."""
+    import numpy as np
+
+    from rayval.state import TDigest
+
+    rng = np.random.default_rng(7)
+    d = TDigest(delta=100)
+    for _ in range(20):
+        d.add(rng.normal(size=10_000))
+    assert d.n == 200_000
+    assert len(d.means) <= 2 * 100  # ~delta centroids, never the data
+
+
+def test_grouped_quantiles_sketch_tdigest_variant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.stats import grouped_quantiles_sketch
+
+    rng = np.random.default_rng(19)
+    n = 8000
+    g = rng.integers(0, 3, n)
+    v = rng.lognormal(1, 1.5, n)
+    blocks = [pa.table({"g": pa.array(g[i:i + 1000], pa.int64()),
+                        "v": pa.array(v[i:i + 1000], pa.float64())})
+              for i in range(0, n, 1000)]
+    out = grouped_quantiles_sketch(
+        ray.data.from_arrow(blocks), "g", "v", qs=(0.5, 0.99), sketch="tdigest"
+    ).take_all()
+    assert sorted(r["g"] for r in out) == [0, 1, 2]
+    for r in out:
+        vals = np.sort(v[g == r["g"]])
+        for q, est in ((0.5, r["q_50"]), (0.99, r["q_99"])):
+            rank = np.searchsorted(vals, est) / len(vals)
+            assert abs(rank - q) < 0.03, (r["g"], q, rank)
