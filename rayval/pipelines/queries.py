@@ -1368,6 +1368,24 @@ SELECT lang, doc_id FROM (
 """
 
 
+def q_grouped_distinct(sf_dir: str) -> pa.Table:
+    """Approximate distinct customers per order priority from mergeable HLL
+    partials (stages/stats.grouped_distinct_sketch) — grouped uniqueness at
+    the 10^12-row shape: fixed-size register blobs shuffle, never values.
+    Rows-only: estimates (pytest gates them within HLL error of exact);
+    deterministic (HLL merge is register-wise max, order-insensitive)."""
+    from rayval.stages.stats import grouped_distinct_sketch
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+    out = grouped_distinct_sketch(ds, "o_orderpriority", "o_custkey")
+    t = _collect(
+        out,
+        pa.schema([("o_orderpriority", pa.string()), ("n_rows", pa.int64()),
+                   ("distinct_est", pa.int64())]),
+    )
+    return t.sort_by("o_orderpriority")
+
+
 def q_grouped_quantiles(sf_dir: str) -> pa.Table:
     """Approximate per-group quantiles from mergeable KLL partials
     (stages/stats.grouped_quantiles_sketch) — the 10^12-row grouped
@@ -1883,6 +1901,7 @@ QUERIES = {
     "langid_predictions": (q_langid, None),
     "sketch_stats": (q_sketch_stats, None),
     "grouped_quantiles": (q_grouped_quantiles, None),
+    "grouped_distinct": (q_grouped_distinct, None),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),

@@ -22,6 +22,7 @@ from typing import Iterable, Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from rayval.constraints.profile import PARTITION_COL
 from rayval.state import HLL, KLL, ks_distance
@@ -253,6 +254,68 @@ def grouped_quantiles_sketch(
         for name, v in zip(q_names, est):
             cols[name] = pa.array([float(v)], type=pa.float64())
         return pa.table(cols)
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
+
+
+def grouped_distinct_sketch(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    p: int = 12,
+) -> "ray.data.Dataset":
+    """Approximate per-group distinct counts via mergeable HLL partials —
+    the grouped-uniqueness analog of :func:`grouped_quantiles_sketch` and the
+    10^12-row shape for "distinct X per group": each batch emits ONE (group,
+    HLL blob) row per group it touches, so the ``groupby(group)`` exchange
+    carries num_batches-bounded fixed-size blobs (2^p registers), never the
+    value rows — contrast with an exact ``groupby(group).unique(value)``,
+    which co-locates every distinct value of a group on one reducer.
+
+    HLL merges are order-insensitive (register-wise max), so no merge-order
+    pinning is needed.  Output: (group_col, n_rows, distinct_est int64);
+    estimates carry ~1.04/sqrt(2^p) relative error — gate against the exact
+    count in tests, don't diff against SQL."""
+    g_type = ds.schema().base_schema.field(group_col).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch[value_col].is_valid())
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], g_type), "n": pa.array([], pa.int64()),
+                             "hll": pa.array([], pa.binary())})
+        gcol = t[group_col].combine_chunks() if isinstance(t[group_col], pa.ChunkedArray) else t[group_col]
+        codes_arr = gcol.dictionary_encode()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        if codes.dtype.kind == "f":
+            codes = np.where(np.isnan(codes), -1, codes)
+        codes = codes.astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        t = t.take(pa.array(order))
+        codes_s = codes[order]
+        ids, starts = np.unique(codes_s, return_index=True)
+        bounds = np.append(starts, len(codes_s))
+        dict_vals = codes_arr.dictionary
+        keys, ns, blobs = [], [], []
+        for gi, a, b in zip(ids, bounds[:-1], bounds[1:]):
+            keys.append(None if gi < 0 else dict_vals[int(gi)].as_py())
+            ns.append(int(b - a))
+            blobs.append(HLL(p=p).add(t[value_col].slice(a, b - a)).to_bytes())
+        return pa.table({group_col: pa.array(keys, type=g_type),
+                         "n": pa.array(ns, type=pa.int64()),
+                         "hll": pa.array(blobs, type=pa.binary())})
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        h = HLL.from_bytes(group["hll"][0].as_py())
+        for b in group["hll"].to_pylist()[1:]:
+            h.merge(HLL.from_bytes(b))
+        return pa.table({group_col: group[group_col].slice(0, 1),
+                         "n_rows": pa.array([int(pc.sum(group["n"]).as_py())], type=pa.int64()),
+                         "distinct_est": pa.array([int(round(h.estimate()))], type=pa.int64())})
 
     return (
         ds.select_columns([group_col, value_col])

@@ -274,3 +274,50 @@ def test_grouped_quantiles_sketch_tdigest_variant(ray_session):
         for q, est in ((0.5, r["q_50"]), (0.99, r["q_99"])):
             rank = np.searchsorted(vals, est) / len(vals)
             assert abs(rank - q) < 0.03, (r["g"], q, rank)
+
+
+def test_grouped_distinct_sketch_accuracy(ray_session):
+    """Per-group HLL distinct estimates within the sketch's relative-error
+    envelope of exact, nulls excluded from values, null group kept."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.stats import grouped_distinct_sketch
+
+    rng = np.random.default_rng(23)
+    n = 30_000
+    g = rng.integers(0, 3, n)
+    # per-group distinct cardinalities differ by an order of magnitude
+    v = np.where(g == 0, rng.integers(0, 100, n), rng.integers(0, 10_000, n))
+    blocks = [pa.table({"g": pa.array(g[i:i + 3000], pa.int64()),
+                        "v": pa.array(v[i:i + 3000], pa.int64())})
+              for i in range(0, n, 3000)]
+    out = grouped_distinct_sketch(ray.data.from_arrow(blocks), "g", "v").take_all()
+    assert sorted(r["g"] for r in out) == [0, 1, 2]
+    for r in out:
+        exact = len(np.unique(v[g == r["g"]]))
+        assert r["n_rows"] == int((g == r["g"]).sum())
+        assert abs(r["distinct_est"] - exact) / exact < 0.05, (r, exact)
+
+
+def test_tdigest_quantile_monotone_property():
+    """Property: quantile() is monotone in q and bounded by [min, max] for
+    arbitrary float batches (hypothesis-driven, pure python — no Ray)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rayval.state import TDigest
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.floats(min_value=-1e12, max_value=1e12,
+                              allow_nan=False, allow_infinity=False),
+                    min_size=1, max_size=400))
+    def check(vals):
+        d = TDigest(delta=50).add(vals)
+        qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+        ests = d.quantiles(qs)
+        assert all(a <= b + 1e-9 for a, b in zip(ests, ests[1:]))
+        assert min(vals) <= ests[0] + 1e-9 and ests[-1] <= max(vals) + 1e-9
+
+    check()
