@@ -15,7 +15,7 @@ Top-level surface:
   actor pool, sketch/stats partials, dedup, referential integrity.
 - ``rayval.pipelines`` — end-to-end flagship pipeline with per-fragment
   checkpoint/resume.
-- ``rayval.state`` — mergeable sketches (HLL, KLL, Bloom).
+- ``rayval.state`` — mergeable sketches (HLL, KLL, t-digest, Bloom).
 - ``rayval.functions`` — scalar/batch function library (image codecs, phash,
   text analysis, minhash/simhash).
 """
