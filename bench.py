@@ -148,18 +148,25 @@ def run_bench() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    # Silence the cosmetic "RefBundle with a different schema ... new
+    # Silence ONLY the cosmetic "RefBundle with a different schema ... new
     # schema: ." warning: it is emitted by Ray's sort machinery for EMPTY
     # sort partitions (reproducible with a bare groupby().map_groups() whose
     # input has more blocks than keys — Ray builds the empty partition block
     # as a zero-column table internally); every UDF in this repo returns
-    # schema-carrying tables even for zero rows, so the warning carries no
-    # signal here.
+    # schema-carrying tables even for zero rows, so that specific message
+    # carries no signal here.  A record-level filter, not setLevel: a REAL
+    # schema-divergence warning (non-empty new schema) must still surface.
     import logging as _logging
+
+    class _EmptySchemaNoise(_logging.Filter):
+        def filter(self, record: _logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not ("different schema than the previous one" in msg
+                        and "new schema: ." in msg)
 
     _logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"
-    ).setLevel(_logging.ERROR)
+    ).addFilter(_EmptySchemaNoise())
 
     from rayval.pipelines import queries as Q
 

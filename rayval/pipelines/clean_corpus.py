@@ -81,8 +81,14 @@ def _filter_out(
     if len(drop) <= cfg.broadcast_drop_limit:
         report[f"{stage}_filter_path"] = "broadcast"
         ref = ray.put(pa.array(sorted(drop), type=key_t))
+        # fill_null(True): a null doc_id is never IN the drop set, so it is
+        # KEPT — pinned explicitly because is_in(null) is null and a bare
+        # filter would silently drop it (the semijoin path keeps it: null
+        # keys match nothing in an Arrow join)
         return kept.map_batches(
-            lambda b: b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=ray.get(ref)))),
+            lambda b: b.filter(
+                pc.fill_null(pc.invert(pc.is_in(b["doc_id"], value_set=ray.get(ref))), True)
+            ),
             batch_format="pyarrow",
         )
     report[f"{stage}_filter_path"] = "semijoin"

@@ -455,15 +455,23 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
         _replace_dir(final_dir)
         from ray.data.aggregate import Count
 
+        # ONE grouped pass over the (possibly row-count-sized) listing feeds
+        # all three report aggregates — (constraint, partition) cardinality
+        # is tiny, so the reduce output is driver-safe even when the listing
+        # is not
         vds = ray.data.read_parquet(_expand([final_dir]))
-        n_viol_total = vds.count()
-        if n_viol_total:
-            by_constraint = {
-                r["constraint_id"]: r["n"]
-                for r in vds.groupby("constraint_id").aggregate(Count(alias_name="n")).take_all()
-            }
-            bad_parts = set(vds.unique(PARTITION_COL))
-        else:
+        cells = (
+            vds.groupby(["constraint_id", PARTITION_COL])
+            .aggregate(Count(alias_name="n"))
+            .take_all()
+        )
+        n_viol_total = sum(r["n"] for r in cells)
+        by_constraint: dict[str, int] = {}
+        bad_parts = set()
+        for r in cells:
+            by_constraint[r["constraint_id"]] = by_constraint.get(r["constraint_id"], 0) + r["n"]
+            bad_parts.add(r[PARTITION_COL])
+        if not n_viol_total:
             by_constraint, bad_parts = {}, set()
     else:
         # --- small-listing default: driver-side merge into one sorted part --
@@ -572,16 +580,17 @@ def _derive_group_outputs(
 
 
 def _part_tag(t: pa.Table) -> str:
-    """Retry-safe, collision-proof part-file tag for a block: hash of (first
-    key, last key, row count) — two blocks of one fragment can share a first
-    image_id (duplicate ids are a planted fixture class) but not the whole
-    triple, so distinct blocks never overwrite each other while a RETRIED
-    block still replaces its own file."""
+    """Retry-safe part-file tag for a block: CONTENT-ADDRESSED (md5 over the
+    batch's Arrow IPC bytes + row count).  A Ray task retry re-executes the
+    same deterministic block and overwrites its own file; distinct blocks
+    get distinct names unless they are BYTE-IDENTICAL across every narrow
+    column — a weaker triple like (first key, last key, count) collides for
+    real inputs (a run of >batch_size rows sharing one planted duplicate
+    image_id splits into twin-triple batches), whereas byte-identical twins
+    can only drop exact multiplicity of already-identical rows."""
     import hashlib as _hl
 
-    first_key = str(t["image_id"][0].as_py())
-    last_key = str(t["image_id"][-1].as_py())
-    return _hl.md5(f"{first_key}|{last_key}|{t.num_rows}".encode()).hexdigest()[:16]
+    return _hl.md5(_ipc_write(t) + str(t.num_rows).encode()).hexdigest()[:16]
 
 
 def _derive_row(

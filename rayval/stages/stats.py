@@ -203,6 +203,11 @@ def grouped_quantiles_sketch(
     Estimates carry rank error (not value error); gate against the exact
     quantile in tests, don't diff it against SQL.
 
+    Null semantics: null VALUES are excluded (``n`` counts non-null values,
+    SQL-aggregate style), so a group whose values are ALL null emits no row;
+    null GROUP KEYS form their own group (kept, like the engine's other
+    grouped operators).
+
     ``sketch``: "kll" (default; uniform rank resolution) or "tdigest"
     (state/tdigest.py; k1 scale — resolution concentrates at the tails, the
     p99.9-style choice; ``k`` is its compression δ).  Both are mergeable and
@@ -218,26 +223,26 @@ def grouped_quantiles_sketch(
     else:
         raise ValueError(f"unknown sketch {sketch!r} (kll | tdigest)")
     q_list = [float(q) for q in qs]
-    q_names = [f"q_{int(round(q * 100)):02d}" for q in q_list]
+    # '%g' keeps sub-percent quantiles distinct (0.999 -> 'q_99_9'); the old
+    # int(round(q*100)) collapsed 0.995 and 0.999 onto one column name and
+    # silently dropped an estimate
+    q_names = ["q_" + ("%g" % (q * 100)).replace(".", "_").replace("-", "m") for q in q_list]
+    if len(set(q_names)) != len(q_names):
+        raise ValueError(f"duplicate quantiles in qs={qs}")
     g_type = ds.schema().base_schema.field(group_col).type
 
     def partial(batch: pa.Table) -> pa.Table:
+        from rayval.util import group_codes, sorted_runs
+
         t = batch.filter(batch[value_col].is_valid())
         if t.num_rows == 0:
             return pa.table({group_col: pa.array([], g_type), "kll": pa.array([], pa.binary())})
-        gcol = t[group_col].combine_chunks() if isinstance(t[group_col], pa.ChunkedArray) else t[group_col]
-        codes_arr = gcol.dictionary_encode()
-        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
-        if codes.dtype.kind == "f":
-            codes = np.where(np.isnan(codes), -1, codes)
-        codes = codes.astype(np.int64)
+        codes, dict_vals = group_codes(t[group_col])
         vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         order = np.argsort(codes, kind="stable")
-        codes_s, vals_s = codes[order], vals[order]
-        ids, starts = np.unique(codes_s, return_index=True)
-        bounds = np.append(starts, len(vals_s))
+        vals_s = vals[order]
+        ids, bounds = sorted_runs(codes[order])
         keys, blobs = [], []
-        dict_vals = codes_arr.dictionary
         for gi, a, b in zip(ids, bounds[:-1], bounds[1:]):
             keys.append(None if gi < 0 else dict_vals[int(gi)].as_py())
             blobs.append(make().add(vals_s[a:b]).to_bytes())
@@ -280,26 +285,24 @@ def grouped_distinct_sketch(
     HLL merges are order-insensitive (register-wise max), so no merge-order
     pinning is needed.  Output: (group_col, n_rows, distinct_est int64);
     estimates carry ~1.04/sqrt(2^p) relative error — gate against the exact
-    count in tests, don't diff against SQL."""
+    count in tests, don't diff against SQL.
+
+    Null semantics: null VALUES are excluded — ``n_rows`` counts the group's
+    NON-NULL values (matching SQL COUNT(col)), and a group whose values are
+    all null emits no row; null group keys form their own group."""
     g_type = ds.schema().base_schema.field(group_col).type
 
     def partial(batch: pa.Table) -> pa.Table:
+        from rayval.util import group_codes, sorted_runs
+
         t = batch.filter(batch[value_col].is_valid())
         if t.num_rows == 0:
             return pa.table({group_col: pa.array([], g_type), "n": pa.array([], pa.int64()),
                              "hll": pa.array([], pa.binary())})
-        gcol = t[group_col].combine_chunks() if isinstance(t[group_col], pa.ChunkedArray) else t[group_col]
-        codes_arr = gcol.dictionary_encode()
-        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
-        if codes.dtype.kind == "f":
-            codes = np.where(np.isnan(codes), -1, codes)
-        codes = codes.astype(np.int64)
+        codes, dict_vals = group_codes(t[group_col])
         order = np.argsort(codes, kind="stable")
         t = t.take(pa.array(order))
-        codes_s = codes[order]
-        ids, starts = np.unique(codes_s, return_index=True)
-        bounds = np.append(starts, len(codes_s))
-        dict_vals = codes_arr.dictionary
+        ids, bounds = sorted_runs(codes[order])
         keys, ns, blobs = [], [], []
         for gi, a, b in zip(ids, bounds[:-1], bounds[1:]):
             keys.append(None if gi < 0 else dict_vals[int(gi)].as_py())

@@ -49,13 +49,11 @@ def topn_per_group(
             return t
         idx = pc.sort_indices(t, sort_keys=sort_keys, null_placement="at_end")
         t = t.take(idx)
-        # group codes on the SORTED batch: dictionary indices, nulls -> -1
-        # (null group rows are contiguous at the end, so -1 is one run)
-        g = t[group_col].combine_chunks().dictionary_encode()
-        codes = g.indices.to_numpy(zero_copy_only=False)
-        if codes.dtype.kind == "f":
-            codes = np.where(np.isnan(codes), -1, codes)
-        codes = codes.astype(np.int64)
+        # group codes on the SORTED batch (nulls -> -1; null group rows are
+        # contiguous at the end, so -1 is one run)
+        from rayval.util import group_codes
+
+        codes, _ = group_codes(t[group_col])
         m = len(codes)
         new_grp = np.empty(m, dtype=bool)
         new_grp[0] = True

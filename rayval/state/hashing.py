@@ -19,11 +19,13 @@ import pandas as pd
 import pyarrow as pa
 
 # Bump whenever hash64's output changes for ANY input (v2 = the round-2
-# switch from pd.util.hash_array strings to the buffer polynomial below).
+# switch from pd.util.hash_array strings to the buffer polynomial below;
+# v3 = null-bearing NUMERIC arrays hash non-nulls in native dtype with a
+# null sentinel, instead of widening the whole block through float64).
 # Persisted Bloom/sketch blobs embed this (state/bloom.py, stages/stats.py);
 # a resume across schemes refuses to merge instead of producing silent false
 # negatives.
-HASH_SCHEME_VERSION = 2
+HASH_SCHEME_VERSION = 3
 
 # polynomial base (odd -> invertible mod 2^64) and its modular inverse
 _P = np.uint64(0x100000001B3)
@@ -184,6 +186,22 @@ def hash64(values) -> np.ndarray:
             or pa.types.is_large_binary(t)
         ):
             return _hash_string_array(values)
+        if values.null_count:
+            # hash the NON-NULL values in their NATIVE dtype and give null
+            # slots a fixed sentinel.  The old to_numpy(zero_copy_only=False)
+            # on a null-bearing int64 column silently widened EVERY value to
+            # float64, so (a) the same key hashed differently depending on
+            # whether its batch happened to contain a null — matching rows
+            # landed in different buckets and hash-partitioned joins missed
+            # them — and (b) int64 keys > 2^53 collapsed onto shared floats.
+            valid = values.is_valid().to_numpy(zero_copy_only=False)
+            out = np.full(len(values), _NULL_HASH, dtype=np.uint64)
+            nn = values.drop_null().to_numpy(zero_copy_only=False)
+            if nn.dtype == object:
+                out[valid] = _hash_string_array(pa.array(nn))
+            else:
+                out[valid] = pd.util.hash_array(nn)
+            return out
         arr = values.to_numpy(zero_copy_only=False)
     else:
         arr = np.asarray(values)

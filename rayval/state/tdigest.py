@@ -12,9 +12,15 @@ concatenate points/centroids, sort by mean, and re-cluster greedily
 left-to-right under the k1 (arcsine) scale function — a centroid closes when
 absorbing the next item would push ``k1(q_right) - k1(q_left)`` past 1,
 which bounds the digest at ~δ centroids regardless of n (the fixed-size-blob
-property partial aggregation needs).  Fully DETERMINISTIC: no RNG anywhere —
-equal inputs (in any batch split) re-cluster identically after the sort, so
-checkpoint resumes and driver re-merges reproduce bit-identically.
+property partial aggregation needs).  DETERMINISTIC in the checkpoint sense:
+no RNG anywhere, so the same sequence of add/merge calls over the same
+inputs reproduces bit-identically — re-merging SAVED partials in a pinned
+order (grouped_quantiles_sketch sorts blobs first) always agrees with the
+original run.  Like every t-digest, estimates are NOT batch-split
+invariant: add(all) and add(a).merge(add(b)) are different (equally valid)
+clusterings, so resume-by-re-reading-rows under different block boundaries
+may shift estimates within the error envelope — resume from the serialized
+partials, not the rows.
 
 Quantile query interpolates between adjacent centroid means with the usual
 half-weight convention; min/max are tracked exactly and pin the tails.

@@ -4,9 +4,35 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 
 import ray
+
+
+def group_codes(col) -> tuple[np.ndarray, pa.Array]:
+    """Per-batch group segmentation primitive shared by the grouped
+    operators (topn partial, grouped sketch partials): dictionary-encode a
+    group-key column and return ``(codes int64, dictionary)`` where NULL
+    keys get code -1 (dictionary indices surface nulls as NaN through a
+    float round-trip — the subtle part, centralized here so the null
+    handling can't drift between copies)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    if codes.dtype.kind == "f":
+        codes = np.where(np.isnan(codes), -1, codes)
+    return codes.astype(np.int64), enc.dictionary
+
+
+def sorted_runs(sorted_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(run ids, run bounds) of a SORTED code array: ``bounds[i]:bounds[i+1]``
+    is run i's row span.  Empty input -> two empty arrays."""
+    if len(sorted_codes) == 0:
+        return np.empty(0, dtype=np.int64), np.zeros(1, dtype=np.int64)
+    ids, starts = np.unique(sorted_codes, return_index=True)
+    return ids, np.append(starts, len(sorted_codes))
 
 
 def collect_tables(ds: "ray.data.Dataset", schema: Optional[pa.Schema] = None) -> pa.Table:

@@ -96,3 +96,45 @@ def test_rehash_families_differ(vals):
     a, b = rehash(h, 1), rehash(h, 2)
     assert not np.array_equal(a, b)  # distinct salts -> distinct family
     assert (rehash(h, 1) == a).all()  # deterministic
+
+
+def test_hash64_null_bearing_numeric_blocks_consistent():
+    """A null in a numeric block must not change the other values' hashes
+    (the old float64 widening made the same key hash differently across
+    blocks, silently mis-bucketing hash-partitioned joins) and must not
+    collapse int64 keys > 2^53 onto shared float values."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayval.state.hashing import hash64
+
+    a = hash64(pa.array([7, 11, 13], pa.int64()))
+    b = hash64(pa.array([7, 11, None], pa.int64()))
+    assert a[0] == b[0] and a[1] == b[1]
+    big = 2**60 + 1
+    h = hash64(pa.array([big, big - 1, None], pa.int64()))
+    assert h[0] != h[1]
+    # null slots get the fixed sentinel, deterministically
+    assert b[2] == hash64(pa.array([None], pa.int64()))[0]
+    # chunked arrays agree with flat ones
+    ch = pa.chunked_array([pa.array([7, 11], pa.int64()), pa.array([None], pa.int64())])
+    assert list(hash64(ch)) == list(b)
+
+
+def test_bucket_join_matches_with_null_keys_in_block(ray_session):
+    """Regression: a block containing a null key must still join its non-null
+    keys against a clean other side (the float64-widening bug routed them to
+    different buckets)."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.join import bucket_join
+
+    l = pa.table({"k": pa.array([1, 2, None], pa.int64()),
+                  "lv": pa.array([10, 20, 30], pa.int64())})
+    r = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "rv": pa.array([100, 200], pa.int64())})
+    out = bucket_join(ray.data.from_arrow(l), ray.data.from_arrow(r),
+                      key="k", n_buckets=8, how="inner")
+    rows = sorted((row["k"], row["lv"], row["rv"]) for row in out.take_all())
+    assert rows == [(1, 10, 100), (2, 20, 200)]
