@@ -102,10 +102,26 @@ class DecodeCheck:
         payloads = batch["bytes"]
         payloads = payloads.combine_chunks() if isinstance(payloads, pa.ChunkedArray) else payloads
         payloads, offs, data_mv = self._row_buffers(payloads)
-        w = batch["w"].to_numpy(zero_copy_only=False)
-        h = batch["h"].to_numpy(zero_copy_only=False)
+        # native-dtype + validity extraction: to_numpy on a null-bearing int
+        # column widens the WHOLE block to float64, which would round stored
+        # int64 phashes past 2^53 and silently fail phash.match on every row
+        # of a batch that happens to contain one null.  Null DECLARED metadata
+        # asserts nothing — the cross-check passes (the engine's three-valued
+        # pin: nulls pass value checks; only `required` fails them).
+        def ints(name):
+            col = batch[name]
+            valid = col.is_valid().to_numpy(zero_copy_only=False)
+            if col.null_count:
+                vals = np.zeros(n, dtype=np.int64)
+                vals[valid] = col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                vals = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            return vals, valid
+
+        w, w_valid = ints("w")
+        h, h_valid = ints("h")
         fmt = batch["fmt"].to_pylist()
-        ph = batch["phash"].to_numpy(zero_copy_only=False)
+        ph, ph_valid = ints("phash")
 
         decodable = np.ones(n, dtype=bool)
         w_ok = np.ones(n, dtype=bool)
@@ -132,10 +148,10 @@ class DecodeCheck:
                 decodable[i] = False
                 continue
             dh, dw = px.shape[0], px.shape[1]
-            w_ok[i] = dw == w[i]
-            h_ok[i] = dh == h[i]
-            fmt_ok[i] = container_fmt == fmt[i]
-            ph_ok[i] = phash64(px) == ph[i]
+            w_ok[i] = dw == w[i] if w_valid[i] else True
+            h_ok[i] = dh == h[i] if h_valid[i] else True
+            fmt_ok[i] = container_fmt == fmt[i] if fmt[i] is not None else True
+            ph_ok[i] = phash64(px) == ph[i] if ph_valid[i] else True
             if self.psnr_check:
                 try:
                     if container_fmt == "png":

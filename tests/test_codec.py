@@ -172,3 +172,37 @@ def test_short_ihdr_is_codec_error():
     bad = PNG_SIG + chunk(b"IHDR", b"\x00" * 12) + chunk(b"IDAT", b"x") + chunk(b"IEND", b"")
     with pytest.raises(CodecError, match="IHDR length"):
         decode_image(bad)
+
+
+def test_decode_check_null_metadata_batch():
+    """A null in one row's declared metadata must not corrupt the whole
+    batch's cross-checks (the old full-block to_numpy widened int64 phashes
+    through float64 past 2^53 -> every row failed phash.match), and a null
+    declaration itself asserts nothing (three-valued pin: only `required`
+    fails nulls)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayval.functions.imagecodec import encode_image
+    from rayval.functions.phash import phash64
+    from rayval.stages.decode import DecodeCheck
+
+    rng = np.random.default_rng(4)
+    px = [rng.integers(0, 255, (8, 10, 3), dtype=np.uint8) for _ in range(3)]
+    payloads = [encode_image(p, "png") for p in px]
+    phs = [int(np.int64(np.uint64(phash64(p)).astype(np.int64))) for p in px]
+    t = pa.table({
+        "image_id": pa.array(["a", "b", "c"]),
+        "bytes": pa.array(payloads, pa.binary()),
+        "w": pa.array([10, None, 10], pa.int32()),
+        "h": pa.array([8, 8, 8], pa.int32()),
+        "fmt": pa.array(["png", "png", None]),
+        "phash": pa.array([phs[0], phs[1], None], pa.int64()),
+        "partition_id": pa.array([0, 0, 0], pa.int64()),
+    })
+    out = DecodeCheck()(t)
+    cols = {c: out[c].to_pylist() for c in out.column_names if c.startswith("ok__")}
+    assert cols["ok__phash.match"] == [True, True, True]   # valid ones match; null passes
+    assert cols["ok__w.decode_match"] == [True, True, True]  # null w asserts nothing
+    assert cols["ok__fmt.decode_match"] == [True, True, True]
+    assert cols["ok__h.decode_match"] == [True, True, True]
