@@ -54,7 +54,11 @@ def phash_counts_ds(results: "ray.data.Dataset") -> "ray.data.Dataset":
         t = batch
         if "decodable" in t.column_names:
             t = t.filter(t["decodable"])
-        vals, counts = np.unique(t["phash"].to_numpy(zero_copy_only=False), return_counts=True)
+        # drop null phashes BEFORE to_numpy: SQL semantics (NULL is never a
+        # duplicate of anything), and one null would otherwise widen the
+        # whole block to float64, merging distinct int64 phashes past 2^53
+        ph = t["phash"].drop_null() if t["phash"].null_count else t["phash"]
+        vals, counts = np.unique(ph.to_numpy(zero_copy_only=False), return_counts=True)
         return pa.table({"phash": pa.array(vals, type=pa.int64()), "n": pa.array(counts, type=pa.int64())})
 
     return (
@@ -134,7 +138,10 @@ def dup_counts_and_top_bucketed(
         t = batch
         if "decodable" in t.column_names:
             t = t.filter(t["decodable"])
-        vals, counts = np.unique(t["phash"].to_numpy(zero_copy_only=False), return_counts=True)
+        # null phashes are never duplicates; dropping them also keeps the
+        # block int64 (a null would widen it to float64 — see exact partial)
+        ph = t["phash"].drop_null() if t["phash"].null_count else t["phash"]
+        vals, counts = np.unique(ph.to_numpy(zero_copy_only=False), return_counts=True)
         bucket = (vals.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
         order = np.argsort(bucket, kind="stable")
         vals, counts, bucket = vals[order], counts.astype(np.int64)[order], bucket[order]
@@ -210,8 +217,10 @@ def duplicate_violations(
         t = batch
         if "decodable" in t.column_names:
             t = t.filter(t["decodable"])
-        member = np.isin(t["phash"].to_numpy(zero_copy_only=False), keys)
-        t = t.filter(pa.array(member))
+        # Arrow is_in: null phash -> null -> filtered out (never a member);
+        # no float64 widening of the block
+        member = pc.fill_null(pc.is_in(t["phash"], value_set=pa.array(keys, type=pa.int64())), False)
+        t = t.filter(member)
         return pa.table(
             {
                 PARTITION_COL: t[PARTITION_COL],

@@ -100,7 +100,12 @@ def bucket_join(
             hk = ray.get(hot_ref)
             salt = np.zeros(n, dtype=np.int64)
             if hk.size:
-                is_hot = np.isin(batch[key].to_numpy(zero_copy_only=False), hk)
+                # Arrow is_in (null -> not hot): np.isin over to_numpy would
+                # widen a null-bearing int block to float64 and miss hot keys
+                # past 2^53
+                is_hot = pc.fill_null(
+                    pc.is_in(batch[key], value_set=pa.array(hk)), False
+                ).to_numpy(zero_copy_only=False)
                 if side == "l":
                     # spread hot probe rows across sub-buckets
                     salt[is_hot] = np.arange(int(is_hot.sum())) % n_salts
