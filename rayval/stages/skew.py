@@ -43,21 +43,32 @@ def salted_group_counts(
     hot_ref = ray.put(hot)
 
     def tag(batch: pa.Table) -> pa.Table:
-        k = batch[key].to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        from rayval.state.hashing import hash64
+
+        n_rows = batch.num_rows
         h = ray.get(hot_ref)
-        salt = np.zeros(len(k), dtype=np.int64)
+        salt = np.zeros(n_rows, dtype=np.int64)
         if h.size:
-            is_hot = np.isin(k, h)
+            # Arrow is_in (null -> not hot) + null-safe hash64: np.isin over
+            # to_numpy would widen a null-bearing int block to float64 and
+            # miss hot keys past 2^53 (counts stay exact either way — only
+            # the salting would degrade)
+            is_hot = pc.fill_null(
+                pc.is_in(batch[key], value_set=pa.array(h)), False
+            ).to_numpy(zero_copy_only=False)
             if is_hot.any():
                 # per-row salt from a row hash so each hot key spreads evenly
-                salt[is_hot] = (rehash(k[is_hot].view(np.uint64), 0x5A17) % np.uint64(n_salts)).astype(np.int64)
+                hh = hash64(batch[key])
+                salt[is_hot] = (rehash(hh[is_hot], 0x5A17) % np.uint64(n_salts)).astype(np.int64)
                 # vary by position too (same key -> different reducers)
                 salt[is_hot] = (salt[is_hot] + np.arange(int(is_hot.sum()))) % n_salts
         return pa.table(
             {
                 key: batch[key],
                 "salt": pa.array(salt),
-                "n": pa.array(np.ones(len(k), dtype=np.int64)),
+                "n": pa.array(np.ones(n_rows, dtype=np.int64)),
             }
         )
 
