@@ -1555,6 +1555,42 @@ ORDER BY a, b
 """
 
 
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    """Test-set decontamination: corpus docs sharing a word-3-gram with the
+    'benchmark' (the texts of doc_id < 5, standing in for an eval set) —
+    the pre-training hygiene pass.  Benchmark gram-hash set broadcast once;
+    the corpus streams through one no-shuffle counting pass.  Gram hashes
+    are uint64 (collision odds ~2^-64 per gram pair), and the oracle
+    compares (doc_id, n_hits) — identical tokenization on both sides."""
+    import pyarrow.parquet as pq_mod
+
+    from rayval.stages.docdedup import contaminated_docs
+
+    bench = (
+        pq_mod.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .sort_by("doc_id")
+        .slice(0, 5)
+    )
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return contaminated_docs(ds, "text", "doc_id", bench["text"].to_pylist(), n=3)
+
+
+SQL_DECONTAMINATE = """
+WITH d AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[a-zA-Z0-9]+'), x -> lower(x)) AS w
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, gram
+  FROM d, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS u(gram)
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM g JOIN bench USING (gram)
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
 def q_minhash_dup_groups(sf_dir: str) -> pa.Table:
     """Near-dup candidate pairs -> connected-component groups."""
     from rayval.stages.docdedup import dup_groups_from_pairs
@@ -1905,6 +1941,7 @@ QUERIES = {
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     # reference semantics (XSD constraint engine)
     "lineitem_violations": (q_lineitem_violations, SQL_LINEITEM_VIOLATIONS),
     "part_violations": (q_part_violations, SQL_PART_VIOLATIONS),

@@ -555,39 +555,7 @@ def ngram_jaccard_pairs(
     gram_type = pa.int64() if hash_grams else pa.string()
 
     def grams(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(pc.ascii_lower(batch[text_col]), pattern="[^a-z0-9]+")
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks)
-        keep = pc.not_equal(flat, "")
-        flat = flat.filter(keep)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        p = parents.filter(keep).to_numpy(zero_copy_only=False)
-        empty = pa.table(
-            {key_col: pa.array([], key_type), "gram": pa.array([], gram_type),
-             "n": pa.array([], pa.int64())}
-        )
-        L = len(p)
-        if L < n:
-            return empty
-        # token windows [i, i+n) lie within one doc iff parents agree at the
-        # ends (parents are nondecreasing, so the middle agrees for free)
-        ok = p[: L - n + 1] == p[n - 1:]
-        if not ok.any():
-            return empty
-        mask = pa.array(ok)
-        parts = [flat.slice(j, L - n + 1).filter(mask) for j in range(n)]
-        gram = pc.binary_join_element_wise(*parts, " ")
-        if hash_grams:
-            gram = pa.array(hash64(gram).view(np.int64))
-        keys = batch[key_col].take(pa.array(p[: L - n + 1][ok]))
-        df = pd.DataFrame({key_col: keys.to_pandas(), "gram": gram.to_pandas()}).drop_duplicates()
-        nn = df.groupby(key_col)["gram"].transform("size").to_numpy(dtype=np.int64)
-        return pa.table(
-            {key_col: pa.array(df[key_col].to_numpy(), type=key_type),
-             "gram": pa.array(df["gram"].to_numpy(), type=gram_type),
-             "n": pa.array(nn)}
-        )
+        return doc_distinct_grams(batch, text_col, key_col, n, key_type, gram_type, hash_grams)
 
     pair_empty = pa.table(
         {"a": pa.array([], key_type), "b": pa.array([], key_type),
@@ -645,3 +613,97 @@ def ngram_jaccard_pairs(
          ("n_union", pa.int64()), ("jac_e6", pa.int64())]
     )
     return collect_tables(out, schema).sort_by([("a", "ascending"), ("b", "ascending")])
+
+def doc_distinct_grams(
+    batch: pa.Table,
+    text_col: str,
+    key_col: str,
+    n: int,
+    key_type,
+    gram_type,
+    hash_grams: bool,
+) -> pa.Table:
+    """Per-doc DISTINCT word-n-grams of one batch, fully vectorized —
+    (key, gram, n_doc_grams) rows; the extraction primitive shared by the
+    exact-Jaccard join and the decontamination check (identical tokenization
+    to the DuckDB oracles: ascii_lower + [a-z0-9]+ runs, space-joined)."""
+    toks = pc.split_pattern_regex(pc.ascii_lower(batch[text_col]), pattern="[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    p = parents.filter(keep).to_numpy(zero_copy_only=False)
+    empty = pa.table(
+        {key_col: pa.array([], key_type), "gram": pa.array([], gram_type),
+         "n": pa.array([], pa.int64())}
+    )
+    L = len(p)
+    if L < n:
+        return empty
+    # token windows [i, i+n) lie within one doc iff parents agree at the
+    # ends (parents are nondecreasing, so the middle agrees for free)
+    ok = p[: L - n + 1] == p[n - 1:]
+    if not ok.any():
+        return empty
+    mask = pa.array(ok)
+    parts = [flat.slice(j, L - n + 1).filter(mask) for j in range(n)]
+    gram = pc.binary_join_element_wise(*parts, " ")
+    if hash_grams:
+        gram = pa.array(hash64(gram).view(np.int64))
+    keys = batch[key_col].take(pa.array(p[: L - n + 1][ok]))
+    df = pd.DataFrame({key_col: keys.to_pandas(), "gram": gram.to_pandas()}).drop_duplicates()
+    nn = df.groupby(key_col)["gram"].transform("size").to_numpy(dtype=np.int64)
+    return pa.table(
+        {key_col: pa.array(df[key_col].to_numpy(), type=key_type),
+         "gram": pa.array(df["gram"].to_numpy(), type=gram_type),
+         "n": pa.array(nn)}
+    )
+
+
+def contaminated_docs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    key_col: str,
+    bench_texts: list,
+    n: int = 3,
+) -> pa.Table:
+    """Test-set DECONTAMINATION check: which corpus docs share a word-n-gram
+    with any benchmark text — the standard pre-training hygiene pass (flag,
+    then drop or audit, training docs that contain evaluation data).
+
+    Shape (scales): the benchmark side is SMALL by definition (an eval set),
+    so its distinct gram-hash set is computed driver-side with the same
+    vectorized extraction and broadcast ONCE via ``ray.put``; the corpus
+    streams through one map_batches that counts each doc's distinct-gram
+    hits against the set — no shuffle at all, corpus text never moves.
+    Output: (key, n_hits) for hit docs, n_hits = #distinct shared grams
+    (uint64 gram hashes; a 2^-64-scale collision could inflate a count).
+
+    Returns a driver Table (hit-docs-sized — contamination is rare by
+    construction; at wholesale contamination sizes, wrap the same map in a
+    streaming filter instead of collecting)."""
+    from rayval.util import collect_tables
+
+    key_type = ds.schema().base_schema.field(key_col).type
+    bench_tbl = pa.table({"k": pa.array(np.arange(len(bench_texts)), type=pa.int64()),
+                          "t": pa.array(list(bench_texts), type=pa.string())})
+    bench_grams = doc_distinct_grams(bench_tbl, "t", "k", n, pa.int64(), pa.int64(), True)
+    gram_set = pa.compute.unique(bench_grams["gram"].combine_chunks())
+    set_ref = ray.put(gram_set)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        g = doc_distinct_grams(batch, text_col, key_col, n, key_type, pa.int64(), True)
+        if g.num_rows == 0:
+            return pa.table({key_col: pa.array([], key_type), "n_hits": pa.array([], pa.int64())})
+        hit = g.filter(pc.fill_null(pc.is_in(g["gram"], value_set=ray.get(set_ref)), False))
+        if hit.num_rows == 0:
+            return pa.table({key_col: pa.array([], key_type), "n_hits": pa.array([], pa.int64())})
+        agg = pa.table({key_col: hit[key_col]}).group_by(key_col).aggregate([([], "count_all")])
+        return pa.table({key_col: agg[key_col],
+                         "n_hits": pc.cast(agg["count_all"], pa.int64())})
+
+    out = ds.map_batches(hits, batch_format="pyarrow", zero_copy_batch=True)
+    schema = pa.schema([(key_col, key_type), ("n_hits", pa.int64())])
+    return collect_tables(out, schema).sort_by(key_col)

@@ -777,3 +777,27 @@ def test_clean_corpus_semijoin_fallback_majority_dup(ray_session):
     assert sorted(r["doc_id"] for r in rep_s["_kept"].take_all()) == sorted(
         r["doc_id"] for r in rep_b["_kept"].take_all()
     )
+
+
+def test_contaminated_docs_planted(ray_session):
+    """Planted contamination: docs sharing a 3-gram with the benchmark are
+    flagged with the exact distinct-shared-gram count; clean docs are not."""
+    import ray.data
+
+    from rayval.stages.docdedup import contaminated_docs
+
+    bench = ["the secret benchmark answer is forty two"]
+    docs = {
+        0: "nothing to see here just ordinary corpus text",
+        1: "he whispered the secret benchmark answer aloud",      # shares 2 grams
+        2: "answer is forty two said the machine",                # shares 2 grams
+        3: "forty two is answer the reversed order no gram",      # reordered: 0 grams
+        4: "the secret benchmark answer is forty two verbatim",   # 5 grams (all of bench's)
+    }
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(docs), type=pa.int64()),
+                  "text": pa.array(list(docs.values()))})
+    )
+    out = contaminated_docs(ds, "text", "doc_id", bench, n=3)
+    got = {r["doc_id"]: r["n_hits"] for r in out.to_pylist()}
+    assert got == {1: 2, 2: 2, 4: 5}
