@@ -1386,6 +1386,25 @@ def q_grouped_distinct(sf_dir: str) -> pa.Table:
     return t.sort_by("o_orderpriority")
 
 
+def q_pack_sequences(sf_dir: str) -> pa.Table:
+    """Sequence packing (stages/packing.py): documents greedily packed into
+    4000-char training sequences per language, in doc_id order — one row per
+    doc with its (seq_id, seq_pos, seq_size, overflow) assignment.
+    Rows-only: greedy-reset packing is stateful-sequential, not
+    SQL-expressible (pytest proves it against a pure-Python reference)."""
+    from rayval.stages.packing import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+    out = pack_sequences(ds, "lang", "doc_id", "n_chars", budget=4000)
+    t = _collect(
+        out,
+        pa.schema([("lang", pa.string()), ("doc_id", pa.int64()), ("size", pa.int64()),
+                   ("seq_id", pa.int64()), ("seq_pos", pa.int64()),
+                   ("seq_size", pa.int64()), ("overflow", pa.bool_())]),
+    )
+    return t.sort_by([("lang", "ascending"), ("doc_id", "ascending")])
+
+
 def q_grouped_quantiles(sf_dir: str) -> pa.Table:
     """Approximate per-group quantiles from mergeable KLL partials
     (stages/stats.grouped_quantiles_sketch) — the 10^12-row grouped
@@ -1938,6 +1957,7 @@ QUERIES = {
     "sketch_stats": (q_sketch_stats, None),
     "grouped_quantiles": (q_grouped_quantiles, None),
     "grouped_distinct": (q_grouped_distinct, None),
+    "pack_sequences": (q_pack_sequences, None),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),

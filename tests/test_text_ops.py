@@ -801,3 +801,56 @@ def test_contaminated_docs_planted(ray_session):
     out = contaminated_docs(ds, "text", "doc_id", bench, n=3)
     got = {r["doc_id"]: r["n_hits"] for r in out.to_pylist()}
     assert got == {1: 2, 2: 2, 4: 5}
+
+
+def test_pack_sequences_greedy_reset(ray_session):
+    """Packing vs a pure-Python greedy reference: budget respected, singleton
+    overflow flagged, deterministic across block splits, no doc lost."""
+    import numpy as np
+    import ray.data
+
+    from rayval.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(9)
+    n = 120
+    g = rng.integers(0, 3, n)
+    k = np.arange(n)
+    sz = rng.integers(1, 900, n)
+    sz[5] = 5000  # singleton overflow
+    sz[17] = 0    # zero-size doc packs but adds nothing
+    t_blocks = [
+        pa.table({"g": pa.array(g[i:i+17], pa.int64()), "k": pa.array(k[i:i+17], pa.int64()),
+                  "sz": pa.array(sz[i:i+17], pa.int64())})
+        for i in range(0, n, 17)
+    ]
+    out = pack_sequences(ray.data.from_arrow(t_blocks), "g", "k", "sz", budget=2000).take_all()
+    assert len(out) == n
+    by_row = {r["k"]: r for r in out}
+    # python reference per group
+    for grp in (0, 1, 2):
+        keys = sorted(kk for kk, gg in zip(k, g) if gg == grp)
+        exp_seq, exp_pos, s, acc, pos = {}, {}, 0, 0, 0
+        for kk in keys:
+            size = int(sz[kk])
+            if pos > 0 and acc + size > 2000:
+                s, acc, pos = s + 1, 0, 0
+            exp_seq[kk], exp_pos[kk] = s, pos
+            acc += size
+            pos += 1
+        for kk in keys:
+            r = by_row[kk]
+            assert (r["seq_id"], r["seq_pos"]) == (exp_seq[kk], exp_pos[kk]), (grp, kk, r)
+            assert r["overflow"] == (r["seq_size"] > 2000)
+    # every sequence's seq_size is the sum of its members' sizes
+    agg = {}
+    for r in out:
+        agg.setdefault((r["g"], r["seq_id"]), [0, r["seq_size"]])[0] += r["size"]
+    for (gg, sid), (tot, claimed) in agg.items():
+        assert tot == claimed, (gg, sid)
+    # determinism across a different block split
+    out2 = pack_sequences(
+        ray.data.from_arrow(pa.table({"g": pa.array(g, pa.int64()), "k": pa.array(k, pa.int64()),
+                                      "sz": pa.array(sz, pa.int64())})),
+        "g", "k", "sz", budget=2000,
+    ).take_all()
+    assert sorted(map(str, out)) == sorted(map(str, out2))
