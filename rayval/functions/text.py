@@ -260,3 +260,54 @@ def batch_simhash64(texts) -> np.ndarray:
     )
     out[nonempty] = vals.view(np.int64)
     return out
+
+
+def repetition_scores(batch_texts: "pa.Array", n: int = 2):
+    """Gopher-style repetition quality signal, fully vectorized over one
+    Arrow batch: per doc, the share of word-``n``-grams taken by the single
+    most frequent one (boilerplate / keyword-stuffing detector).
+
+    Returns (n_tokens, n_grams, top_gram_n) int64 arrays aligned to the
+    batch; derive the fixed-point ratio as ``1e6 * top // n_grams`` in the
+    SAME op order as the SQL oracle.  Tokenization matches the n-gram ops
+    byte-for-byte (ascii_lower + [a-z0-9]+ runs).  Grams are counted as
+    uint64 hashes (a 2^-64-scale collision could merge two grams' counts).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayval.state.hashing import hash64
+
+    arr = batch_texts.combine_chunks() if isinstance(batch_texts, pa.ChunkedArray) else batch_texts
+    m = len(arr)
+    toks = pc.split_pattern_regex(pc.ascii_lower(pc.fill_null(arr, "")), pattern="[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    p = parents.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tokens = np.bincount(p, minlength=m).astype(np.int64) if len(p) else np.zeros(m, np.int64)
+    n_grams = np.zeros(m, dtype=np.int64)
+    top = np.zeros(m, dtype=np.int64)
+    L = len(p)
+    if L >= n:
+        ok = p[: L - n + 1] == p[n - 1:]
+        if ok.any():
+            parts = [flat.slice(j, L - n + 1).filter(pa.array(ok)) for j in range(n)]
+            gram_h = hash64(pc.binary_join_element_wise(*parts, " "))
+            par = p[: L - n + 1][ok]
+            n_grams = np.bincount(par, minlength=m).astype(np.int64)
+            # count occurrences of each (doc, gram): sort by (doc, hash),
+            # run-length the equal pairs, then per-doc max via reduceat-free
+            # bincount-max (np.maximum.at over run parents)
+            order = np.lexsort((gram_h, par))
+            ps, hs = par[order], gram_h[order]
+            new = np.empty(len(ps), dtype=bool)
+            new[0] = True
+            new[1:] = (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])
+            starts = np.flatnonzero(new)
+            run_counts = np.diff(np.append(starts, len(ps)))
+            np.maximum.at(top, ps[starts], run_counts)
+    return n_tokens, n_grams, top

@@ -1574,6 +1574,57 @@ ORDER BY a, b
 """
 
 
+def q_repetition_scores(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition quality filter signal: per doc, the share of
+    word-2-grams taken by the single most frequent one (boilerplate /
+    keyword-stuffing detector), exact int64 fixed-point."""
+    from rayval.functions.text import repetition_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_tok, n_gr, top = repetition_scores(batch["text"], n=2)
+        rep = np.zeros(len(n_gr), dtype=np.int64)
+        nz = n_gr > 0
+        rep[nz] = (1_000_000 * top[nz]) // n_gr[nz]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n_tok),
+             "n_grams": pa.array(n_gr), "top_gram_n": pa.array(top),
+             "rep_e6": pa.array(rep)}
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    t = _collect(
+        out,
+        pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("n_grams", pa.int64()),
+                   ("top_gram_n", pa.int64()), ("rep_e6", pa.int64())]),
+    )
+    return t.sort_by("doc_id")
+
+
+SQL_REPETITION_SCORES = """
+WITH d AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[a-zA-Z0-9]+'), x -> lower(x)) AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id, gram
+  FROM d, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS u(gram)
+),
+counts AS (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY 1, 2),
+per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, CAST(max(c) AS BIGINT) AS top
+        FROM counts GROUP BY 1)
+SELECT d.doc_id,
+       CAST(len(d.w) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.top, 0) AS top_gram_n,
+       CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0
+            ELSE CAST((1000000 * p.top) // p.n_grams AS BIGINT) END AS rep_e6
+FROM d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_decontaminate(sf_dir: str) -> pa.Table:
     """Test-set decontamination: corpus docs sharing a word-3-gram with the
     'benchmark' (the texts of doc_id < 5, standing in for an eval set) —
@@ -1962,6 +2013,7 @@ QUERIES = {
     "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     # reference semantics (XSD constraint engine)
     "lineitem_violations": (q_lineitem_violations, SQL_LINEITEM_VIOLATIONS),
     "part_violations": (q_part_violations, SQL_PART_VIOLATIONS),

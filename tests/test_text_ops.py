@@ -854,3 +854,23 @@ def test_pack_sequences_greedy_reset(ray_session):
         "g", "k", "sz", budget=2000,
     ).take_all()
     assert sorted(map(str, out)) == sorted(map(str, out2))
+
+
+def test_repetition_scores_reference():
+    """Vectorized repetition signal vs a pure-Python bigram counter,
+    including empty/null/single-token docs."""
+    import collections
+    import re
+
+    from rayval.functions.text import repetition_scores
+
+    texts = ["a b a b a b", "x y z w", "", None, "q q q q q",
+             "Spam SPAM spam ham spam spam", "one"]
+    n_tok, n_gr, top = repetition_scores(pa.array(texts, pa.string()), 2)
+    for i, t in enumerate(texts):
+        toks = re.findall(r"[a-z0-9]+", (t or "").lower())
+        grams = [" ".join(toks[j:j+2]) for j in range(len(toks) - 1)]
+        c = collections.Counter(grams)
+        assert n_tok[i] == len(toks), (i, t)
+        assert n_gr[i] == len(grams), (i, t)
+        assert top[i] == (max(c.values()) if c else 0), (i, t)
