@@ -83,6 +83,8 @@ def main() -> int:
             diff = m[m._merge != "both"]
             print(diff.head(6).to_string())
     ray.shutdown()
+    n_run = len(only) if only else len(qs)
+    print(f"SWEEP-COMPLETE: {n_run} queries, {failures} failures")
     return failures
 
 
