@@ -262,24 +262,18 @@ def batch_simhash64(texts) -> np.ndarray:
     return out
 
 
-def repetition_scores(batch_texts: "pa.Array", n: int = 2):
-    """Gopher-style repetition quality signal, fully vectorized over one
-    Arrow batch: per doc, the share of word-``n``-grams taken by the single
-    most frequent one (boilerplate / keyword-stuffing detector).
-
-    Returns (n_tokens, n_grams, top_gram_n) int64 arrays aligned to the
-    batch; derive the fixed-point ratio as ``1e6 * top // n_grams`` in the
-    SAME op order as the SQL oracle.  Tokenization matches the n-gram ops
-    byte-for-byte (ascii_lower + [a-z0-9]+ runs).  Grams are counted as
-    uint64 hashes (a 2^-64-scale collision could merge two grams' counts).
-    """
+def token_stream(batch_texts: "pa.Array"):
+    """THE shared tokenization primitive behind every word-n-gram operator
+    (exact Jaccard, decontamination, repetition): ascii_lower + [a-z0-9]+
+    runs, nulls as empty docs — byte-for-byte the DuckDB oracles'
+    ``list_transform(regexp_extract_all(text, '[a-zA-Z0-9]+'), lower)``.
+    Returns (flat tokens pa.Array, parent doc indices int64 np.ndarray).
+    One implementation so a regex/filter tweak can't silently break one
+    caller's oracle parity while the others still match."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from rayval.state.hashing import hash64
-
     arr = batch_texts.combine_chunks() if isinstance(batch_texts, pa.ChunkedArray) else batch_texts
-    m = len(arr)
     toks = pc.split_pattern_regex(pc.ascii_lower(pc.fill_null(arr, "")), pattern="[^a-z0-9]+")
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks)
@@ -288,26 +282,61 @@ def repetition_scores(batch_texts: "pa.Array", n: int = 2):
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
     p = parents.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, p
+
+
+def gram_windows(flat, p: np.ndarray, n: int):
+    """Word-n-gram stream over a token stream: (space-joined grams pa.Array,
+    gram parent ids int64).  Token windows [i, i+n) lie within one doc iff
+    the parents agree at the ends (parents are nondecreasing, so the middle
+    agrees for free).  Empty stream -> (None, empty)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    L = len(p)
+    if L < n:
+        return None, np.empty(0, dtype=np.int64)
+    ok = p[: L - n + 1] == p[n - 1:]
+    if not ok.any():
+        return None, np.empty(0, dtype=np.int64)
+    mask = pa.array(ok)
+    parts = [flat.slice(j, L - n + 1).filter(mask) for j in range(n)]
+    return pc.binary_join_element_wise(*parts, " "), p[: L - n + 1][ok]
+
+
+def repetition_scores(batch_texts: "pa.Array", n: int = 2):
+    """Gopher-style repetition quality signal, fully vectorized over one
+    Arrow batch: per doc, the share of word-``n``-grams taken by the single
+    most frequent one (boilerplate / keyword-stuffing detector).
+
+    Returns (n_tokens, n_grams, top_gram_n) int64 arrays aligned to the
+    batch; derive the fixed-point ratio as ``1e6 * top // n_grams`` in the
+    SAME op order as the SQL oracle.  Tokenization is :func:`token_stream`
+    (shared with the Jaccard/decontamination ops).  Grams are counted as
+    uint64 hashes (a 2^-64-scale collision could merge two grams' counts).
+    """
+    from rayval.state.hashing import hash64
+
+    m = len(batch_texts)
+    flat, p = token_stream(batch_texts)
     n_tokens = np.bincount(p, minlength=m).astype(np.int64) if len(p) else np.zeros(m, np.int64)
     n_grams = np.zeros(m, dtype=np.int64)
     top = np.zeros(m, dtype=np.int64)
-    L = len(p)
-    if L >= n:
-        ok = p[: L - n + 1] == p[n - 1:]
-        if ok.any():
-            parts = [flat.slice(j, L - n + 1).filter(pa.array(ok)) for j in range(n)]
-            gram_h = hash64(pc.binary_join_element_wise(*parts, " "))
-            par = p[: L - n + 1][ok]
-            n_grams = np.bincount(par, minlength=m).astype(np.int64)
-            # count occurrences of each (doc, gram): sort by (doc, hash),
-            # run-length the equal pairs, then per-doc max via reduceat-free
-            # bincount-max (np.maximum.at over run parents)
-            order = np.lexsort((gram_h, par))
-            ps, hs = par[order], gram_h[order]
-            new = np.empty(len(ps), dtype=bool)
-            new[0] = True
-            new[1:] = (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])
-            starts = np.flatnonzero(new)
-            run_counts = np.diff(np.append(starts, len(ps)))
-            np.maximum.at(top, ps[starts], run_counts)
+    grams, par = gram_windows(flat, p, n)
+    if grams is not None:
+        gram_h = hash64(grams)
+        n_grams = np.bincount(par, minlength=m).astype(np.int64)
+        # count occurrences of each (doc, gram): sort by (doc, hash),
+        # run-length the equal pairs, then per-doc max over the runs with
+        # ONE reduceat (runs are already grouped by doc after the lexsort)
+        order = np.lexsort((gram_h, par))
+        ps, hs = par[order], gram_h[order]
+        new = np.empty(len(ps), dtype=bool)
+        new[0] = True
+        new[1:] = (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])
+        starts = np.flatnonzero(new)
+        run_counts = np.diff(np.append(starts, len(ps)))
+        run_docs = ps[starts]
+        doc_starts = np.flatnonzero(np.r_[True, run_docs[1:] != run_docs[:-1]])
+        top[run_docs[doc_starts]] = np.maximum.reduceat(run_counts, doc_starts)
     return n_tokens, n_grams, top

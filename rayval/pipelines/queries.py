@@ -1615,7 +1615,7 @@ counts AS (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY 1, 2),
 per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, CAST(max(c) AS BIGINT) AS top
         FROM counts GROUP BY 1)
 SELECT d.doc_id,
-       CAST(len(d.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(d.w), 0) AS BIGINT) AS n_tokens,
        COALESCE(p.n_grams, 0) AS n_grams,
        COALESCE(p.top, 0) AS top_gram_n,
        CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0

@@ -210,7 +210,9 @@ def duplicate_violations(
     n = dup["n"].to_numpy(zero_copy_only=False)
     dup_keys = dup["phash"].to_numpy(zero_copy_only=False)[n > 1]
     n_hot = int((n >= hot_threshold).sum())
-    dup_ref = ray.put(dup_keys)  # broadcast ONCE; tasks read from object store
+    # broadcast the ARROW set ONCE; per-batch pa.array(keys) would pay an
+    # O(|dup set|) conversion in every map task
+    dup_ref = ray.put(pa.array(dup_keys, type=pa.int64()))
 
     def flag(batch: pa.Table) -> pa.Table:
         keys = ray.get(dup_ref)
@@ -219,7 +221,7 @@ def duplicate_violations(
             t = t.filter(t["decodable"])
         # Arrow is_in: null phash -> null -> filtered out (never a member);
         # no float64 widening of the block
-        member = pc.fill_null(pc.is_in(t["phash"], value_set=pa.array(keys, type=pa.int64())), False)
+        member = pc.fill_null(pc.is_in(t["phash"], value_set=keys), False)
         t = t.filter(member)
         return pa.table(
             {

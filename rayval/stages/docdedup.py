@@ -625,34 +625,22 @@ def doc_distinct_grams(
 ) -> pa.Table:
     """Per-doc DISTINCT word-n-grams of one batch, fully vectorized —
     (key, gram, n_doc_grams) rows; the extraction primitive shared by the
-    exact-Jaccard join and the decontamination check (identical tokenization
-    to the DuckDB oracles: ascii_lower + [a-z0-9]+ runs, space-joined)."""
-    toks = pc.split_pattern_regex(pc.ascii_lower(batch[text_col]), pattern="[^a-z0-9]+")
-    flat = pc.list_flatten(toks)
-    parents = pc.list_parent_indices(toks)
-    keep = pc.not_equal(flat, "")
-    flat = flat.filter(keep)
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    p = parents.filter(keep).to_numpy(zero_copy_only=False)
+    exact-Jaccard join and the decontamination check, built on the ONE
+    tokenizer every word-n-gram op uses (functions/text.token_stream —
+    identical to the DuckDB oracles)."""
+    from rayval.functions.text import gram_windows, token_stream
+
     empty = pa.table(
         {key_col: pa.array([], key_type), "gram": pa.array([], gram_type),
          "n": pa.array([], pa.int64())}
     )
-    L = len(p)
-    if L < n:
+    flat, p = token_stream(batch[text_col])
+    gram, par = gram_windows(flat, p, n)
+    if gram is None:
         return empty
-    # token windows [i, i+n) lie within one doc iff parents agree at the
-    # ends (parents are nondecreasing, so the middle agrees for free)
-    ok = p[: L - n + 1] == p[n - 1:]
-    if not ok.any():
-        return empty
-    mask = pa.array(ok)
-    parts = [flat.slice(j, L - n + 1).filter(mask) for j in range(n)]
-    gram = pc.binary_join_element_wise(*parts, " ")
     if hash_grams:
         gram = pa.array(hash64(gram).view(np.int64))
-    keys = batch[key_col].take(pa.array(p[: L - n + 1][ok]))
+    keys = batch[key_col].take(pa.array(par))
     df = pd.DataFrame({key_col: keys.to_pandas(), "gram": gram.to_pandas()}).drop_duplicates()
     nn = df.groupby(key_col)["gram"].transform("size").to_numpy(dtype=np.int64)
     return pa.table(

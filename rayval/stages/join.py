@@ -83,7 +83,9 @@ def bucket_join(
     r_schema = dict(zip(right.schema().names, right.schema().types))
     types = {**r_schema, **l_schema}
     hot = np.asarray(hot_keys if hot_keys is not None else [])
-    hot_ref = ray.put(hot)
+    # broadcast as an ARROW array once (per-batch pa.array(hot) conversions
+    # would pay O(|hot|) in every map task)
+    hot_ref = ray.put(pa.array(hot) if hot.size else None)
 
     def tag(side: str):
         def f(batch: pa.Table) -> pa.Table:
@@ -99,12 +101,12 @@ def bucket_join(
             bucket = h.astype(np.int64)
             hk = ray.get(hot_ref)
             salt = np.zeros(n, dtype=np.int64)
-            if hk.size:
+            if hk is not None:
                 # Arrow is_in (null -> not hot): np.isin over to_numpy would
                 # widen a null-bearing int block to float64 and miss hot keys
                 # past 2^53
                 is_hot = pc.fill_null(
-                    pc.is_in(batch[key], value_set=pa.array(hk)), False
+                    pc.is_in(batch[key], value_set=hk), False
                 ).to_numpy(zero_copy_only=False)
                 if side == "l":
                     # spread hot probe rows across sub-buckets

@@ -38,7 +38,11 @@ def pack_sequences(
     doc's position inside its sequence; ``seq_size`` the packed sequence's
     total size (every member row carries it — the fill-factor audit column).
     Null sizes are treated as 0 (a doc with unknown size packs but adds
-    nothing); null group keys form their own group."""
+    nothing); NEGATIVE sizes are corrupt metadata and clamp to 0 too — a
+    negative value would make the cumsum non-monotone and np.searchsorted
+    silently wrong, so the clamp keeps the greedy semantics well-defined
+    (same failures-are-data stance as the decode stage); null group keys
+    form their own group."""
     g_type = ds.schema().base_schema.field(group_col).type
     k_type = ds.schema().base_schema.field(key_col).type
     schema = pa.schema(
@@ -53,6 +57,7 @@ def pack_sequences(
             return schema.empty_table()
         g = g.sort_by([(key_col, "ascending")])
         sizes = pc.fill_null(pc.cast(g[size_col], pa.int64()), 0).to_numpy(zero_copy_only=False)
+        sizes = np.maximum(sizes, 0)  # clamp corrupt negatives (see docstring)
         cum = np.concatenate([[0], np.cumsum(sizes)])
         seq_id = np.empty(n, dtype=np.int64)
         seq_pos = np.empty(n, dtype=np.int64)

@@ -20,10 +20,11 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
-from rayval.state.hashing import rehash
+from rayval.state.hashing import hash64, rehash
 
 
 def salted_group_counts(
@@ -40,28 +41,29 @@ def salted_group_counts(
     collect (small key spaces) or keep streaming (filter / write / join).
     """
     hot = np.asarray(hot_keys if hot_keys is not None else [], dtype=np.int64)
-    hot_ref = ray.put(hot)
+    # broadcast the ARROW set once — rebuilding pa.array(hot) per batch
+    # would pay an O(|hot|) conversion in every map task
+    hot_ref = ray.put(pa.array(hot, type=pa.int64()))
 
     def tag(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        from rayval.state.hashing import hash64
-
         n_rows = batch.num_rows
-        h = ray.get(hot_ref)
+        hot_set = ray.get(hot_ref)
         salt = np.zeros(n_rows, dtype=np.int64)
-        if h.size:
+        if len(hot_set):
             # Arrow is_in (null -> not hot) + null-safe hash64: np.isin over
             # to_numpy would widen a null-bearing int block to float64 and
             # miss hot keys past 2^53 (counts stay exact either way — only
             # the salting would degrade)
             is_hot = pc.fill_null(
-                pc.is_in(batch[key], value_set=pa.array(h)), False
+                pc.is_in(batch[key], value_set=hot_set), False
             ).to_numpy(zero_copy_only=False)
             if is_hot.any():
-                # per-row salt from a row hash so each hot key spreads evenly
-                hh = hash64(batch[key])
-                salt[is_hot] = (rehash(hh[is_hot], 0x5A17) % np.uint64(n_salts)).astype(np.int64)
+                # per-row salt from a row hash (hot rows ONLY — hashing the
+                # whole column would waste work on every non-hot row) so each
+                # hot key spreads evenly
+                mask = pa.array(is_hot)
+                hh = hash64(batch[key].filter(mask))
+                salt[is_hot] = (rehash(hh, 0x5A17) % np.uint64(n_salts)).astype(np.int64)
                 # vary by position too (same key -> different reducers)
                 salt[is_hot] = (salt[is_hot] + np.arange(int(is_hot.sum()))) % n_salts
         return pa.table(

@@ -874,3 +874,21 @@ def test_repetition_scores_reference():
         assert n_tok[i] == len(toks), (i, t)
         assert n_gr[i] == len(grams), (i, t)
         assert top[i] == (max(c.values()) if c else 0), (i, t)
+
+
+def test_pack_sequences_negative_sizes_clamped(ray_session):
+    """Corrupt negative sizes clamp to 0 (a negative would break the cumsum
+    monotonicity searchsorted relies on) — packing equals the all-zeros-for-
+    negatives greedy reference."""
+    import ray.data
+
+    from rayval.stages.packing import pack_sequences
+
+    t = pa.table({"g": pa.array([1] * 4, pa.int64()), "k": pa.array([0, 1, 2, 3], pa.int64()),
+                  "sz": pa.array([3, 7, -3, -10], pa.int64())})
+    out = pack_sequences(ray.data.from_arrow(t), "g", "k", "sz", budget=4).take_all()
+    got = {r["k"]: (r["seq_id"], r["size"]) for r in out}
+    # clamped sizes: [3, 7, 0, 0] -> greedy: [0], [1], [2, 3] — the zeros
+    # cannot join seq 1 (its size 7 already exceeds the budget, and a doc
+    # joins only if the resulting seq_size stays <= budget)
+    assert got == {0: (0, 3), 1: (1, 7), 2: (2, 0), 3: (2, 0)}
