@@ -340,3 +340,26 @@ def repetition_scores(batch_texts: "pa.Array", n: int = 2):
         doc_starts = np.flatnonzero(np.r_[True, run_docs[1:] != run_docs[:-1]])
         top[run_docs[doc_starts]] = np.maximum.reduceat(run_counts, doc_starts)
     return n_tokens, n_grams, top
+
+
+# PII detection patterns — deliberately ASCII/RE2-compatible (no lookahead,
+# no unicode classes) so the DuckDB oracle runs the IDENTICAL source string.
+# Conservative by design: a corpus-hygiene pass wants high recall on the
+# obvious shapes (emails, international/US phone-ish digit runs, 16-digit
+# card-ish runs); precision tuning belongs to a downstream reviewer.
+PII_EMAIL_SRC = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE_SRC = r"\+?[0-9][0-9 ().-]{7,}[0-9]"
+PII_EMAIL_RE = re.compile(PII_EMAIL_SRC)
+PII_PHONE_RE = re.compile(PII_PHONE_SRC)
+
+
+def pii_counts(texts: pd.Series) -> pd.DataFrame:
+    """(n_emails, n_phones) per row — vectorized str.count with the pinned
+    RE2-compatible patterns (oracle parity like BPE_RE)."""
+    t = texts.fillna("").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "n_emails": t.str.count(PII_EMAIL_RE).to_numpy(dtype=np.int64),
+            "n_phones": t.str.count(PII_PHONE_RE).to_numpy(dtype=np.int64),
+        }
+    )

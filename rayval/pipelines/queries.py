@@ -1926,14 +1926,92 @@ ORDER BY read_case, constraint_id
 _META_IMAGES_DIR = "/tmp/rayval_q_images/data"
 
 
+_PII_FIXTURE = "/tmp/rayval_q_pii/docs_v1.parquet"
+
+
+def _ensure_pii_fixture() -> str:
+    """Deterministic docs-with-planted-PII parquet (emails / phone-ish digit
+    runs woven into word-soup text; idempotent via atomic rename) — the
+    documents table has no PII by construction, so the PII op gets its own
+    oracle fixture, exactly like the audio/images ones."""
+    import os as _os
+
+    import pyarrow.parquet as pq_mod
+
+    if _os.path.exists(_PII_FIXTURE):
+        return _PII_FIXTURE
+    _os.makedirs(_os.path.dirname(_PII_FIXTURE), exist_ok=True)
+    rng = np.random.default_rng(77)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(240):
+        body = " ".join(rng.choice(words, size=12))
+        if i % 4 == 1:
+            body += f" reach me at user{i}@example{i % 7}.com"
+        if i % 5 == 2:
+            body += f" or call +{1 + i % 9} ({200 + i % 700}) {100 + i % 900}-{1000 + i % 9000}"
+        if i % 12 == 3:
+            body += f" backup{i}@mail.org too"
+        rows.append(body)
+    tmp = _PII_FIXTURE + ".tmp"
+    pq_mod.write_table(
+        pa.table({"doc_id": pa.array(np.arange(240), type=pa.int64()),
+                  "text": pa.array(rows, type=pa.string())}),
+        tmp,
+    )
+    _os.replace(tmp, _PII_FIXTURE)
+    return _PII_FIXTURE
+
+
 def ensure_oracle_fixtures() -> None:
     """Materialize the deterministic /tmp fixtures some oracle SQL reads
-    (images parquet for ``images_meta_violations``).  Idempotent (generation
-    marker); called from ``__ray_entry__.oracle_sql`` so the files exist no
-    matter which side the driver runs first."""
+    (images parquet for ``images_meta_violations``, PII docs for
+    ``pii_flags``).  Idempotent (generation markers); called from
+    ``__ray_entry__.oracle_sql`` so the files exist no matter which side the
+    driver runs first."""
     from rayval.sources.images import generate_images
 
     generate_images(_META_IMAGES_DIR, n=300, fragments=4, seed=42)
+    _ensure_pii_fixture()
+
+
+def q_pii_flags(sf_dir: str) -> pa.Table:
+    """PII flagging (corpus hygiene): per-doc email / phone-pattern counts
+    over the planted-PII fixture, RE2-pinned patterns so the DuckDB oracle
+    runs the identical regex source (the BPE_RE device)."""
+    from rayval.functions.text import pii_counts
+
+    path = _ensure_pii_fixture()
+    ds = ray.data.read_parquet(path)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        c = pii_counts(batch["text"])
+        return pd.DataFrame({"doc_id": batch["doc_id"], "n_emails": c["n_emails"],
+                             "n_phones": c["n_phones"]})
+
+    out = ds.map_batches(f, batch_format="pandas")
+    t = _collect(
+        out.filter(expr="n_emails > 0 or n_phones > 0"),
+        pa.schema([("doc_id", pa.int64()), ("n_emails", pa.int64()), ("n_phones", pa.int64())]),
+    )
+    return t.sort_by("doc_id")
+
+
+def _sql_pii_flags() -> str:
+    from rayval.functions.text import PII_EMAIL_SRC, PII_PHONE_SRC
+
+    e = PII_EMAIL_SRC.replace("'", "''")
+    p = PII_PHONE_SRC.replace("'", "''")
+    return f"""
+WITH d AS (SELECT * FROM read_parquet('{_PII_FIXTURE}'))
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phones
+FROM d
+WHERE len(regexp_extract_all(text, '{e}')) > 0
+   OR len(regexp_extract_all(text, '{p}')) > 0
+ORDER BY doc_id
+"""
 
 
 def q_images_meta_violations(sf_dir: str) -> pa.Table:
@@ -2014,6 +2092,7 @@ QUERIES = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
+    "pii_flags": (q_pii_flags, _sql_pii_flags()),
     # reference semantics (XSD constraint engine)
     "lineitem_violations": (q_lineitem_violations, SQL_LINEITEM_VIOLATIONS),
     "part_violations": (q_part_violations, SQL_PART_VIOLATIONS),

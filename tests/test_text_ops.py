@@ -892,3 +892,18 @@ def test_pack_sequences_negative_sizes_clamped(ray_session):
     # cannot join seq 1 (its size 7 already exceeds the budget, and a doc
     # joins only if the resulting seq_size stays <= budget)
     assert got == {0: (0, 3), 1: (1, 7), 2: (2, 0), 3: (2, 0)}
+
+
+def test_pii_counts_patterns():
+    """Planted PII shapes hit; plain text and near-misses don't."""
+    from rayval.functions.text import pii_counts
+
+    c = pii_counts(pd.Series([
+        "write to alice.smith+tag@sub.example.co.uk today",
+        "not-an-email @ nowhere, and 123 is short",
+        "+44 20 7946 0958 and (555) 867-5309",
+        None,
+        "version 1.2.3.4 released",           # dots, no @/digit-run
+    ]))
+    assert c["n_emails"].tolist() == [1, 0, 0, 0, 0]
+    assert c["n_phones"].tolist() == [0, 0, 2, 0, 0]
