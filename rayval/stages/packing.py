@@ -31,6 +31,7 @@ def pack_sequences(
     key_col: str,
     size_col: str,
     budget: int,
+    n_shards: int = 0,
 ) -> "ray.data.Dataset":
     """One row per input doc: (group_col, key_col, size, seq_id, seq_pos,
     seq_size, overflow).  ``seq_id`` is the sequence's ordinal within its
@@ -42,7 +43,17 @@ def pack_sequences(
     negative value would make the cumsum non-monotone and np.searchsorted
     silently wrong, so the clamp keeps the greedy semantics well-defined
     (same failures-are-data stance as the decode stage); null group keys
-    form their own group."""
+    form their own group.
+
+    SCALE KNOB — ``n_shards``: one reducer holds one GROUP's (key, size)
+    metadata, so a low-cardinality ``group_col`` (a language column at 10^12
+    docs) concentrates terabytes on a few reducers.  Packing does not care
+    WHICH docs share a sequence, only that no sequence crosses a group — so
+    ``n_shards > 0`` splits every group into ``hash(key) % n_shards``
+    subgroups packed independently (reducer load / n_shards) and encodes
+    ``seq_id = shard * 2^32 + local_seq`` to keep ids unique per group.
+    Fill factor degrades only by the per-shard tail sequence (one partial
+    sequence per shard instead of one per group)."""
     g_type = ds.schema().base_schema.field(group_col).type
     k_type = ds.schema().base_schema.field(key_col).type
     schema = pa.schema(
@@ -55,6 +66,8 @@ def pack_sequences(
         n = g.num_rows
         if n == 0:
             return schema.empty_table()
+        shard = g["__shard"][0].as_py() if "__shard" in g.column_names else 0
+        seq_base = int(shard) << 32
         g = g.sort_by([(key_col, "ascending")])
         sizes = pc.fill_null(pc.cast(g[size_col], pa.int64()), 0).to_numpy(zero_copy_only=False)
         sizes = np.maximum(sizes, 0)  # clamp corrupt negatives (see docstring)
@@ -79,15 +92,23 @@ def pack_sequences(
                 group_col: g[group_col],
                 key_col: g[key_col],
                 "size": pa.array(sizes),
-                "seq_id": pa.array(seq_id),
+                "seq_id": pa.array(seq_id + seq_base),
                 "seq_pos": pa.array(seq_pos),
                 "seq_size": pa.array(seq_size),
                 "overflow": pa.array(overflow),
             }
         )
 
-    return (
-        ds.select_columns([group_col, key_col, size_col])
-        .groupby(group_col)
-        .map_groups(per_group, batch_format="pyarrow")
-    )
+    narrow = ds.select_columns([group_col, key_col, size_col])
+    if n_shards and n_shards > 1:
+        from rayval.state.hashing import hash64
+
+        def add_shard(b: pa.Table) -> pa.Table:
+            sh = (hash64(b[key_col]) % np.uint64(n_shards)).astype(np.int64)
+            return b.append_column("__shard", pa.array(sh))
+
+        narrow = narrow.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        out = narrow.groupby([group_col, "__shard"]).map_groups(per_group, batch_format="pyarrow")
+    else:
+        out = narrow.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
+    return out

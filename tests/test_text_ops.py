@@ -907,3 +907,36 @@ def test_pii_counts_patterns():
     ]))
     assert c["n_emails"].tolist() == [1, 0, 0, 0, 0]
     assert c["n_phones"].tolist() == [0, 0, 2, 0, 0]
+
+
+def test_pack_sequences_sharded(ray_session):
+    """n_shards splits each group into hash(key) subgroups packed
+    independently: same budget guarantees, unique seq_ids (shard-encoded),
+    no doc lost, deterministic."""
+    import numpy as np
+    import ray.data
+
+    from rayval.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(31)
+    n = 200
+    t = pa.table({"g": pa.array(rng.integers(0, 2, n), pa.int64()),
+                  "k": pa.array(np.arange(n), pa.int64()),
+                  "sz": pa.array(rng.integers(1, 500, n), pa.int64())})
+    ds = ray.data.from_arrow(t)
+    out = pack_sequences(ds, "g", "k", "sz", budget=1200, n_shards=4).take_all()
+    assert len(out) == n
+    # per (g, seq_id): size sums match and fit the budget unless singleton
+    agg = {}
+    for r in out:
+        a = agg.setdefault((r["g"], r["seq_id"]), [0, 0, r["seq_size"]])
+        a[0] += r["size"]; a[1] += 1
+    for (g, sid), (tot, cnt, claimed) in agg.items():
+        assert tot == claimed
+        assert claimed <= 1200 or cnt == 1
+    # deterministic
+    out2 = pack_sequences(ds, "g", "k", "sz", budget=1200, n_shards=4).take_all()
+    assert sorted(map(str, out)) == sorted(map(str, out2))
+    # shards genuinely split: more than one distinct shard prefix per group
+    shards = {r["seq_id"] >> 32 for r in out}
+    assert len(shards) > 1
