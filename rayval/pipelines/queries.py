@@ -1410,7 +1410,9 @@ def q_grouped_quantiles(sf_dir: str) -> pa.Table:
     (stages/stats.grouped_quantiles_sketch) — the 10^12-row grouped
     percentile shape: only sketch blobs shuffle, never rows.  Rows-only:
     estimates carry KLL rank error (pytest gates them against the exact
-    quantiles); output is deterministic (sorted-blob merges)."""
+    quantiles); deterministic for a fixed block structure (sorted-blob
+    merges), estimate values shift within the error envelope if the
+    cluster width changes the input block boundaries."""
     from rayval.stages.stats import grouped_quantiles_sketch
 
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])

@@ -197,7 +197,11 @@ def grouped_quantiles_sketch(
 
     Determinism: KLL compaction is merge-order-sensitive, so each group's
     partials are merged in sorted-blob order (same device as sketch_stats) —
-    identical input blocks give identical estimates.
+    identical input BLOCKS give identical estimates.  A different block
+    structure (another cluster width / target block size) yields different
+    — equally valid — estimates within the rank-error envelope, because the
+    per-batch partials themselves change; only grouped_distinct_sketch's
+    HLL is fully split-invariant (register max).
 
     Output: one row per group — (group_col, n, q_<pct> float64 per q).
     Estimates carry rank error (not value error); gate against the exact
