@@ -1955,7 +1955,9 @@ def _ensure_pii_fixture() -> str:
         if i % 12 == 3:
             body += f" backup{i}@mail.org too"
         rows.append(body)
-    tmp = _PII_FIXTURE + ".tmp"
+    # pid-unique tmp: a SHARED .tmp name would let two concurrent generators
+    # truncate each other mid-write and publish a torn file via the rename
+    tmp = f"{_PII_FIXTURE}.{_os.getpid()}.tmp"
     pq_mod.write_table(
         pa.table({"doc_id": pa.array(np.arange(240), type=pa.int64()),
                   "text": pa.array(rows, type=pa.string())}),

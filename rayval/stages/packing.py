@@ -86,6 +86,11 @@ def pack_sequences(
             seq_pos[i:j] = np.arange(j - i)
             seq_size[i:j] = cum[j] - cum[i]
             i, s = j, s + 1
+        if s >= (1 << 32):
+            raise ValueError(
+                f"pack_sequences: group shard emitted {s} sequences (>= 2^32); "
+                "seq_id = shard << 32 | local would collide — raise n_shards"
+            )
         overflow = seq_size > budget
         return pa.table(
             {

@@ -937,6 +937,8 @@ def test_pack_sequences_sharded(ray_session):
     # deterministic
     out2 = pack_sequences(ds, "g", "k", "sz", budget=1200, n_shards=4).take_all()
     assert sorted(map(str, out)) == sorted(map(str, out2))
-    # shards genuinely split: more than one distinct shard prefix per group
-    shards = {r["seq_id"] >> 32 for r in out}
-    assert len(shards) > 1
+    # shards genuinely split: more than one distinct shard prefix PER GROUP
+    per_group_shards = {}
+    for r in out:
+        per_group_shards.setdefault(r["g"], set()).add(r["seq_id"] >> 32)
+    assert all(len(s) > 1 for s in per_group_shards.values()), per_group_shards
