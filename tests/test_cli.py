@@ -101,3 +101,24 @@ def test_cli_check_annotated_out_roundtrip(tmp_path, ray_session, capsys):
     # consistent with the listing printed by the same run
     out = capsys.readouterr().out
     assert "b,v.range" in out and "b,s.pattern" in out
+
+
+def test_cli_validate_distributed_violations(tmp_path, ray_session, capsys):
+    """--distributed-violations wires through to RunConfig: per-task listing
+    parts on disk, same report shape."""
+    import glob
+
+    from rayval.__main__ import main
+    from rayval.sources.images import generate_images
+
+    data = generate_images(str(tmp_path / "imgs"), n=60, fragments=2, seed=3)
+    out = str(tmp_path / "out_dist")
+    rc = main([
+        "validate", "--images", data + "/images", "--out", out,
+        "--captions", data + "/captions.parquet", "--group-size", "2",
+        "--decode-concurrency", "2", "--distributed-violations",
+    ])
+    report = json.loads(capsys.readouterr().out)
+    assert rc == 1 and report["rows_scanned"] == 60
+    parts = glob.glob(out + "/violations/group-*/*.parquet")
+    assert parts and all(p.split("/")[-1].startswith("viol-") for p in parts)
