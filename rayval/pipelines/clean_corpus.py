@@ -25,7 +25,7 @@ hash-partitioned anti semi-join instead (path recorded in the report).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
