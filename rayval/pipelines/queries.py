@@ -978,6 +978,42 @@ LIMIT 10
 """
 
 
+def q_embedding_topk_multi(sf_dir: str) -> pa.Table:
+    """BATCHED retrieval: exact cosine top-10 for a 5-query matrix in ONE
+    pass (the training-pipeline shape — the query matrix broadcasts once and
+    every data batch answers all queries with one matmul; per-batch combiner
+    keeps k x num_batches x n_queries rows off the driver)."""
+    import pyarrow.parquet as pq_mod
+
+    from rayval.stages.similarity import brute_topk
+
+    qt = (
+        pq_mod.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+        .slice(0, 5)
+    )
+    q = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_topk(ds, q, k=10)
+    return pa.table(
+        {"query_id": out["query_id"], "vec_id": out["vec_id"]}
+    ).cast(pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64())])).sort_by(
+        [("query_id", "ascending"), ("vec_id", "ascending")]
+    )
+
+
+SQL_EMBEDDING_TOPK_MULTI = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+ranked AS (
+  SELECT q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) AS rn
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id FROM ranked WHERE rn <= 10 ORDER BY query_id, vec_id
+"""
+
+
 def q_embedding_neardups(sf_dir: str) -> pa.Table:
     """All pairs with cosine >= 0.35 (keys only)."""
     from rayval.stages.similarity import embedding_neardups
@@ -2092,6 +2128,7 @@ QUERIES = {
     "grouped_distinct": (q_grouped_distinct, None),
     "pack_sequences": (q_pack_sequences, None),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_topk_multi": (q_embedding_topk_multi, SQL_EMBEDDING_TOPK_MULTI),
     "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
