@@ -515,6 +515,7 @@ def ngram_jaccard_pairs(
     threshold_e6: int = 500_000,
     max_df: int = 64,
     hash_grams: bool = True,
+    pair_buckets: int = 64,
 ) -> pa.Table:
     """EXACT word-n-gram Jaccard near-dup pairs via a distributed
     inverted-index join — the SQL-oracled complement to MinHash (which
@@ -524,13 +525,18 @@ def ngram_jaccard_pairs(
     Shape (scales): tokenize + per-doc DISTINCT n-grams fully vectorized in
     map_batches (ascii_lower -> RE2 split -> shifted-slice joins; each doc
     lives in exactly one input batch, so per-batch dedup is global); explode
-    to (gram, key, n_doc_grams) rows; ``groupby(gram)`` emits co-occurring
-    pairs (a<b, na, nb) — grams with df<2 contribute nothing, grams with
-    df>``max_df`` are dropped (stop-phrase guard: a hot gram carries no
-    near-dup signal but costs O(df^2) pairs — the skew bound); a second
-    groupby counts each pair's intersection; jaccard = common/(na+nb-common)
-    in exact int64 fixed-point (floor at 1e-6, association-free).  The only
-    shuffles carry (gram, key, int) and (a, b, ints) — never text.
+    to (gram, key, n_doc_grams) rows bucketed by gram hash;
+    ``groupby(bucket)`` — ``pair_buckets`` groups, NOT one per distinct gram
+    (map_groups pays a per-group python call; millions of gram-groups cost
+    more in dispatch than in work) — emits co-occurring pairs (a<b, na, nb)
+    via ONE Arrow self-join per bucket; grams with df<2 contribute nothing,
+    grams with df>``max_df`` are dropped (stop-phrase guard: a hot gram
+    carries no near-dup signal but costs O(df^2) pairs — the skew bound); a
+    second groupby counts each pair's intersection; jaccard =
+    common/(na+nb-common) in exact int64 fixed-point (floor at 1e-6,
+    association-free).  The only shuffles carry (bucket, gram, key, int) and
+    (a, b, ints) — never text.  Size ``pair_buckets`` so one bucket's gram
+    rows + its <= max_df-bounded join output fit a reducer.
 
     ``hash_grams=True`` (the DEFAULT — the 10^12-doc path): grams become
     uint64 polynomial hashes (``state.hashing.hash64``) BEFORE the shuffle,
@@ -555,31 +561,43 @@ def ngram_jaccard_pairs(
     gram_type = pa.int64() if hash_grams else pa.string()
 
     def grams(batch: pa.Table) -> pa.Table:
-        return doc_distinct_grams(batch, text_col, key_col, n, key_type, gram_type, hash_grams)
+        t = doc_distinct_grams(batch, text_col, key_col, n, key_type, gram_type, hash_grams)
+        # bucket by gram hash: the pair stage groups by BUCKET, not by gram —
+        # Ray's map_groups pays a per-GROUP python call, and a corpus has
+        # millions of distinct grams (43 s at 5k docs when every gram was its
+        # own group) but only pair_buckets buckets; all of one gram's rows
+        # share its bucket, so per-bucket df counts are global df counts
+        hb = (hash64(t["gram"]) % np.uint64(pair_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(hb))
 
     pair_empty = pa.table(
         {"a": pa.array([], key_type), "b": pa.array([], key_type),
          "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64())}
     )
 
-    def pair_rows(group: pa.Table) -> pa.Table:
-        m = group.num_rows
-        if m < 2 or m > max_df:
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        # ONE vectorized pass for every gram in the bucket: df-filter via
+        # value_counts (df<2 contributes nothing, df>max_df is the
+        # stop-phrase/skew guard — dropped identically in the SQL oracle),
+        # then one Arrow self-join on gram emits all co-occurrence pairs;
+        # a<b both orders the pair and drops degenerate same-key self-pairs
+        # (the unique-key contract in the docstring)
+        if group.num_rows < 2:
             return pair_empty
-        k = group[key_col].to_pandas().to_numpy()
-        nv = group["n"].to_pandas().to_numpy(dtype=np.int64)
-        order = np.argsort(k, kind="stable")
-        k, nv = k[order], nv[order]
-        i, j = np.triu_indices(m, k=1)
-        # unique-key contract (see docstring): if a key still appears twice
-        # IN THIS GRAM GROUP, drop the degenerate a==b pairs rather than
-        # emit self-joins (cross-block repeats are the caller's to dedupe)
-        strict = k[i] != k[j]
-        i, j = i[strict], j[strict]
-        return pa.table(
-            {"a": pa.array(k[i], type=key_type), "b": pa.array(k[j], type=key_type),
-             "na": pa.array(nv[i]), "nb": pa.array(nv[j])}
+        g = group["gram"].combine_chunks() if isinstance(group["gram"], pa.ChunkedArray) else group["gram"]
+        vc = pc.value_counts(g)
+        cnt = vc.field("counts")
+        ok_vals = vc.field("values").filter(
+            pc.and_(pc.greater_equal(cnt, 2), pc.less_equal(cnt, max_df))
         )
+        if len(ok_vals) == 0:
+            return pair_empty
+        t = group.filter(pc.is_in(group["gram"], value_set=ok_vals))
+        left = pa.table({"a": t[key_col], "gram": t["gram"], "na": t["n"]})
+        right = pa.table({"b": t[key_col], "gram": t["gram"], "nb": t["n"]})
+        j = left.join(right, keys="gram", join_type="inner")
+        j = j.filter(pc.less(j["a"], j["b"]))
+        return j.select(["a", "b", "na", "nb"])
 
     def finalize(b: pa.Table) -> pa.Table:
         b = b.rename_columns(["a", "b", "na", "nb", "n_common"])
@@ -600,8 +618,8 @@ def ngram_jaccard_pairs(
 
     out = (
         ds.map_batches(grams, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gram")
-        .map_groups(pair_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
         # (na, nb) are functions of (a, b): grouping on all four keeps the
         # sizes without a join; count() is the intersection size
         .groupby(["a", "b", "na", "nb"])
