@@ -10,6 +10,13 @@ same partitioning assumption as the sessionization/LAG windows
 by per-key log length, and a pathological single-key log would be salted by
 time-range exactly like the windowed aggregates.
 
+Dispatch note: map_groups pays a per-KEY python call; per-key work here is
+a sort + searchsorted, so dispatch stays a minor fraction while keys carry
+real logs.  If a deployment's key space is huge with tiny per-key logs, the
+bucketed-reduce upgrade used by ``topn_per_group``/``ngram_jaccard_pairs``
+(group by ``hash(by) % B``, segment keys inside the UDF) applies here with
+``np.lexsort`` over (by, on) + per-key ``searchsorted`` bounds.
+
 Null semantics (matches the SQL oracles): a left row with a NULL ``on``
 matches nothing (comparisons with NULL are never true); right rows with a
 NULL ``on`` never match.  Ties on ``on`` within a key are broken by the

@@ -28,6 +28,7 @@ def topn_per_group(
     n: int,
     tie_col: str,
     ascending: bool = False,
+    final_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """Top ``n`` rows per ``group_col`` ordered by ``value_col`` descending
     (``ascending=True`` flips to bottom-n — e.g. smallest-hash stratified
@@ -63,5 +64,21 @@ def topn_per_group(
         return t.filter(pa.array(pos - starts < n))
 
     partials = ds.map_batches(head_n, batch_format="pyarrow", zero_copy_batch=True)
-    # final exact rank per group (each group sees <= n x num_batches rows)
-    return partials.groupby(group_col).map_groups(head_n, batch_format="pyarrow")
+
+    # final exact rank per group (each group sees <= n x num_batches rows).
+    # The reduce groups by a HASH BUCKET of the group key, not the key
+    # itself: head_n is already multi-group-aware (it segments within the
+    # batch), and map_groups pays a per-GROUP python dispatch — at corpus
+    # scale (millions of groups) the dispatch would dominate the work.
+    # Every row of one group shares its bucket, so the rank stays exact.
+    from rayval.state.hashing import hash64
+
+    def tag(b: pa.Table) -> pa.Table:
+        hb = (hash64(b[group_col]) % np.uint64(final_buckets)).astype(np.int64)
+        return b.append_column("__bucket", pa.array(hb))
+
+    return (
+        partials.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(head_n, batch_format="pyarrow")
+    )
