@@ -216,9 +216,30 @@ def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Mani
                 **kw,
             ).take_all()
         n_rows = _parquet_rows(tmp_results)  # metadata only — no Ray job
+        if not cfg.decode_concurrency:
+            # fused mode wrote one part file per batch with content-addressed
+            # names: reconcile written rows against the per-batch counts the
+            # tasks reported — a residual cross-task tag collision (twin
+            # byte-identical blocks of one fragment in DIFFERENT tasks, both
+            # ordinal 0) would silently merge two parts; fail loudly instead.
+            expected = sum(r["n_rows"] for r in partials)
+            if n_rows != expected:
+                raise RuntimeError(
+                    f"narrow-results part collision in group {gid}: tasks reported "
+                    f"{expected} rows but {n_rows} were written — two byte-identical "
+                    "blocks mapped to one part file; rewrite the input fragment with "
+                    "distinct row content or smaller fragments"
+                )
         if cfg.distributed_violations:
             # listing already on disk as per-task part files; only counts here
             n_viol = sum(r["n_viol"] for r in partials)
+            written_viol = _parquet_rows(tmp_viol)
+            if written_viol != n_viol:
+                raise RuntimeError(
+                    f"violation part collision in group {gid}: tasks reported "
+                    f"{n_viol} violations but {written_viol} were written — see "
+                    "narrow-results collision note (_part_tag)"
+                )
         else:
             viol_tables = [_ipc_read(r["viol"]) for r in partials if r["viol"] is not None]
             viol_all = (
@@ -570,36 +591,59 @@ def _derive_group_outputs(
     ``viol_dir`` (distributed-violations mode): each batch's violations are
     written as the task's own parquet part file instead of riding back in the
     partials row — the driver sees a count, never the listing."""
-    bloom_expected = cfg.bloom_expected
-    bloom_shards = cfg.ref_buckets
-
-    def fused(batch: pa.Table) -> pa.Table:
-        return _derive_row(batch, bloom_expected, bloom_shards, viol_dir=viol_dir)
-
+    fused = _FusedDerive(cfg.bloom_expected, cfg.ref_buckets, viol_dir=viol_dir)
     return results.map_batches(fused, batch_format="pyarrow", zero_copy_batch=True).take_all()
 
 
-def _part_tag(t: pa.Table) -> str:
+class _FusedDerive:
+    """Task-local derive callable: each Ray task deserializes its own copy, so
+    ``_seq`` is a deterministic per-task batch ordinal (retry re-executes the
+    same batch sequence → same ordinals → same retry-safe file names)."""
+
+    def __init__(self, bloom_expected: int, bloom_shards: int, viol_dir: Optional[str] = None):
+        self.bloom_expected = bloom_expected
+        self.bloom_shards = bloom_shards
+        self.viol_dir = viol_dir
+        self._seq = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        seq, self._seq = self._seq, self._seq + 1
+        return _derive_row(
+            batch, self.bloom_expected, self.bloom_shards, viol_dir=self.viol_dir, seq=seq
+        )
+
+
+def _part_tag(t: pa.Table, seq: int = 0) -> str:
     """Retry-safe part-file tag for a block: CONTENT-ADDRESSED (md5 over the
-    batch's Arrow IPC bytes + row count).  A Ray task retry re-executes the
-    same deterministic block and overwrites its own file; distinct blocks
-    get distinct names unless they are BYTE-IDENTICAL across every narrow
-    column — a weaker triple like (first key, last key, count) collides for
-    real inputs (a run of >batch_size rows sharing one planted duplicate
-    image_id splits into twin-triple batches), whereas byte-identical twins
-    can only drop exact multiplicity of already-identical rows."""
+    batch's Arrow IPC bytes + row count) plus the caller's per-task batch
+    ordinal ``seq``.  A Ray task retry re-executes the same deterministic
+    block sequence and overwrites its own files; distinct blocks get distinct
+    names even when BYTE-IDENTICAL (a >block run of planted duplicate rows
+    split into twin blocks within one task gets seq 0,1,... — without the
+    ordinal the twins would share a name and one would silently overwrite the
+    other, losing a whole block of rows).  The residual cross-task case (twin
+    blocks of one fragment landing in different tasks, both seq 0) is caught
+    by the row-count reconciliation in ``run_phase1`` and fails loudly."""
     import hashlib as _hl
 
-    return _hl.md5(_ipc_write(t) + str(t.num_rows).encode()).hexdigest()[:16]
+    return f"{_hl.md5(_ipc_write(t) + str(t.num_rows).encode()).hexdigest()[:16]}-{seq}"
 
 
 def _derive_row(
-    batch: pa.Table, bloom_expected: int, bloom_shards: int, viol_dir: Optional[str] = None
+    batch: pa.Table,
+    bloom_expected: int,
+    bloom_shards: int,
+    viol_dir: Optional[str] = None,
+    seq: int = 0,
 ) -> pa.Table:
     """One narrow-results batch -> one partials row-group: (partition_id,
     stats blob) per partition present, plus a sharded-Bloom partial and the
     batch's violations as one Arrow IPC blob (or, with ``viol_dir``, written
-    as this task's own parquet part — only the count returns)."""
+    as this task's own parquet part — only the count returns).  ``seq`` is
+    the caller's per-task batch ordinal, threaded into the violation part
+    name so byte-identical twin batches don't collide (see ``_part_tag``).
+    ``n_rows`` (first row) records the batch's row count for the
+    reconciliation check in ``run_phase1``."""
     part_rows = sketch_partials(batch)
     stats_blobs = part_rows["stats"].to_pylist()
     pids = part_rows[PARTITION_COL].to_pylist()
@@ -613,7 +657,7 @@ def _derive_row(
             pid = pids[0] if pids else -1
             pq.write_table(
                 viol.cast(VIOLATION_SCHEMA),
-                os.path.join(viol_dir, f"viol-{pid}-{_part_tag(batch)}.parquet"),
+                os.path.join(viol_dir, f"viol-{pid}-{_part_tag(batch, seq)}.parquet"),
             )
         viol_blob = None
     else:
@@ -626,6 +670,7 @@ def _derive_row(
             "bloom": pa.array([b.to_bytes()] + [None] * (n - 1), type=pa.binary()),
             "viol": pa.array([viol_blob] + [None] * (n - 1), type=pa.binary()),
             "n_viol": pa.array([viol.num_rows] + [0] * (n - 1), type=pa.int64()),
+            "n_rows": pa.array([batch.num_rows] + [0] * (n - 1), type=pa.int64()),
         }
     )
 
@@ -643,27 +688,31 @@ class _DecodeWriteDerive:
         self.bloom_shards = bloom_shards
         self.viol_dir = viol_dir
         self.decode = DecodeCheck(psnr_check=psnr_check)
+        self._seq = 0  # per-task batch ordinal (instance is deserialized
+        # fresh per Ray task; a retry re-runs the same block sequence)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
                 {PARTITION_COL: pa.array([], pa.int64()), "stats": pa.array([], pa.binary()),
                  "bloom": pa.array([], pa.binary()), "viol": pa.array([], pa.binary()),
-                 "n_viol": pa.array([], pa.int64())}
+                 "n_viol": pa.array([], pa.int64()), "n_rows": pa.array([], pa.int64())}
             )
+        seq, self._seq = self._seq, self._seq + 1
         narrow = self.decode(batch)
-        # DETERMINISTIC part name — (partition_id, first/last image_id, row
-        # count) identifies this batch's row span, so a Ray task RETRY
-        # overwrites its own file instead of duplicating the block (uuid names
-        # would double-count every row of a retried block downstream), a
-        # truncated file from a mid-write kill is replaced, not accumulated,
-        # and two blocks of one fragment that happen to share a first
-        # image_id (duplicate ids are a planted fixture class) still get
-        # distinct names
+        # DETERMINISTIC part name — content hash + per-task batch ordinal: a
+        # Ray task RETRY re-executes the same block sequence and overwrites
+        # its own files instead of duplicating them (uuid names would
+        # double-count every row of a retried block downstream; a truncated
+        # file from a mid-write kill is replaced, not accumulated), while
+        # byte-identical twin blocks within a task (a >block run of planted
+        # duplicate rows) get distinct ordinals instead of silently merging.
         pid = narrow[PARTITION_COL][0].as_py() if PARTITION_COL in narrow.column_names else 0
-        tag = _part_tag(narrow)
+        tag = _part_tag(narrow, seq)
         pq.write_table(narrow, os.path.join(self.out_dir, f"part-{pid}-{tag}.parquet"))
-        return _derive_row(narrow, self.bloom_expected, self.bloom_shards, viol_dir=self.viol_dir)
+        return _derive_row(
+            narrow, self.bloom_expected, self.bloom_shards, viol_dir=self.viol_dir, seq=seq
+        )
 
 
 def _clean(path: str) -> None:

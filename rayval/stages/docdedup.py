@@ -542,8 +542,10 @@ def ngram_jaccard_pairs(
     uint64 polynomial hashes (``state.hashing.hash64``) BEFORE the shuffle,
     so the exchange moves fixed 8-byte keys instead of variable-length
     strings.  Collision note: a hash collision merges two distinct grams'
-    posting lists, which can only ever ADD candidate pairs / inflate a
-    shared-gram count by 1 — at 2^-64 per gram pair it is negligible against
+    posting lists — that can ADD candidate pairs, inflate a pair's
+    ``n_common`` by one per colliding gram the pair shares, or (when the
+    merged list's df crosses ``max_df``) DROP both real grams' pairs via the
+    stop-phrase guard — each at 2^-64-per-gram-pair odds, negligible against
     10^12-doc gram volumes, and the output is asserted equal to the string
     path in tests.  ``hash_grams=False`` ships the gram strings themselves —
     the byte-exact DuckDB-oracle-parity mode (the oracle compares doc pairs,

@@ -296,12 +296,16 @@ def run_table_rules(
     # rules are independent DAGs over the same input — dispatch them
     # concurrently (same device as the flagship's phase-2 dedup/ref overlap)
     # so their mostly-fixed Ray job launch costs overlap; results gather in
-    # DECLARATION order and the final sort pins the output regardless
+    # DECLARATION order and the final sort pins the output regardless.
+    # max_workers is pinned to 2: Ray Data's streaming executor is not
+    # documented thread-safe, and 2-way overlap is the widest shape this repo
+    # has exercised at scale (flagship phase 2); wider fan-out buys little
+    # (the DAGs are short) and widens the untested interleaving surface.
     rules = list(profile.table_rules)
     if len(rules) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(4, len(rules))) as ex:
+        with ThreadPoolExecutor(max_workers=2) as ex:
             results = list(ex.map(_run_rule, rules))
     else:
         results = [_run_rule(r) for r in rules]

@@ -198,7 +198,13 @@ def hash64(values) -> np.ndarray:
             out = np.full(len(values), _NULL_HASH, dtype=np.uint64)
             nn = values.drop_null().to_numpy(zero_copy_only=False)
             if nn.dtype == object:
-                out[valid] = _hash_string_array(pa.array(nn))
+                # type=pa.string() matches the dense object path below: for
+                # non-str objects (e.g. decimal128) pa.array would otherwise
+                # infer a non-string type and _hash_string_array would misread
+                # its buffers as string offsets — silent garbage where the
+                # dense path raises loudly, and the same column hashing
+                # differently depending on whether a batch contains a null
+                out[valid] = _hash_string_array(pa.array(nn, type=pa.string()))
             else:
                 out[valid] = pd.util.hash_array(nn)
             return out

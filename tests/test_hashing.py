@@ -138,3 +138,20 @@ def test_bucket_join_matches_with_null_keys_in_block(ray_session):
                       key="k", n_buckets=8, how="inner")
     rows = sorted((row["k"], row["lv"], row["rv"]) for row in out.take_all())
     assert rows == [(1, 10, 100), (2, 20, 200)]
+
+
+def test_hash64_null_bearing_object_path_raises_loudly():
+    """Non-string object fallbacks (e.g. decimal128) must fail the same way
+    on the null-bearing path as on the dense path — previously pa.array()
+    inferred a non-string type there and _hash_string_array misread its
+    buffers as string offsets, returning silent garbage."""
+    from decimal import Decimal
+
+    import pytest
+
+    dense = pa.array([Decimal("1.50"), Decimal("2.50")], type=pa.decimal128(10, 2))
+    with_null = pa.array([Decimal("1.50"), None, Decimal("2.50")], type=pa.decimal128(10, 2))
+    with pytest.raises(pa.lib.ArrowTypeError):
+        hash64(dense)
+    with pytest.raises(pa.lib.ArrowTypeError):
+        hash64(with_null)

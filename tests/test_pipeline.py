@@ -439,3 +439,33 @@ def test_distributed_violations_resume(data_dir, tmp_path):
     got = _violations_set(os.path.join(out, "final_violations"))
     exp = _violations_set(os.path.join(data_dir, "expected_violations.parquet"))
     assert got == exp
+
+
+def test_twin_blocks_get_distinct_parts(data_dir, tmp_path):
+    """Byte-identical twin batches within one task must write DISTINCT part
+    files: the content hash alone would map both to one name and one block's
+    rows would silently vanish (the planted-duplicate >batch_size scenario);
+    the per-task ordinal in _part_tag disambiguates while staying retry-safe
+    (a retried task re-runs the same batch sequence -> same ordinals)."""
+    import glob
+
+    import pyarrow as pa
+
+    from rayval.constraints.profile import PARTITION_COL
+    from rayval.pipelines.validate_images import _DecodeWriteDerive, _part_tag
+
+    frag = sorted(glob.glob(os.path.join(data_dir, "images", "*.parquet")))[0]
+    t = pq.read_table(frag).slice(0, 4)
+    t = t.append_column(PARTITION_COL, pa.array([0] * 4, type=pa.int64()))
+    out = str(tmp_path / "twin_parts")
+    viol = str(tmp_path / "twin_viol")
+    os.makedirs(out)
+    os.makedirs(viol)
+    stage = _DecodeWriteDerive(out, bloom_expected=1000, bloom_shards=4, viol_dir=viol)
+    r1 = stage(t)
+    r2 = stage(t)  # byte-identical twin batch
+    parts = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(parts) == 2, "twin batches merged into one part file"
+    assert sum(pq.read_metadata(p).num_rows for p in parts) == 8
+    assert r1["n_rows"].to_pylist()[0] == 4 and r2["n_rows"].to_pylist()[0] == 4
+    assert _part_tag(t, 0) != _part_tag(t, 1)

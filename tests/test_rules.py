@@ -108,3 +108,35 @@ def test_unique_rule_semijoin_null_key_rows_kept(ray_session):
     assert broadcast.to_pydict() == semijoin.to_pydict()
     assert broadcast.num_rows == 2  # the null-key member AND r2
     assert set(broadcast["k"].to_pylist()) == {None, "r2"}
+
+
+def test_many_concurrent_rule_dags(dup_ds, ray_session):
+    """Stress the rule dispatcher's thread pool (pinned at 2-way overlap)
+    with FOUR independent rule DAGs: the gathered listing must equal the
+    union of each rule run serially — declaration order and the pinned sort
+    make the comparison exact."""
+    import ray.data
+
+    valid = ray.data.from_arrow(pa.table({"v": pa.array([1, 2, 3], type=pa.int64())}))
+    ref_shifted = ColumnStats(numeric_cols=["x"], unique_cols=[])
+    ref_shifted.update(pa.table({"x": pa.array(np.linspace(100, 200, 500))}))
+    rules = [
+        TableRule("unique", "v"),
+        TableRule("referential", "v"),
+        TableRule("drift", "x", {"threshold": 0.3}),
+        TableRule("unique", "x"),
+    ]
+    prof_all = Profile("t", [F("v"), F("x")], key="k", table_rules=rules)
+    got = run_table_rules(
+        dup_ds, prof_all, key="k", ref_sources={"v": valid}, reference_profile=ref_shifted
+    )
+    serial = []
+    for r in rules:
+        p1 = Profile("t", [F("v"), F("x")], key="k", table_rules=[r])
+        out = run_table_rules(
+            dup_ds, p1, key="k", ref_sources={"v": valid}, reference_profile=ref_shifted
+        )
+        serial.extend(zip(out["k"].to_pylist(), out["constraint_id"].to_pylist()))
+    assert sorted(zip(got["k"].to_pylist(), got["constraint_id"].to_pylist()),
+                  key=lambda t: (t[0] or "", t[1])) == sorted(
+        serial, key=lambda t: (t[0] or "", t[1]))
