@@ -137,8 +137,7 @@ def clean_corpus(
     drop_exact: set = set()
     if members.num_rows:
         mdf = members.to_pandas()
-        winners = mdf.groupby("h")["doc_id"].min()
-        drop_exact = set(mdf["doc_id"]) - set(winners)
+        drop_exact = set(mdf["doc_id"]) - set(mdf["grp"])  # grp = min key per group
     report["exact_dup_members"] = int(members.num_rows)
     report["exact_dropped"] = len(drop_exact)
     key_t0 = kept.schema().base_schema.field("doc_id").type

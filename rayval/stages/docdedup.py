@@ -36,44 +36,76 @@ from rayval.state.hashing import hash64, rehash
 
 # ------------------------------------------------------------- exact dedup
 def exact_dup_members(ds: "ray.data.Dataset", text_col: str, key_col: str) -> pa.Table:
-    """All members of exact-duplicate groups (md5 of raw text), keyed.
-    Same no-shuffle shape as phash dedup: partial counts -> tiny groupby ->
-    broadcast dup-set -> member filter."""
+    """All members of exact-duplicate groups, keyed, each row carrying its
+    group's representative ``grp`` = min(key) over the rows sharing its text.
+
+    Texts are compared via the VECTORIZED 64-bit content hash
+    (``state.hashing.hash64`` over raw Arrow string buffers) — the previous
+    per-row ``hashlib.md5`` list comprehension was the one row-at-a-time
+    Python loop in a hot path (at 10^12 docs it dominated the stage).  A
+    2^-64 hash collision could merge two distinct texts' groups; negligible
+    odds, and the SQL oracle (which groups by raw text) would flag it.
+
+    Same no-shuffle shape as phash dedup: per-batch (hash, count, min-key)
+    combiners -> tiny groupby over distinct hashes -> broadcast dup-map ->
+    member filter + representative lookup."""
+    from ray.data.aggregate import Min, Sum
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        # NULL text is excluded, matching SQL semantics (md5(NULL) IS NULL and
-        # never IN-matches) — fillna("") would silently group null docs with
-        # empty-string docs and diverge from the oracle
+        # NULL text is excluded, matching SQL semantics (a NULL never
+        # IN-matches / never groups) — fillna("") would silently group null
+        # docs with empty-string docs and diverge from the oracle
         col = batch[text_col]
         batch = batch.filter(col.is_valid()) if col.null_count else batch
-        texts = batch[text_col].to_pandas()
-        h = np.array([hashlib.md5(s.encode()).hexdigest() for s in texts], dtype=object)
-        return pa.table({key_col: batch[key_col], "h": pa.array(h, type=pa.string())})
+        txt = batch[text_col]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        # int64 VIEW of the uint64 hash: only equality matters here, and Ray's
+        # aggregate round-trips uint64 group keys > 2^63 through Python ints
+        # (pickled-object fallback that breaks the downstream groupby schema)
+        return pa.table(
+            {key_col: batch[key_col], "h": pa.array(hash64(txt).view(np.int64), type=pa.int64())}
+        )
 
     # materialize: BOTH the count pass and the member pass consume this —
-    # a lazy plan would re-run the read + per-row md5 loop twice
+    # a lazy plan would re-run the read + hashing twice
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     def partial(batch: pa.Table) -> pa.Table:
-        vc = pc.value_counts(batch["h"].combine_chunks() if isinstance(batch["h"], pa.ChunkedArray) else batch["h"])
-        return pa.table({"h": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())})
+        g = batch.group_by("h").aggregate([(key_col, "count"), (key_col, "min")])
+        return pa.table(
+            {
+                "h": g["h"],
+                "n": pc.cast(g[f"{key_col}_count"], pa.int64()),
+                "k": g[f"{key_col}_min"],
+            }
+        )
 
     counts = (
         hashed.map_batches(partial, batch_format="pyarrow")
         .groupby("h")
-        .sum("n")
-        .map_batches(lambda b: b.rename_columns(["h", "n_total"]), batch_format="pyarrow")
+        .aggregate(Sum(on="n", alias_name="n_total"), Min(on="k", alias_name="grp"))
         .filter(expr="n_total > 1")
     )
-    dup_arr = pa.array(sorted({r["h"] for r in counts.take_all()}), type=pa.string())
+    dup_rows = counts.take_all()
     key_type = dict(zip(ds.schema().names, ds.schema().types))[key_col]
-    empty = pa.table({key_col: pa.array([], type=key_type), "h": pa.array([], type=pa.string())})
-    if not len(dup_arr):
+    empty = pa.table({key_col: pa.array([], type=key_type), "grp": pa.array([], type=key_type)})
+    if not dup_rows:
         return empty
-    ref = ray.put(dup_arr)
+    all_h = np.array([r["h"] for r in dup_rows], dtype=np.int64)
+    order = np.argsort(all_h, kind="stable")
+    dup_h = all_h[order]
+    grp_by_h = np.array([r["grp"] for r in dup_rows], dtype=object)[order]
+    ref = ray.put((dup_h, grp_by_h))
 
     def members(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch["h"], value_set=ray.get(ref)))
+        dh, dg = ray.get(ref)
+        hv = batch["h"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(dh, hv), len(dh) - 1)
+        hit = dh[idx] == hv
+        kept = batch.filter(pa.array(hit))
+        return pa.table(
+            {key_col: kept[key_col], "grp": pa.array(dg[idx[hit]], type=key_type)}
+        )
 
     from rayval.util import collect_tables
 
