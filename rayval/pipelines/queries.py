@@ -814,29 +814,16 @@ GROUP BY n_name, r_name
 
 
 def q_events_sessions(sf_dir: str) -> pa.Table:
-    """Session windows (gap > 1800s splits) per user — the gaps-and-islands
-    workload over the ordered event log, as groupby(user).map_groups with the
-    group sorted by ts (the partitioned-log pattern; ray_guide
-    'Streaming-shaped workloads')."""
+    """Session windows (gap > 1800s splits) per user — gaps-and-islands over
+    the ordered event log via the BUCKETED reduce
+    (stages/windows.sessionize): hash(user) % B groups, one vectorized
+    sort + run-length pass per bucket (key changes are just positions where
+    the sorted key column changes), B Python calls total instead of one per
+    user."""
+    from rayval.stages.windows import sessionize
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    GAP_US = 1800 * 1_000_000
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
-        new = np.ones(len(ts), dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > GAP_US
-        sid = np.cumsum(new)
-        df = pd.DataFrame({"sid": sid, "ts": ts})
-        agg = df.groupby("sid")["ts"].agg(["min", "count"]).reset_index(drop=True)
-        return pd.DataFrame(
-            {
-                "user_id": g["user_id"].iloc[0],
-                "session_start": agg["min"].astype(np.int64),
-                "n_events": agg["count"].astype(np.int64),
-            }
-        )
-
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = sessionize(ds, by="user_id", ts_col="ts", gap_us=1800 * 1_000_000)
     return _collect(
         out,
         pa.schema([("user_id", pa.int64()), ("session_start", pa.int64()), ("n_events", pa.int64())]),
@@ -1232,29 +1219,20 @@ SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
 
 
 def q_events_with_prev(sf_dir: str) -> pa.Table:
-    """Per-user previous-event lookup (LAG) — the as-of/ordered-log shape:
-    hash-partition by user (groupby), sort within group by ts, shift.  The
-    canonical per-key sorted-window op Ray Data lacks natively."""
+    """Per-user previous-event lookup (LAG) — the ordered-log window via the
+    BUCKETED reduce (stages/windows.grouped_lag): hash(user) % B groups, one
+    vectorized sort + shifted-compare per bucket, B Python calls total
+    instead of one per user (the per-key map_groups dispatch that dominates
+    at 10^8+ users)."""
+    from rayval.stages.windows import grouped_lag
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-
-    def prev(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        out = pd.DataFrame(
-            {
-                "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "prev_event_id": g["event_id"].shift(1),
-                "gap_us": pd.Series(ts).diff(),
-            }
-        )
-        out["prev_event_id"] = out["prev_event_id"].astype("Int64")
-        out["gap_us"] = out["gap_us"].astype("Int64")
-        return out
-
-    out = ds.groupby("user_id").map_groups(prev, batch_format="pandas")
+    out = grouped_lag(ds, by="user_id", ts_col="ts", id_col="event_id")
     return _collect(
-        out,
+        out.map_batches(
+            lambda b: b.select(["event_id", "user_id", "prev_event_id", "gap_us"]),
+            batch_format="pyarrow",
+        ),
         pa.schema(
             [
                 ("event_id", pa.int64()),

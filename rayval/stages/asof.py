@@ -3,26 +3,37 @@ the engine's partitioned-log shape (the build brief's canonical
 custom-operator examples).
 
 Shape (scales): both sides project to narrow columns, tag a side marker,
-union, and ``groupby(by).map_groups`` — each key's log is sorted once and
-matched VECTORIZED with ``np.searchsorted`` (no per-row Python).  This is the
-same partitioning assumption as the sessionization/LAG windows
-(pipelines/queries.py): one key's rows fit a reducer; skewed keys are bounded
-by per-key log length, and a pathological single-key log would be salted by
-time-range exactly like the windowed aggregates.
+union, and reduce BY HASH BUCKET (``hash64(by) % n_buckets``), not by key:
+``groupby(by).map_groups`` pays one Python call + one Arrow-table
+construction PER KEY, which dominates wall time when the key space is large
+with small per-key logs (10^8+ users; the same dispatch failure mode this
+repo measured on n-gram groups and fixed by bucketing — see
+``docdedup.ngram_jaccard_pairs``).  Each bucket is matched in ONE fully
+vectorized merge pass:
 
-Dispatch note: map_groups pays a per-KEY python call; per-key work here is
-a sort + searchsorted, so dispatch stays a minor fraction while keys carry
-real logs.  If a deployment's key space is huge with tiny per-key logs, the
-bucketed-reduce upgrade used by ``topn_per_group``/``ngram_jaccard_pairs``
-(group by ``hash(by) % B``, segment keys inside the UDF) applies here with
-``np.lexsort`` over (by, on) + per-key ``searchsorted`` bounds.
+    sort the bucket's tagged union by (by, probe_value, side[, pick])
+    — Arrow sort_indices, C++ —
+    then for every LEFT row, the number of RIGHT rows at or before it is a
+    cumulative-sum lookup: with right rows sorted BEFORE equal probe values
+    the count is searchsorted(..., side='right'); sorted AFTER, side='left'.
+    No per-key work at all; ties and segment membership fall out of the one
+    sort order.
+
+Python calls per reduce: ``n_buckets`` (default 64), independent of key
+count.  ``n_buckets=0`` falls back to exact per-key grouping (one bucket ==
+one key — the same UDF), which the conformance tests use to pin
+bucketed ≡ per-key.  Size ``n_buckets`` so one bucket's rows fit a reducer
+(rows / n_buckets ≈ 10^7 for narrow logs); skewed keys are bounded by
+per-key log length exactly as before — bucketing never co-locates MORE than
+the old per-key grouping did, it only packs many small keys into one call.
 
 Null semantics (matches the SQL oracles): a left row with a NULL ``on``
 matches nothing (comparisons with NULL are never true); right rows with a
 NULL ``on`` never match.  Ties on ``on`` within a key are broken by the
-LARGEST right-side pick value (Arrow sort over (on, pick), null picks
-smallest), so output is deterministic even when (by, on) repeats on the
-right.
+LARGEST right-side pick value (sort places null picks first, so a null pick
+loses ties), so output is deterministic even when (by, on) repeats on the
+right.  Null ``by`` keys form their own group (dictionary-encode run codes,
+not value comparisons, so null==null groups correctly).
 """
 
 from __future__ import annotations
@@ -34,6 +45,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+
+from rayval.state.hashing import hash64
+
+DEFAULT_BUCKETS = 64
 
 
 def _tag_union(
@@ -73,6 +88,89 @@ def _tag_union(
     )
 
 
+def _grouped(both: "ray.data.Dataset", by: str, n_buckets: int, udf) -> "ray.data.Dataset":
+    """Dispatch the reduce: hash-bucketed (default — n_buckets Python calls
+    total) or exact per-key when ``n_buckets == 0`` (the reference path the
+    tests compare against; same UDF either way)."""
+    if n_buckets <= 0:
+        return both.groupby(by).map_groups(udf, batch_format="pyarrow")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        col = b[by]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        bk = (hash64(col) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("__bucket", pa.array(bk))
+
+    return (
+        both.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(udf, batch_format="pyarrow")
+    )
+
+
+def _key_codes(col) -> np.ndarray:
+    """Per-row key-run codes for a SORTED key column: dictionary codes with
+    nulls mapped to -1 (null keys are one group; value comparison would make
+    null != null and split them)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    enc = pc.dictionary_encode(col)
+    return pc.fill_null(pc.cast(enc.indices, pa.int64()), -1).to_numpy(zero_copy_only=False)
+
+
+def _merge_pass(g: pa.Table, by: str, probe: str, right_first: bool, with_pick: bool):
+    """ONE vectorized merge pass over a bucket's tagged union table.
+
+    Sorts by (by asc, probe asc, side, [pick asc]) with nulls first; with
+    ``right_first`` the side order puts RIGHT rows before LEFT rows on equal
+    (by, probe) — the searchsorted(side='right') bound — else after
+    (side='left').  Returns, for every LEFT row:
+
+      rid        its ``__rid`` (original bucket row id, for cross-pass align)
+      upto       bucket-GLOBAL count of right rows sorted before it
+      codes_l    its key-run code (dictionary code of ``by`` in sorted order)
+      pos        its position in the sorted table
+
+    plus the sorted table ``s``, the right-row mask ``is_r`` and the right
+    rows' key codes ``codes_r`` (right rows enumerate identically across
+    passes: their relative order is (by, probe=on, pick), independent of the
+    side tie-break).  A left row with null ``on`` sorts at its key run's
+    head (nulls first), so its ``upto`` counts no same-key rights — the
+    null-matches-nothing semantics falls out of the sort order.
+    """
+    keys = [(by, "ascending"), (probe, "ascending"),
+            ("__side", "descending" if right_first else "ascending")]
+    if with_pick:
+        keys.append(("__pick", "ascending"))
+    idx = pc.sort_indices(g, sort_keys=keys, null_placement="at_start")
+    s = g.take(idx)
+    is_r = s["__side"].to_numpy(zero_copy_only=False) == 1
+    cumr = np.cumsum(is_r)
+    pos = np.flatnonzero(~is_r)
+    codes = _key_codes(s[by])
+    return {
+        "s": s,
+        "is_r": is_r,
+        "codes_r": codes[is_r],
+        "rid": s["__rid"].to_numpy(zero_copy_only=False)[pos],
+        "upto": cumr[pos],  # rights strictly before each left row (left rows
+        # contribute 0 to cumr, so the inclusive cumsum at a left position
+        # counts exactly the rights sorted before it)
+        "codes_l": codes[pos],
+        "pos": pos,
+    }
+
+
+def _prep_bucket(g: pa.Table, on: str) -> pa.Table:
+    """Drop the bucket column and right rows with null ``on`` (they can never
+    match), and attach ``__rid`` row ids for cross-pass alignment."""
+    if "__bucket" in g.column_names:
+        g = g.drop_columns(["__bucket"])
+    side = g["__side"]
+    keep = pc.or_(pc.equal(side, pa.scalar(0, pa.int8())), g[on].is_valid())
+    g = g.filter(keep)
+    return g.append_column("__rid", pa.array(np.arange(g.num_rows, dtype=np.int64)))
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -81,12 +179,13 @@ def asof_join(
     left_keep: list[str],
     right_pick: str,
     out_col: str = "matched",
+    n_buckets: int = DEFAULT_BUCKETS,
 ) -> "ray.data.Dataset":
     """LEFT as-of join: for every left row, the right row of the same ``by``
     key with the greatest ``on`` <= the left row's ``on`` (SQL ``ASOF LEFT
     JOIN ... ON l.by = r.by AND l.on >= r.on``).  Emits ``left_keep`` columns
     plus ``out_col`` = that row's ``right_pick`` value (null when nothing
-    precedes)."""
+    precedes).  One merge pass per hash bucket (see module docstring)."""
     l_cols = list(dict.fromkeys([by, on] + left_keep))
     pick_type = right.schema().base_schema.field(right_pick).type
     l_schema = left.schema().base_schema
@@ -94,52 +193,47 @@ def asof_join(
     keep_types = {c: l_types[c] for c in left_keep}
     both = _tag_union(left, right, by, on, l_cols, right_pick, pick_type, l_types)
 
-    def per_key(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {**{c: pa.array([], keep_types[c]) for c in left_keep},
-             out_col: pa.array([], pick_type)}
-        )
-        side = g["__side"].to_numpy(zero_copy_only=False)
-        lt = g.filter(pa.array(side == 0))
-        if lt.num_rows == 0:
-            return empty
-        rt = g.filter(pa.array(side == 1))
-        # right rows with null `on` can never match; drop them BEFORE any
-        # to_numpy (a null would force a float64/NaT conversion, and NaN/NaT
-        # sort greater-than-everything in searchsorted — silently matching)
-        rt = rt.filter(rt[on].is_valid())
-        out_cols = {c: lt[c] for c in left_keep}
-        if rt.num_rows == 0:
-            out_cols[out_col] = pa.nulls(lt.num_rows, pick_type)
-            return pa.table(out_cols)
-        picks = rt["__pick"].combine_chunks() if isinstance(rt["__pick"], pa.ChunkedArray) else rt["__pick"]
-        # sort by (on asc, pick asc, nulls first): among equal `on`,
-        # searchsorted's rightmost hit is the LARGEST pick — the documented
-        # deterministic tie-break; a NULL pick sorts smallest, so it loses a
-        # tie to any non-null pick (and a tie of only-null picks yields null).
-        # Arrow sort, not np.lexsort: an object array of (None, str) from a
-        # null-bearing string pick column would TypeError inside lexsort.
-        order = pc.sort_indices(
-            pa.table({"__on": rt[on], "__p": picks}),
-            sort_keys=[("__on", "ascending"), ("__p", "ascending")],
-            null_placement="at_start",
-        )
-        r_on = rt[on].take(order).to_numpy(zero_copy_only=False)
-        picks = picks.take(order)
-        l_valid = lt[on].is_valid().to_numpy(zero_copy_only=False)
-        idx = np.zeros(lt.num_rows, dtype=np.int64)
-        if l_valid.any():
-            l_on = lt.filter(pa.array(l_valid))[on].to_numpy(zero_copy_only=False)
-            idx[l_valid] = np.searchsorted(r_on, l_on, side="right") - 1
-        idx[~l_valid] = -1  # null `on` matches nothing (SQL semantics)
-        hit = idx >= 0
-        # Arrow-native masking: a pandas .where round-trip would convert
-        # int64 picks through float64, corrupting values > 2^53
-        taken = picks.take(pa.array(np.where(hit, idx, 0)))
-        out_cols[out_col] = pc.if_else(pa.array(hit), taken, pa.scalar(None, pick_type))
-        return pa.table(out_cols)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = _prep_bucket(g, on)
+        if g.num_rows == 0:
+            return pa.table(
+                {**{c: pa.array([], keep_types[c]) for c in left_keep},
+                 out_col: pa.array([], pick_type)}
+            )
+        m = _merge_pass(g, by, on, right_first=True, with_pick=True)
+        lt = m["s"].take(pa.array(m["pos"]))
+        g_idx = m["upto"] - 1
+        safe = np.maximum(g_idx, 0)
+        # hit: at least one right sorted before it AND that right belongs to
+        # the same key run (a left row heading its run would otherwise pick
+        # up the previous key's last right)
+        hit = (g_idx >= 0) & (m["codes_r"][safe] == m["codes_l"]) if len(m["codes_r"]) else np.zeros(len(g_idx), dtype=bool)
+        out = {c: lt[c] for c in left_keep}
+        if hit.any():
+            picks = m["s"].filter(pa.array(m["is_r"]))["__pick"]
+            picks = picks.combine_chunks() if isinstance(picks, pa.ChunkedArray) else picks
+            taken = picks.take(pa.array(np.where(hit, g_idx, 0)))
+            out[out_col] = pc.if_else(pa.array(hit), taken, pa.scalar(None, pick_type))
+        else:
+            out[out_col] = pa.nulls(lt.num_rows, pick_type)
+        return pa.table(out)
 
-    return both.groupby(by).map_groups(per_key, batch_format="pyarrow")
+    return _grouped(both, by, n_buckets, per_bucket)
+
+
+def _probe_lo_col(g: pa.Table, on: str, width) -> pa.Table:
+    """Append ``__vlo`` = (left rows: on - width, right rows: on) — the lower
+    window bound probe, computed in Arrow so nulls stay null."""
+    if isinstance(width, pa.Scalar):
+        w = width
+    elif isinstance(width, np.timedelta64):
+        # Arrow has no hour/day duration units — normalize to microseconds
+        w = pa.scalar(width.astype("timedelta64[us]"))
+    else:
+        w = pa.scalar(width)
+    is_left = pc.equal(g["__side"], pa.scalar(0, pa.int8()))
+    lowered = pc.subtract(g[on], w)
+    return g.append_column("__vlo", pc.if_else(is_left, lowered, g[on]))
 
 
 def range_count_join(
@@ -150,43 +244,42 @@ def range_count_join(
     width,
     left_keep: list[str],
     out_col: str = "n_in_range",
+    n_buckets: int = DEFAULT_BUCKETS,
 ) -> "ray.data.Dataset":
     """RANGE join (count form): for every LEFT row, the number of RIGHT rows
     of the same ``by`` key whose ``on`` lies in ``[left.on - width, left.on]``
-    — per key, sort the right ``on`` once, then TWO vectorized
-    ``np.searchsorted`` calls bound every window.  A full materializing range
-    join (emit the pairs) is the same shape with a take per window; the
-    count form is the aggregation-pushed variant that avoids the pair blowup
-    at scale.  A left row with null ``on`` counts 0."""
+    — TWO merge passes per bucket (upper bound: rights before the probe with
+    right-first ties = searchsorted 'right'; lower bound on ``on - width``
+    with left-first ties = searchsorted 'left'); the count is the bucket-
+    global difference (the other keys' rights cancel).  A full materializing
+    range join (emit the pairs) is :func:`range_pairs_join`; the count form
+    is the aggregation-pushed variant that avoids the pair blowup at scale.
+    A left row with null ``on`` counts 0."""
     l_cols = list(dict.fromkeys([by, on] + left_keep))
     l_schema = left.schema().base_schema
     l_types = {c: l_schema.field(c).type for c in l_cols}
     keep_types = {c: l_types[c] for c in left_keep}
     both = _tag_union(left, right, by, on, l_cols, None, None, l_types)
 
-    def per_key(g: pa.Table) -> pa.Table:
-        side = g["__side"].to_numpy(zero_copy_only=False)
-        lt = g.filter(pa.array(side == 0))
-        if lt.num_rows == 0:
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = _prep_bucket(g, on)
+        if g.num_rows == 0:
             return pa.table(
                 {**{c: pa.array([], keep_types[c]) for c in left_keep},
                  out_col: pa.array([], pa.int64())}
             )
-        rt = g.filter(pa.array(side == 1))
-        rt = rt.filter(rt[on].is_valid())
-        counts = np.zeros(lt.num_rows, dtype=np.int64)
-        l_valid = lt[on].is_valid().to_numpy(zero_copy_only=False)
-        if rt.num_rows and l_valid.any():
-            r_on = np.sort(rt[on].to_numpy(zero_copy_only=False), kind="stable")
-            l_on = lt.filter(pa.array(l_valid))[on].to_numpy(zero_copy_only=False)
-            lo = np.searchsorted(r_on, l_on - width, side="left")
-            hi = np.searchsorted(r_on, l_on, side="right")
-            counts[l_valid] = hi - lo
+        g = _probe_lo_col(g, on, width)
+        hi = _merge_pass(g, by, on, right_first=True, with_pick=False)
+        lo = _merge_pass(g, by, "__vlo", right_first=False, with_pick=False)
+        lo_by_rid = np.zeros(g.num_rows, dtype=np.int64)
+        lo_by_rid[lo["rid"]] = lo["upto"]
+        counts = hi["upto"] - lo_by_rid[hi["rid"]]
+        lt = hi["s"].take(pa.array(hi["pos"]))
         out = {c: lt[c] for c in left_keep}
         out[out_col] = pa.array(counts)
         return pa.table(out)
 
-    return both.groupby(by).map_groups(per_key, batch_format="pyarrow")
+    return _grouped(both, by, n_buckets, per_bucket)
 
 
 def range_pairs_join(
@@ -199,6 +292,7 @@ def range_pairs_join(
     right_pick: str,
     out_col: str = "r_pick",
     max_pairs_per_key: Optional[int] = None,
+    n_buckets: int = DEFAULT_BUCKETS,
 ) -> "ray.data.Dataset":
     """RANGE join (pair form): one output row per (left row, right row) pair
     of the same ``by`` key with ``right.on`` in ``[left.on - width, left.on]``
@@ -207,9 +301,10 @@ def range_pairs_join(
     a left row with an empty window (or a null ``on``) emits nothing — use
     :func:`range_count_join` when you need the zeros.
 
-    Same partitioned-log skeleton as the count form; the windows are bounded
-    by the same two ``searchsorted`` calls, then materialized with one
-    vectorized gather (np.repeat over window starts + flat offsets).
+    Same two merge passes as the count form; the windows materialize with one
+    vectorized gather (np.repeat over window starts + flat offsets) against
+    the rights-in-sorted-order pick array (identical enumeration across both
+    passes — their relative order is (by, on, pick) in each).
 
     Skew guard: the pair count per key is quadratic in a hot key's density
     (every left row can window every right row).  ``max_pairs_per_key``
@@ -222,47 +317,42 @@ def range_pairs_join(
     keep_types = {c: l_types[c] for c in left_keep}
     both = _tag_union(left, right, by, on, l_cols, right_pick, pick_type, l_types)
 
-    def per_key(g: pa.Table) -> pa.Table:
+    def per_bucket(g: pa.Table) -> pa.Table:
         empty = pa.table(
             {**{c: pa.array([], keep_types[c]) for c in left_keep},
              out_col: pa.array([], pick_type)}
         )
-        side = g["__side"].to_numpy(zero_copy_only=False)
-        lt = g.filter(pa.array(side == 0))
-        if lt.num_rows == 0:
+        g = _prep_bucket(g, on)
+        if g.num_rows == 0:
             return empty
-        rt = g.filter(pa.array(side == 1))
-        rt = rt.filter(rt[on].is_valid())
-        lt = lt.filter(lt[on].is_valid())  # null left `on` matches nothing
-        if rt.num_rows == 0 or lt.num_rows == 0:
-            return empty
-        picks = rt["__pick"].combine_chunks() if isinstance(rt["__pick"], pa.ChunkedArray) else rt["__pick"]
-        order = pc.sort_indices(
-            pa.table({"__on": rt[on], "__p": picks}),
-            sort_keys=[("__on", "ascending"), ("__p", "ascending")],
-            null_placement="at_start",
-        )
-        r_on = rt[on].take(order).to_numpy(zero_copy_only=False)
-        picks = picks.take(order)
-        l_on = lt[on].to_numpy(zero_copy_only=False)
-        lo = np.searchsorted(r_on, l_on - width, side="left")
-        hi = np.searchsorted(r_on, l_on, side="right")
-        counts = hi - lo
+        g = _probe_lo_col(g, on, width)
+        hi = _merge_pass(g, by, on, right_first=True, with_pick=True)
+        lo = _merge_pass(g, by, "__vlo", right_first=False, with_pick=True)
+        lo_by_rid = np.zeros(g.num_rows, dtype=np.int64)
+        lo_by_rid[lo["rid"]] = lo["upto"]
+        lo_g = lo_by_rid[hi["rid"]]
+        counts = hi["upto"] - lo_g
+        if max_pairs_per_key is not None and counts.sum() > 0:
+            per_key = np.bincount(np.maximum(hi["codes_l"], 0) + 1, weights=counts)
+            worst = int(per_key.max())
+            if worst > max_pairs_per_key:
+                raise ValueError(
+                    f"range_pairs_join: a key would emit {worst} pairs "
+                    f"(> max_pairs_per_key={max_pairs_per_key}); salt the key by "
+                    "time-range or use range_count_join"
+                )
         total = int(counts.sum())
-        if max_pairs_per_key is not None and total > max_pairs_per_key:
-            raise ValueError(
-                f"range_pairs_join: key {g[by][0].as_py()!r} would emit {total} pairs "
-                f"(> max_pairs_per_key={max_pairs_per_key}); salt the key by time-range "
-                "or use range_count_join"
-            )
         if total == 0:
             return empty
+        lt = hi["s"].take(pa.array(hi["pos"]))
+        picks = hi["s"].filter(pa.array(hi["is_r"]))["__pick"]
+        picks = picks.combine_chunks() if isinstance(picks, pa.ChunkedArray) else picks
         l_idx = np.repeat(np.arange(lt.num_rows, dtype=np.int64), counts)
         ends = np.cumsum(counts)
         offsets = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
-        r_idx = np.repeat(lo, counts) + offsets
+        r_idx = np.repeat(lo_g, counts) + offsets
         out = {c: lt[c].take(pa.array(l_idx)) for c in left_keep}
         out[out_col] = picks.take(pa.array(r_idx))
         return pa.table(out)
 
-    return both.groupby(by).map_groups(per_key, batch_format="pyarrow")
+    return _grouped(both, by, n_buckets, per_bucket)

@@ -1,0 +1,157 @@
+"""Ordered-log window operators (LAG / sessionization) — per-key sorted
+windows Ray Data lacks natively, reduced BY HASH BUCKET like the temporal
+joins (stages/asof.py): ``groupby(by).map_groups`` pays one Python call per
+KEY, which dominates at 10^8+ small keys, so both operators group by
+``hash64(by) % n_buckets`` and handle every key in the bucket with ONE
+vectorized pass (Arrow sort + numpy boundary masks — key transitions are
+just positions where the sorted key column changes).
+
+``n_buckets=0`` falls back to exact per-key grouping with the same UDF (one
+bucket == one key); the conformance tests pin bucketed ≡ per-key, and the
+driver queries pin both against DuckDB window oracles.
+
+Both operators assume one BUCKET's rows fit a reducer (size ``n_buckets``
+accordingly); a single pathological key is bounded by its own log length
+exactly as under per-key grouping — bucketing only packs many small keys
+into one call, it never co-locates more than one key's rows beyond that.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from rayval.state.hashing import hash64
+
+DEFAULT_BUCKETS = 64
+
+
+def _grouped(ds: "ray.data.Dataset", by: str, n_buckets: int, udf) -> "ray.data.Dataset":
+    if n_buckets <= 0:
+        return ds.groupby(by).map_groups(udf, batch_format="pyarrow")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        col = b[by]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        bk = (hash64(col) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("__bucket", pa.array(bk))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(udf, batch_format="pyarrow")
+    )
+
+
+def _drop_bucket(g: pa.Table) -> pa.Table:
+    return g.drop_columns(["__bucket"]) if "__bucket" in g.column_names else g
+
+
+def _key_change(col, n: int) -> np.ndarray:
+    """Boolean mask: True where the SORTED key column starts a new key run
+    (dictionary codes with nulls as -1, so null keys form one group)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    codes = pc.fill_null(pc.cast(pc.dictionary_encode(col).indices, pa.int64()), -1).to_numpy(
+        zero_copy_only=False
+    )
+    change = np.ones(n, dtype=bool)
+    change[1:] = codes[1:] != codes[:-1]
+    return change
+
+
+def grouped_lag(
+    ds: "ray.data.Dataset",
+    by: str,
+    ts_col: str,
+    id_col: str,
+    prev_col: str = "prev_event_id",
+    gap_col: str = "gap_us",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> "ray.data.Dataset":
+    """Per-key LAG over the (ts, id)-ordered log: one output row per input
+    row with the previous row's id and the microsecond gap (null on each
+    key's first row) — SQL ``LAG(...) OVER (PARTITION BY by ORDER BY ts,
+    id)``.  One Arrow sort + shifted-compare per bucket."""
+    sch = ds.schema().base_schema
+    by_t, id_t = sch.field(by).type, sch.field(id_col).type
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = _drop_bucket(g)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {id_col: pa.array([], id_t), by: pa.array([], by_t),
+                 prev_col: pa.array([], id_t), gap_col: pa.array([], pa.int64())}
+            )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[(by, "ascending"), (ts_col, "ascending"), (id_col, "ascending")],
+            null_placement="at_start",
+        )
+        s = g.take(idx)
+        ts = s[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        first = _key_change(s[by], n)
+        not_first = pa.array(~first)
+        # previous row's id via a shifted take (typed — works for any id
+        # type), masked null on key-run heads
+        shifted = s[id_col].take(pa.array(np.maximum(np.arange(n, dtype=np.int64) - 1, 0)))
+        shifted = shifted.combine_chunks() if isinstance(shifted, pa.ChunkedArray) else shifted
+        gap = np.empty(n, dtype=np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[0] = 0  # masked null below
+        return pa.table(
+            {
+                id_col: s[id_col],
+                by: s[by],
+                prev_col: pc.if_else(not_first, shifted, pa.scalar(None, id_t)),
+                gap_col: pa.array(gap, mask=first),
+            }
+        )
+
+    return _grouped(ds, by, n_buckets, per_bucket)
+
+
+def sessionize(
+    ds: "ray.data.Dataset",
+    by: str,
+    ts_col: str,
+    gap_us: int,
+    start_col: str = "session_start",
+    count_col: str = "n_events",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> "ray.data.Dataset":
+    """Gaps-and-islands sessionization: one output row per (key, session)
+    with the session's start timestamp (epoch us) and event count; a gap
+    > ``gap_us`` (or a key change) starts a new session.  One Arrow sort +
+    run-length pass per bucket."""
+    by_t = ds.schema().base_schema.field(by).type
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = _drop_bucket(g)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {by: pa.array([], by_t), start_col: pa.array([], pa.int64()),
+                 count_col: pa.array([], pa.int64())}
+            )
+        idx = pc.sort_indices(
+            g, sort_keys=[(by, "ascending"), (ts_col, "ascending")], null_placement="at_start"
+        )
+        s = g.take(idx)
+        ts = s[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        new = _key_change(s[by], n)
+        new[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        return pa.table(
+            {
+                by: s[by].take(pa.array(starts)),
+                start_col: pa.array(ts[starts]),
+                count_col: pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return _grouped(ds, by, n_buckets, per_bucket)

@@ -414,3 +414,94 @@ def test_topn_per_group_ascending_bottom_n(ray_session):
     out = topn_per_group(ray.data.from_arrow(t), "g", "v", 2, tie_col="k", ascending=True)
     rows = sorted((r["g"], r["v"], r["k"]) for r in out.take_all())
     assert rows == [(1, "a", 1), (1, "b", 2), (2, "z", 3)]
+
+
+def _messy_sides():
+    """Fixture with the edge cases the temporal joins pin: null keys, null
+    `on` on both sides, duplicate (by, on) right rows, null picks, keys with
+    only-left / only-right rows."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    n_l, n_r = 200, 180
+    lk = rng.integers(0, 40, n_l).astype("float64")
+    lk[rng.random(n_l) < 0.05] = np.nan
+    lt = rng.integers(0, 5_000, n_l).astype("float64")
+    lt[rng.random(n_l) < 0.07] = np.nan
+    rk = rng.integers(5, 45, n_r).astype("float64")
+    rk[rng.random(n_r) < 0.05] = np.nan
+    rt = rng.integers(0, 5_000, n_r).astype("float64")
+    rt[rng.random(n_r) < 0.07] = np.nan
+    rt[:20] = rt[20:40]  # planted duplicate right `on` values
+    rk[:20] = rk[20:40]
+    pick = np.arange(n_r).astype("float64")
+    pick[rng.random(n_r) < 0.1] = np.nan
+    l = pa.table({
+        "k": pa.array([None if np.isnan(v) else int(v) for v in lk], pa.int64()),
+        "t": pa.array([None if np.isnan(v) else int(v) for v in lt], pa.int64()),
+        "lid": pa.array(np.arange(n_l), pa.int64()),
+    })
+    r = pa.table({
+        "k": pa.array([None if np.isnan(v) else int(v) for v in rk], pa.int64()),
+        "t": pa.array([None if np.isnan(v) else int(v) for v in rt], pa.int64()),
+        "rid": pa.array([None if np.isnan(v) else int(v) for v in pick], pa.int64()),
+    })
+    return l, r
+
+
+def _sorted_rows(t: pa.Table):
+    df = t.to_pandas()
+    df = df[sorted(df.columns)].astype(str)
+    return sorted(map(tuple, df.values))
+
+
+def test_temporal_joins_bucketed_equals_per_key(ray_session):
+    """The hash-bucketed reduce (n_buckets=64, the default — B Python calls)
+    must produce exactly the per-key grouping's output (n_buckets=0 — one
+    call per key) for all three temporal joins, on a fixture with null keys,
+    null `on`, duplicate (by, on) and null picks."""
+    import ray.data
+
+    from rayval.stages.asof import asof_join, range_count_join, range_pairs_join
+
+    l, r = _messy_sides()
+    for fn, kw in [
+        (asof_join, dict(left_keep=["lid"], right_pick="rid", out_col="m")),
+        (range_count_join, dict(width=300, left_keep=["lid"], out_col="n")),
+        (range_pairs_join, dict(width=300, left_keep=["lid"], right_pick="rid", out_col="m")),
+    ]:
+        got_b = fn(ray.data.from_arrow(l), ray.data.from_arrow(r),
+                   by="k", on="t", n_buckets=8, **kw)
+        got_k = fn(ray.data.from_arrow(l), ray.data.from_arrow(r),
+                   by="k", on="t", n_buckets=0, **kw)
+        rows_b = _sorted_rows(pa.Table.from_pylist(got_b.take_all()))
+        rows_k = _sorted_rows(pa.Table.from_pylist(got_k.take_all()))
+        assert rows_b == rows_k, fn.__name__
+
+
+def test_window_ops_bucketed_equals_per_key(ray_session):
+    """grouped_lag and sessionize: bucketed reduce ≡ per-key grouping,
+    including ties on ts and single-event keys."""
+    import numpy as np
+    import ray.data
+
+    from rayval.stages.windows import grouped_lag, sessionize
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 60, n), pa.int64()),
+        "ts": pa.array(
+            rng.integers(0, 10_000_000, n).astype("datetime64[us]").astype("datetime64[us]")
+        ),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+    })
+    ds = lambda: ray.data.from_arrow(t)  # noqa: E731
+    lag_b = pa.Table.from_pylist(grouped_lag(ds(), "user_id", "ts", "event_id", n_buckets=8).take_all())
+    lag_k = pa.Table.from_pylist(grouped_lag(ds(), "user_id", "ts", "event_id", n_buckets=0).take_all())
+    assert _sorted_rows(lag_b) == _sorted_rows(lag_k)
+    s_b = pa.Table.from_pylist(sessionize(ds(), "user_id", "ts", gap_us=60_000_000, n_buckets=8).take_all())
+    s_k = pa.Table.from_pylist(sessionize(ds(), "user_id", "ts", gap_us=60_000_000, n_buckets=0).take_all())
+    assert _sorted_rows(s_b) == _sorted_rows(s_k)
+    # sanity: session counts sum to the row count
+    assert sum(r["n_events"] for r in s_b.to_pylist()) == n
