@@ -31,8 +31,10 @@ from rayval.stages.validate import Annotate, MetaValidate, explode_violations
 STOP_SQL = "('the','a','of','and','to','in','is','it','you','that','he','was','for','on','are','with','as')"
 
 # defined up top because several module-level SQL oracle strings interpolate
-# it; the file itself is materialized lazily by _ensure_dedup_fixture()
+# them; the files are materialized lazily (_ensure_dedup_fixture /
+# generate_images — ensure_oracle_fixtures covers the driver's SQL side)
 _DEDUP_FIXTURE = "/tmp/rayval_q_dedup/docs_v1.parquet"
+_META_IMAGES_DIR = "/tmp/rayval_q_images/data"
 
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
@@ -1851,6 +1853,63 @@ def q_minhash_dup_groups(sf_dir: str) -> pa.Table:
     return dup_groups_from_pairs(pairs)
 
 
+def q_images_decode_features(sf_dir: str) -> pa.Table:
+    """The flagship's DECODE-DERIVED half, hash-matched against the
+    generator's planted ground truth (round-4 verdict gap: images_validation
+    is rows-only; its SQL-expressible metadata half hash-matches via
+    images_meta_violations, and THIS query proves the decode half — payload
+    decodability and the four decoded-truth cross-checks — against the
+    expected listing the generator wrote from what it planted)."""
+    from rayval.sources.images import generate_images
+    from rayval.sources.parquet import list_fragments, read_fragments
+    from rayval.stages.decode import DecodeCheck
+
+    generate_images(_META_IMAGES_DIR, n=300, fragments=4, seed=42)
+    ds = read_fragments(list_fragments(_META_IMAGES_DIR + "/images"))
+    out = ds.map_batches(
+        DecodeCheck,
+        fn_constructor_kwargs={"quality": False},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+
+    def pick(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": b["image_id"],
+                "decodable": b["ok__bytes.decodable"],
+                "w_match": b["ok__w.decode_match"],
+                "h_match": b["ok__h.decode_match"],
+                "fmt_match": b["ok__fmt.decode_match"],
+                "phash_match": b["ok__phash.match"],
+            }
+        )
+
+    t = _collect(
+        out.map_batches(pick, batch_format="pyarrow"),
+        pa.schema(
+            [("image_id", pa.string()), ("decodable", pa.bool_()), ("w_match", pa.bool_()),
+             ("h_match", pa.bool_()), ("fmt_match", pa.bool_()), ("phash_match", pa.bool_())]
+        ),
+    )
+    return t.sort_by("image_id")
+
+
+SQL_IMAGES_DECODE_FEATURES = f"""
+WITH i AS (SELECT image_id FROM read_parquet('{_META_IMAGES_DIR}/images/*.parquet')),
+v AS (SELECT image_id, constraint_id
+      FROM read_parquet('{_META_IMAGES_DIR}/expected_violations.parquet'))
+SELECT i.image_id,
+  i.image_id NOT IN (SELECT image_id FROM v WHERE constraint_id = 'bytes.decodable') AS decodable,
+  i.image_id NOT IN (SELECT image_id FROM v WHERE constraint_id = 'w.decode_match') AS w_match,
+  i.image_id NOT IN (SELECT image_id FROM v WHERE constraint_id = 'h.decode_match') AS h_match,
+  i.image_id NOT IN (SELECT image_id FROM v WHERE constraint_id = 'fmt.decode_match') AS fmt_match,
+  i.image_id NOT IN (SELECT image_id FROM v WHERE constraint_id = 'phash.match') AS phash_match
+FROM i ORDER BY i.image_id
+"""
+
+
 def q_images_validation(sf_dir: str) -> pa.Table:
     """Flagship pipeline over a deterministic synthetic images dir (seeded;
     /root/testdata has no binary image table).  Rows-only check: the output
@@ -2105,9 +2164,6 @@ ORDER BY read_case, constraint_id
 """
 
 
-_META_IMAGES_DIR = "/tmp/rayval_q_images/data"
-
-
 _PII_FIXTURE = "/tmp/rayval_q_pii/docs_v1.parquet"
 
 
@@ -2312,6 +2368,7 @@ QUERIES = {
     # flagship + multimodal (the north-rule core)
     "images_validation": (q_images_validation, None),
     "images_meta_violations": (q_images_meta_violations, SQL_IMAGES_META_VIOLATIONS),
+    "images_decode_features": (q_images_decode_features, SQL_IMAGES_DECODE_FEATURES),
     "partition_verdicts": (q_partition_verdicts, SQL_PARTITION_VERDICTS),
     "image_resize": (q_image_resize, None),
     "audio_features": (q_audio_features, None),
