@@ -63,7 +63,7 @@ def _warm_files(paths) -> None:
             pass
 
 
-def bench_images(num_cpus: int) -> float:
+def bench_images(num_cpus: int, distributed_violations: bool = False) -> float:
     from rayval.pipelines.validate_images import RunConfig, run
     from rayval.sources.images import generate_images
 
@@ -101,6 +101,7 @@ def bench_images(num_cpus: int) -> float:
         decode_batch_size=None,       # block-aligned batches
         hot_threshold=2000,
         bloom_expected=max(IMAGES_N, 1024),
+        distributed_violations=distributed_violations,
         **mode,
     )
     t0 = time.time()
@@ -282,8 +283,38 @@ def run_scaling() -> dict:
     }
 
 
+def run_distviol() -> dict:
+    """Flagship A/B at the current NUM_CPUS: default driver-merged violations
+    vs ``distributed_violations`` (phase-1 tasks write their own violation
+    parquet parts; phase 2 merges as a streaming union — the 10^12-row /
+    wholesale-failure path).  Proves the escape hatch's cost, not just its
+    correctness (its equivalence is pinned in tests/test_pipeline.py)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    trials = int(os.environ.get("RAYVAL_BENCH_TRIALS", "2"))
+    t_default = round(min(bench_images(NUM_CPUS) for _ in range(trials)), 3)
+    t_dist = round(min(bench_images(NUM_CPUS, distributed_violations=True) for _ in range(trials)), 3)
+    ray.shutdown()
+    return {
+        "metric": "flagship: driver-merged vs distributed violation listing",
+        "images_sec_default": t_default,
+        "images_sec_distributed": t_dist,
+        "overhead_pct": round(100.0 * (t_dist - t_default) / t_default, 1),
+        "images_n": IMAGES_N,
+        "num_cpus": NUM_CPUS,
+        "sf": SF,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--distviol" in sys.argv:
+        print(json.dumps(run_distviol()))
     else:
         print(json.dumps(run_bench()))

@@ -303,22 +303,46 @@ def run_phase1(img_dir: str, out_dir: str, cfg: RunConfig = RunConfig()) -> Mani
     return manifest
 
 
-def _effective_group_parallelism(cfg: RunConfig) -> int:
-    """Cap concurrent groups so each in-flight group keeps at least one CPU
-    for its read/write tasks beyond its decode actor pool — two groups whose
-    actors alone fill the cluster would starve each other's reads (deadlock
-    at small num_cpus)."""
-    par = cfg.group_parallelism
-    if par <= 1 or not cfg.decode_concurrency:
-        return par  # fused task mode has no reserved pools -> no starvation
+def _node_cpu_counts() -> list[int]:
+    """Alive nodes' CPU counts from ray.nodes() — the multi-node shape the
+    group-parallelism cap derives from (cluster_resources() alone hides how
+    the CPUs are spread)."""
     import ray as _ray
 
     if not _ray.is_initialized():
+        return []
+    return [
+        int(n["Resources"].get("CPU", 0))
+        for n in _ray.nodes()
+        if n.get("Alive") and n.get("Resources", {}).get("CPU")
+    ]
+
+
+def _effective_group_parallelism(cfg: RunConfig, node_cpus: list[int] | None = None) -> int:
+    """Cap concurrent groups so in-flight decode actor pools never starve the
+    read/write tasks (deadlock at small num_cpus).  Two bounds, derived from
+    the PER-NODE resource shape (``node_cpus`` injectable for tests):
+
+    - one spare CPU per in-flight group cluster-wide (the single-node rule:
+      ``total // (decode_concurrency + 1)``), and
+    - one spare CPU per NODE across all in-flight pools
+      (``(total - n_nodes) // decode_concurrency``) — Ray packs actors, and a
+      node walled solid with actors starves the reads that object locality
+      pins there, even when another node has idle CPUs.
+
+    On one node the second bound is slacker than the first, so single-node
+    behavior is unchanged."""
+    par = cfg.group_parallelism
+    if par <= 1 or not cfg.decode_concurrency:
+        return par  # fused task mode has no reserved pools -> no starvation
+    if node_cpus is None:
+        node_cpus = _node_cpu_counts()
+    if not node_cpus:
         return par
-    cpus = int(_ray.cluster_resources().get("CPU", 0))
-    if cpus:
-        par = max(1, min(par, cpus // (cfg.decode_concurrency + 1)))
-    return par
+    total = sum(node_cpus)
+    cap_total = total // (cfg.decode_concurrency + 1)
+    cap_nodes = (total - len(node_cpus)) // cfg.decode_concurrency
+    return max(1, min(par, cap_total, cap_nodes))
 
 
 def _gc_uncommitted(manifest: Manifest) -> None:

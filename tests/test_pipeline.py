@@ -469,3 +469,26 @@ def test_twin_blocks_get_distinct_parts(data_dir, tmp_path):
     assert sum(pq.read_metadata(p).num_rows for p in parts) == 8
     assert r1["n_rows"].to_pylist()[0] == 4 and r2["n_rows"].to_pylist()[0] == 4
     assert _part_tag(t, 0) != _part_tag(t, 1)
+
+
+def test_group_parallelism_cap_multi_node():
+    """The concurrent-groups cap derives from the per-node CPU shape
+    (injectable node list; on a real cluster it comes from ray.nodes()):
+    single-node behavior unchanged, and on multiple small nodes the cap
+    tightens so every node keeps a spare CPU for reads."""
+    from rayval.pipelines.validate_images import _effective_group_parallelism
+
+    big = RunConfig(group_parallelism=8, decode_concurrency=2)
+    # one 32-cpu node: the old single-node rule (32 // 3 = 10, so par wins)
+    assert _effective_group_parallelism(big, node_cpus=[32]) == 8
+    # two 4-cpu nodes: total rule 8//3=2 caps before the per-node rule (3)
+    assert _effective_group_parallelism(big, node_cpus=[4, 4]) == 2
+    # four 2-cpu nodes with wide pools: (8-4)//2=2 per-node rule binds
+    wide = RunConfig(group_parallelism=8, decode_concurrency=2)
+    assert _effective_group_parallelism(wide, node_cpus=[2, 2, 2, 2]) == 2
+    # degenerate: pool wider than the cluster still runs one group
+    tiny = RunConfig(group_parallelism=4, decode_concurrency=8)
+    assert _effective_group_parallelism(tiny, node_cpus=[4]) == 1
+    # fused mode (no reserved pools): never capped
+    fused = RunConfig(group_parallelism=4, decode_concurrency=None)
+    assert _effective_group_parallelism(fused, node_cpus=[2]) == 4

@@ -628,3 +628,149 @@ def test_attribute_group_inside_extension():
     m = v.masks(t)
     assert m["score.range"].tolist() == [True, False, True]
     assert m["score.required"].tolist() == [True, True, False]
+
+
+# ---- generative conformance (seeded; VERDICT r4 item 7) ----------------------
+# Random restriction CHAINS and unions compared against an independent
+# Python model of the reference's facet semantics (parser.clj facet fns +
+# the pinned minLength/maxLength core >=/<= divergence and the
+# memberTypes-first union ordering, core.clj:104-107).  Future loader edits
+# can't silently drift these without tripping a generated case.
+
+_NUM_FACETS = [
+    ("minInclusive", lambda v, b: v >= b),
+    ("maxInclusive", lambda v, b: v <= b),
+    ("minExclusive", lambda v, b: v > b),
+    ("maxExclusive", lambda v, b: v < b),
+]
+_STR_FACETS = [
+    ("length", lambda s, b: len(s) == b),
+    ("minLength", lambda s, b: len(s) >= b),  # core >= (divergence pinned)
+    ("maxLength", lambda s, b: len(s) <= b),  # core <=
+]
+
+
+def _gen_int_chain(rng):
+    """1-3 chained named integer restrictions; returns (xsd text, model fn)."""
+    depth = rng.randint(1, 3)
+    preds, parts = [], []
+    base = "integer"
+    for lvl in range(depth):
+        chosen = rng.sample(_NUM_FACETS, rng.randint(1, 2))
+        facets = ""
+        for fname, fn in chosen:
+            bound = rng.randint(-40, 40)
+            facets += f'<{fname} value="{bound}"/>'
+            preds.append((fn, bound))
+        name = f"t{lvl}"
+        parts.append(
+            f'<simpleType name="{name}"><restriction base="{base}">{facets}'
+            "</restriction></simpleType>"
+        )
+        base = name
+    xsd = f'<schema>{"".join(parts)}<element name="e" type="{base}"/></schema>'
+    return xsd, lambda v: isinstance(v, int) and all(fn(v, b) for fn, b in preds)
+
+
+def _gen_str_chain(rng):
+    depth = rng.randint(1, 2)
+    preds, parts = [], []
+    base = "string"
+    for lvl in range(depth):
+        chosen = rng.sample(_STR_FACETS, rng.randint(1, 2))
+        facets = ""
+        for fname, fn in chosen:
+            bound = rng.randint(0, 8)
+            facets += f'<{fname} value="{bound}"/>'
+            preds.append((fn, bound))
+        name = f"s{lvl}"
+        parts.append(
+            f'<simpleType name="{name}"><restriction base="{base}">{facets}'
+            "</restriction></simpleType>"
+        )
+        base = name
+    xsd = f'<schema>{"".join(parts)}<element name="e" type="{base}"/></schema>'
+    return xsd, lambda s: all(fn(s, b) for fn, b in preds)
+
+
+def test_generated_restriction_chains_match_model():
+    import random
+
+    rng = random.Random(20260818)
+    for _ in range(25):
+        xsd, model = _gen_int_chain(rng)
+        p = profile_from_xsd(xsd)
+        vals = [rng.randint(-45, 45) for _ in range(25)] + ["zz", None]
+        got = one_col(p, "e", vals)
+        # scalar inference: "36" -> int; "zz" stays str (fails integer base);
+        # None passes (nulls pass value constraints, only `required` fails)
+        exp = [True if v is None else model(v) for v in vals]
+        assert got == exp, (xsd, vals, got, exp)
+    for _ in range(25):
+        xsd, model = _gen_str_chain(rng)
+        p = profile_from_xsd(xsd)
+        vals = ["x" * rng.randint(0, 9) for _ in range(20)] + [None]
+        got = one_col(p, "e", vals)
+        exp = [True if v is None else model(v) for v in vals]
+        assert got == exp, (xsd, vals, got, exp)
+
+
+def test_generated_union_first_match_ordering():
+    """Random 2-3 member unions: row validity = any member; match_index =
+    FIRST valid member in declaration order (memberTypes before inline
+    anonymous members, core.clj:104-107)."""
+    import random
+
+    from rayval.constraints.base import ColumnView
+    from rayval.constraints.combinators import AnyOf
+
+    rng = random.Random(77)
+    for _ in range(15):
+        n_named = rng.randint(1, 2)
+        n_inline = rng.randint(1, 2)
+        member_models, named_parts, inline_parts = [], [], []
+        named_names = []
+        for i in range(n_named):
+            lo = rng.randint(-30, 0)
+            hi = lo + rng.randint(0, 25)
+            named_names.append(f"n{i}")
+            named_parts.append(
+                f'<simpleType name="n{i}"><restriction base="integer">'
+                f'<minInclusive value="{lo}"/><maxInclusive value="{hi}"/>'
+                "</restriction></simpleType>"
+            )
+            member_models.append(lambda v, lo=lo, hi=hi: isinstance(v, int) and lo <= v <= hi)
+        enum_pools = []
+        for _j in range(n_inline):
+            pool = rng.sample(["aa", "bb", "cc", "dd", "ee"], rng.randint(1, 3))
+            enum_pools.append(pool)
+            inline_parts.append(
+                '<simpleType><restriction base="string">'
+                + "".join(f'<enumeration value="{w}"/>' for w in pool)
+                + "</restriction></simpleType>"
+            )
+            member_models.append(lambda v, pool=tuple(pool): isinstance(v, str) and v in pool)
+        xsd = (
+            "<schema>" + "".join(named_parts)
+            + f'<simpleType name="u"><union memberTypes="{" ".join(named_names)}">'
+            + "".join(inline_parts) + "</union></simpleType>"
+            + '<element name="e" type="u"/></schema>'
+        )
+        schema = parse_xsd(xsd)
+        p = schema.profile("e")
+        v = p.compile()
+        union = schema.types["u"]
+        assert isinstance(union, AnyOf)
+        vals = [rng.randint(-35, 30) for _ in range(15)] + ["aa", "bb", "cc", "zz"]
+        col = pa.array([str(x) for x in vals], type=pa.string())
+        idx = union.match_index(ColumnView(col, infer_scalars=True), v.ctx).tolist()
+        exp = []
+        for val in vals:
+            first = -1
+            for mi, m in enumerate(member_models):
+                if m(val):
+                    first = mi
+                    break
+            exp.append(first)
+        assert idx == exp, (xsd, vals, idx, exp)
+        assert one_col(p, "e", vals) == [i >= 0 for i in exp]
