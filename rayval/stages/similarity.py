@@ -182,11 +182,45 @@ def kmeans_centroids(
     iters: int = 5,
     seed: int = 13,
     sample_rows: int = 4096,
+    key_col: Optional[str] = None,
 ) -> np.ndarray:
     """Deterministic mini-kmeans (driver-side over a bounded sample) for the
-    IVF coarse quantizer.  The sample bound is the documented small-side
-    assumption; at 10^12 rows you train on a hash-sample the same way."""
-    sample = ds.limit(sample_rows).take_all()
+    IVF coarse quantizer.
+
+    The training sample is a distributed HASH-sample — one streaming
+    ``map_batches`` filter keeping rows whose hash (of ``key_col`` when
+    given, else of the vector contents) lands under a rate tuned to ~2×
+    ``sample_rows``, then the ``sample_rows`` smallest hashes — NOT an
+    ordered ``limit()``: limit() materializes a driver-side scan PREFIX
+    whose content depends on block order (and at 10^12 rows concentrates the
+    read on the first fragments), while the hash-sample reads every block in
+    parallel and keeps an order-independent, cluster-width-independent
+    subset.  Only ~2×sample_rows rows ever reach the driver."""
+    from rayval.state.hashing import hash64
+
+    n = ds.count()
+    if n > sample_rows:
+        thr = np.uint64(max(1, int(min(1.0, (2.0 * sample_rows) / n) * (1 << 32))))
+
+        def keep(b: pa.Table) -> pa.Table:
+            if key_col is not None and key_col in b.column_names:
+                col = b[key_col]
+                col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                hv = hash64(col)
+            else:
+                # keyless: hash a deterministic per-row reduction of the
+                # vector (sampling only needs spread, not collision-freedom)
+                mat = _matrix(b[emb_col], d=1)
+                hv = hash64(np.round(mat.sum(axis=1) * 1e6).astype(np.int64))
+            mask = (hv >> np.uint64(32)) < thr
+            out = b.filter(pa.array(mask))
+            return out.append_column("__h", pa.array(hv[mask].view(np.int64)))
+
+        sample = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        sample.sort(key=lambda r: r["__h"])
+        sample = sample[:sample_rows]
+    else:
+        sample = ds.take_all()
     m = _normalize(np.array([np.asarray(r[emb_col], dtype=np.float64) for r in sample]))
     rng = np.random.default_rng(seed)
     cents = m[rng.choice(len(m), size=min(k, len(m)), replace=False)]
@@ -217,7 +251,7 @@ def ivf_topk(
     scored exactly.  The scale path alongside ``lsh_topk``: centroids are the
     broadcast small side; candidate scoring stays a per-batch matmul."""
     if centroids is None:
-        centroids = kmeans_centroids(ds, k=n_lists, emb_col=emb_col)
+        centroids = kmeans_centroids(ds, k=n_lists, emb_col=emb_col, key_col=key_col)
     qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     key_type = ds.schema().base_schema.field(key_col).type
     probe_lists = np.unique(
