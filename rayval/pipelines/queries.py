@@ -35,6 +35,7 @@ STOP_SQL = "('the','a','of','and','to','in','is','it','you','that','he','was','f
 # generate_images — ensure_oracle_fixtures covers the driver's SQL side)
 _DEDUP_FIXTURE = "/tmp/rayval_q_dedup/docs_v1.parquet"
 _META_IMAGES_DIR = "/tmp/rayval_q_images/data"
+_LANGID_FIXTURE = "/tmp/rayval_q_langid/docs_v1.parquet"
 
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
@@ -1607,16 +1608,111 @@ def q_sketch_stats(sf_dir: str) -> pa.Table:
 
 
 
+def _ensure_langid_fixture() -> str:
+    """Deterministic multilingual docs exercising every langid branch the
+    ASCII sf corpus can't reach: es/de/fr winners (ASCII profile tokens
+    only — DuckDB's RE2 ``\\w`` is ASCII while Python's is Unicode, so a
+    non-ASCII token like 'für' would tokenize differently; the corpus and
+    fixture therefore stay ASCII outside the zh CHARACTER class, which both
+    engines handle identically), zh char scoring (strictly-more-hits rule),
+    cross-language ties (lexicographic first max) and zero-hit 'und' rows."""
+    import os as _os
+
+    import pyarrow.parquet as pq_mod
+
+    if _os.path.exists(_LANGID_FIXTURE):
+        return _LANGID_FIXTURE
+    _os.makedirs(_os.path.dirname(_LANGID_FIXTURE), exist_ok=True)
+    bodies = [
+        "the cat and the dog are on it",          # en
+        "el que no haber con su para ser",        # es
+        "der die und den von zu das mit",         # de
+        "le et il ne je son qui dans",            # fr
+        "的 一 是 不 了 人 我 在",                  # zh (char hits)
+        "plain zzz qqq filler words only",        # und
+        "the el",                                 # tie en/es -> en (lexicographic)
+        "the le",                                 # tie en/fr -> en
+        "el le",                                  # tie es/fr -> es
+        "the 的",                                 # zh 1 vs en 1: NOT strictly more -> en
+        "the 的 一",                              # zh 2 > en 1 -> zh
+        "no se que",                              # es overlap tokens
+    ]
+    n_rep = 10  # repeat with distinct filler so hit counts vary
+    rows, ids = [], []
+    for r in range(n_rep):
+        for i, b in enumerate(bodies):
+            rows.append(b + f" filler{r} pad{i}")
+            ids.append(20_000_000 + r * len(bodies) + i)
+    tmp = f"{_LANGID_FIXTURE}.{_os.getpid()}.tmp"
+    pq_mod.write_table(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(rows, type=pa.string())}),
+        tmp,
+    )
+    _os.replace(tmp, _LANGID_FIXTURE)
+    return _LANGID_FIXTURE
+
+
 def q_langid(sf_dir: str) -> pa.Table:
+    """Language ID over documents UNION the planted multilingual fixture.
+    The n-gram/stopword heuristic is fully SQL-expressible (token hits per
+    profile via list_filter, argmax with the lexicographic tie-break, zh by
+    character hits), so the op gets a complete DuckDB oracle over BOTH the
+    real corpus and the planted branch-coverage rows."""
     from rayval.functions.text import langid
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    fixture = ray.data.read_parquet(_ensure_langid_fixture())
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).union(fixture)
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": langid(batch["text"])})
 
     out = ds.map_batches(f, batch_format="pandas")
     return _collect(out, pa.schema([("doc_id", pa.int64()), ("lang_pred", pa.string())]))
+
+
+def _sql_langid() -> str:
+    """DuckDB replica of functions/text.langid (docstring there pins the
+    semantics this SQL mirrors: per-profile token hits, first-max tie-break
+    over the sorted token languages, zh wins only on strictly more char
+    hits, zero hits -> 'und')."""
+    from rayval.functions.text import LANG_PROFILES
+
+    def inlist(lang: str) -> str:
+        return ", ".join(f"'{t}'" for t in sorted(LANG_PROFILES[lang]))
+
+    zh_chars = "".join(sorted(LANG_PROFILES["zh"]))
+    return f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM read_parquet('{_LANGID_FIXTURE}')
+),
+s AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(COALESCE(text, '')), '[\\w'']+') AS toks,
+    len(regexp_extract_all(COALESCE(text, ''), '[{zh_chars}]')) AS n_zh
+  FROM d
+),
+sc AS (
+  SELECT doc_id, n_zh,
+    len(list_filter(toks, x -> x IN ({inlist("de")}))) AS s_de,
+    len(list_filter(toks, x -> x IN ({inlist("en")}))) AS s_en,
+    len(list_filter(toks, x -> x IN ({inlist("es")}))) AS s_es,
+    len(list_filter(toks, x -> x IN ({inlist("fr")}))) AS s_fr
+  FROM s
+)
+SELECT doc_id,
+  CASE
+    WHEN n_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+    WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr'
+  END AS lang_pred
+FROM sc
+"""
 
 
 def q_minhash_neardups_corpus(sf_dir: str) -> pa.Table:
@@ -1935,40 +2031,97 @@ def q_images_validation(sf_dir: str) -> pa.Table:
     return t.sort_by([("partition_id", "ascending"), ("image_id", "ascending"), ("constraint_id", "ascending")])
 
 
-def q_audio_features(sf_dir: str) -> pa.Table:
-    """Multimodal audio stage demo: deterministic synthetic WAV tones (REAL
-    stdlib PCM codec) + planted corrupt rows -> actor-pool AudioFeatures ->
-    (audio_id, duration_ms, sample_rate, rms_e6, zero_crossings, audio_ok)."""
+_AUDIO_FIXTURE = "/tmp/rayval_q_audio/audio_v2.parquet"
+_AUDIO_EXPECTED = "/tmp/rayval_q_audio/expected_v2.parquet"
+
+
+def _ensure_audio_fixture() -> str:
+    """Deterministic synthetic WAV tones (REAL stdlib PCM codec) + planted
+    corrupt rows, PLUS an expected-features parquet computed straight from
+    the source signal path (explicit int16 quantize -> /32767 float32 ->
+    rms/zero-crossings) — independent of functions/audiocodec's container
+    parsing and stages/multimodal's feature loop, so a codec regression
+    (header mishandling, PCM truncation, scaling change) breaks the
+    hash-match instead of passing silently."""
     import os as _os
 
-    import pyarrow.parquet as pq
+    import pyarrow.parquet as pq_mod
 
     from rayval.functions.audiocodec import wav_encode
+
+    if _os.path.exists(_AUDIO_FIXTURE) and _os.path.exists(_AUDIO_EXPECTED):
+        return _AUDIO_FIXTURE
+    _os.makedirs(_os.path.dirname(_AUDIO_FIXTURE), exist_ok=True)
+    rate = 16_000
+    rows_id, rows_bytes = [], []
+    exp = {"audio_id": [], "duration_ms": [], "sample_rate": [], "rms_e6": [],
+           "zero_crossings": [], "audio_ok": []}
+    for i in range(200):
+        aid = f"aud-{i:05d}"
+        rows_id.append(aid)
+        exp["audio_id"].append(aid)
+        if i % 40 == 7:
+            rows_bytes.append(b"corrupt-not-a-wav")
+            exp["duration_ms"].append(0)
+            exp["sample_rate"].append(0)
+            exp["rms_e6"].append(0)
+            exp["zero_crossings"].append(0)
+            exp["audio_ok"].append(False)
+            continue
+        freq = 100.0 + 10.0 * (i % 30)
+        amp = 0.2 + 0.002 * i
+        n = rate // 4 + 16 * (i % 5)
+        t = np.arange(n) / rate
+        x = amp * np.sin(2 * np.pi * freq * t)
+        rows_bytes.append(wav_encode(x, rate=rate))
+        # expected: the signal path spelled out (same arithmetic the
+        # encode->decode round trip must reproduce bit-for-bit)
+        q = np.round(np.clip(x, -1.0, 1.0) * 32767.0).astype("<i2")
+        d = q.astype(np.float32) / 32767.0
+        exp["duration_ms"].append(int(np.round((len(d) / rate) * 1000)))
+        exp["sample_rate"].append(rate)
+        exp["rms_e6"].append(int(np.round(float(np.sqrt(np.mean(d * d))) * 1_000_000)))
+        exp["zero_crossings"].append(int(np.count_nonzero(np.diff(np.signbit(d)))))
+        exp["audio_ok"].append(True)
+    pid = _os.getpid()
+    tmp = f"{_AUDIO_FIXTURE}.{pid}.tmp"
+    pq_mod.write_table(
+        pa.table({"audio_id": pa.array(rows_id), "bytes": pa.array(rows_bytes, type=pa.binary())}),
+        tmp,
+    )
+    tmp2 = f"{_AUDIO_EXPECTED}.{pid}.tmp"
+    pq_mod.write_table(
+        pa.table(
+            {
+                "audio_id": pa.array(exp["audio_id"], type=pa.string()),
+                "duration_ms": pa.array(exp["duration_ms"], type=pa.int64()),
+                "sample_rate": pa.array(exp["sample_rate"], type=pa.int32()),
+                "rms_e6": pa.array(exp["rms_e6"], type=pa.int64()),
+                "zero_crossings": pa.array(exp["zero_crossings"], type=pa.int64()),
+                "audio_ok": pa.array(exp["audio_ok"], type=pa.bool_()),
+            }
+        ),
+        tmp2,
+    )
+    _os.replace(tmp, _AUDIO_FIXTURE)
+    _os.replace(tmp2, _AUDIO_EXPECTED)
+    return _AUDIO_FIXTURE
+
+
+SQL_AUDIO_FEATURES = f"""
+SELECT audio_id, duration_ms, sample_rate, rms_e6, zero_crossings, audio_ok
+FROM read_parquet('{_AUDIO_EXPECTED}') ORDER BY audio_id
+"""
+
+
+def q_audio_features(sf_dir: str) -> pa.Table:
+    """Multimodal audio stage: WAV fixture -> actor-pool AudioFeatures ->
+    (audio_id, duration_ms, sample_rate, rms_e6, zero_crossings, audio_ok),
+    hash-matched against the generation-time expected-features parquet
+    (see _ensure_audio_fixture — the planted-ground-truth oracle device)."""
     from rayval.stages.multimodal import AudioFeatures
 
-    path = "/tmp/rayval_q_audio/audio_v1.parquet"
-    if not _os.path.exists(path):
-        _os.makedirs(_os.path.dirname(path), exist_ok=True)
-        rate = 16_000
-        rows_id, rows_bytes = [], []
-        for i in range(200):
-            rows_id.append(f"aud-{i:05d}")
-            if i % 40 == 7:
-                rows_bytes.append(b"corrupt-not-a-wav")
-                continue
-            freq = 100.0 + 10.0 * (i % 30)
-            amp = 0.2 + 0.002 * i
-            n = rate // 4 + 16 * (i % 5)
-            t = np.arange(n) / rate
-            rows_bytes.append(wav_encode(amp * np.sin(2 * np.pi * freq * t), rate=rate))
-        tmp = path + ".tmp"
-        pq.write_table(
-            pa.table({"audio_id": pa.array(rows_id), "bytes": pa.array(rows_bytes, type=pa.binary())}),
-            tmp,
-        )
-        _os.replace(tmp, path)
-
-    ds = ray.data.read_parquet(path)
+    ds = ray.data.read_parquet(_ensure_audio_fixture())
     out = ds.map_batches(AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=2)
 
     def project(batch: pa.Table) -> pa.Table:
@@ -2269,6 +2422,8 @@ def ensure_oracle_fixtures() -> None:
     generate_images(_META_IMAGES_DIR, n=300, fragments=4, seed=42)
     _ensure_pii_fixture()
     _ensure_dedup_fixture()
+    _ensure_langid_fixture()
+    _ensure_audio_fixture()
 
 
 def q_pii_flags(sf_dir: str) -> pa.Table:
@@ -2371,7 +2526,7 @@ QUERIES = {
     "images_decode_features": (q_images_decode_features, SQL_IMAGES_DECODE_FEATURES),
     "partition_verdicts": (q_partition_verdicts, SQL_PARTITION_VERDICTS),
     "image_resize": (q_image_resize, None),
-    "audio_features": (q_audio_features, None),
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     # headline scale paths (dedup / similarity / corpus cleaning)
     "embedding_neardups_lsh": (q_embedding_neardups_lsh, None),
     "clean_corpus": (q_clean_corpus, None),
@@ -2379,7 +2534,7 @@ QUERIES = {
     "minhash_neardups": (q_minhash_neardups, SQL_MINHASH_NEARDUPS),
     "minhash_dup_groups": (q_minhash_dup_groups, SQL_MINHASH_DUP_GROUPS),
     "simhash_neardups": (q_simhash_neardups, SQL_SIMHASH_NEARDUPS),
-    "langid_predictions": (q_langid, None),
+    "langid_predictions": (q_langid, _sql_langid()),
     "sketch_stats": (q_sketch_stats, None),
     "grouped_quantiles": (q_grouped_quantiles, None),
     "grouped_distinct": (q_grouped_distinct, SQL_GROUPED_DISTINCT),
