@@ -1079,19 +1079,103 @@ def q_embedding_neardups_lsh_corpus(sf_dir: str) -> pa.Table:
     )
 
 
+_CLEAN_FIXTURE = "/tmp/rayval_q_clean/docs_v1.parquet"
+
+
+def _ensure_clean_fixture() -> str:
+    """Deterministic corpus for the composed cleaning chain with every stage
+    outcome SQL-derivable: per-doc DISJOINT token namespaces (cross-doc
+    shingle jaccard << the 0.7 MinHash threshold, so the near-dup stage
+    provably drops nothing), planted exact-dup pairs (the dedup stage's
+    work), too-few-token rows and all-stopword rows (the two quality-filter
+    branches)."""
+    import os as _os
+
+    import pyarrow.parquet as pq_mod
+
+    if _os.path.exists(_CLEAN_FIXTURE):
+        return _CLEAN_FIXTURE
+    _os.makedirs(_os.path.dirname(_CLEAN_FIXTURE), exist_ok=True)
+    texts = []
+    for i in range(200):
+        texts.append(" ".join(f"x{i:03d}w{j:02d}" for j in range(12)))
+    for i in range(20):  # exact dup pairs (i, 100+i) — both pass quality
+        texts[100 + i] = texts[i]
+    for i in range(200):
+        if 20 <= i < 100 or 120 <= i:
+            if i % 10 == 3:
+                texts[i] = "a b c"  # 3 tokens < min_tokens
+            elif i % 10 == 4:
+                texts[i] = " ".join(["the of and to in is it you that was"] * 2)  # all stopwords
+    tmp = f"{_CLEAN_FIXTURE}.{_os.getpid()}.tmp"
+    pq_mod.write_table(
+        pa.table({"doc_id": pa.array(np.arange(200, dtype=np.int64) + 30_000_000),
+                  "text": pa.array(texts, type=pa.string())}),
+        tmp,
+    )
+    _os.replace(tmp, _CLEAN_FIXTURE)
+    return _CLEAN_FIXTURE
+
+
+SQL_CLEAN_CORPUS = f"""
+WITH d AS (SELECT doc_id, text FROM read_parquet('{_CLEAN_FIXTURE}')),
+ann AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '\\S+')) AS n_tok,
+         len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                         x -> x IN {STOP_SQL})) AS n_stop
+  FROM d),
+q AS (SELECT doc_id, text FROM ann
+      WHERE n_tok >= 5
+        AND (CASE WHEN n_tok = 0 THEN 0 ELSE (1000000 * n_stop) // n_tok END) <= 900000),
+k AS (SELECT doc_id FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS grp FROM q)
+      WHERE doc_id = grp),
+c AS (SELECT (SELECT COUNT(*) FROM d) AS rows_in,
+             (SELECT COUNT(*) FROM q) AS rows_after_quality,
+             (SELECT COUNT(*) FROM q) - (SELECT COUNT(*) FROM k) AS exact_dropped,
+             CAST(0 AS BIGINT) AS near_dropped)
+SELECT k.doc_id, c.rows_in, c.rows_after_quality, c.exact_dropped, c.near_dropped
+FROM k, c ORDER BY doc_id
+"""
+
+
 def q_clean_corpus(sf_dir: str) -> pa.Table:
     """Composed training-data cleaning chain (quality filter -> exact dedup
-    keep-first -> near-dup keep-canonical) over the documents table; returns
-    the kept doc_ids plus the per-stage counts as columns (deterministic).
-    Rows-only: langid + MinHash stages are not SQL-expressible."""
+    keep-first -> near-dup keep-canonical) over the planted fixture; returns
+    the kept doc_ids plus the per-stage counts as columns.  Every stage
+    outcome is SQL-derivable on this fixture (see _ensure_clean_fixture), so
+    the composition — including that the MinHash stage drops NOTHING on
+    disjoint-vocab docs — hash-matches end to end.  The corpus-scale run
+    stays in q_clean_corpus_corpus (rows-only)."""
     from rayval.pipelines.clean_corpus import CleanConfig, clean_corpus
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ray.data.read_parquet(_ensure_clean_fixture())
     rep = clean_corpus(ds, cfg=CleanConfig(min_tokens=5, minhash_est_threshold=0.7))
     kept = rep["_kept"]
     # Arrow-block collect of the one projected column (row-based take_all
     # would build a python dict per row)
     ids_t = _collect(kept.select_columns(["doc_id"]), pa.schema([("doc_id", pa.int64())]))
+    ids = ids_t.sort_by("doc_id")["doc_id"]
+    n = len(ids)
+    return pa.table(
+        {
+            "doc_id": ids,
+            "rows_in": pa.array([rep["rows_in"]] * n, type=pa.int64()),
+            "rows_after_quality": pa.array([rep["rows_after_quality"]] * n, type=pa.int64()),
+            "exact_dropped": pa.array([rep["exact_dropped"]] * n, type=pa.int64()),
+            "near_dropped": pa.array([rep["near_dropped"]] * n, type=pa.int64()),
+        }
+    )
+
+
+def q_clean_corpus_corpus(sf_dir: str) -> pa.Table:
+    """The cleaning chain over the REAL documents table (rows-only: organic
+    near-dups make the MinHash stage's drop set LSH-recall-dependent)."""
+    from rayval.pipelines.clean_corpus import CleanConfig, clean_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rep = clean_corpus(ds, cfg=CleanConfig(min_tokens=5, minhash_est_threshold=0.7))
+    ids_t = _collect(rep["_kept"].select_columns(["doc_id"]), pa.schema([("doc_id", pa.int64())]))
     ids = ids_t.sort_by("doc_id")["doc_id"]
     n = len(ids)
     return pa.table(
@@ -2595,6 +2679,7 @@ def ensure_oracle_fixtures() -> None:
     _ensure_langid_fixture()
     _ensure_audio_fixture()
     _ensure_ann_fixture()
+    _ensure_clean_fixture()
 
 
 def q_pii_flags(sf_dir: str) -> pa.Table:
@@ -2700,7 +2785,7 @@ QUERIES = {
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     # headline scale paths (dedup / similarity / corpus cleaning)
     "embedding_neardups_lsh": (q_embedding_neardups_lsh, SQL_EMBEDDING_NEARDUPS_LSH),
-    "clean_corpus": (q_clean_corpus, None),
+    "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "minhash_neardups": (q_minhash_neardups, SQL_MINHASH_NEARDUPS),
@@ -2771,6 +2856,7 @@ QUERIES = {
     "ivf_topk_corpus": (q_ivf_topk_corpus, None),
     "grouped_quantiles_corpus": (q_grouped_quantiles_corpus, None),
     "embedding_neardups_lsh_corpus": (q_embedding_neardups_lsh_corpus, None),
+    "clean_corpus_corpus": (q_clean_corpus_corpus, None),
     "minhash_neardups_corpus": (q_minhash_neardups_corpus, None),
     "simhash_neardups_corpus": (q_simhash_neardups_corpus, None),
     "grouped_distinct_corpus": (q_grouped_distinct_corpus, None),
