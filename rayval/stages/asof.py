@@ -46,9 +46,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from rayval.state.hashing import hash64
-
-DEFAULT_BUCKETS = 64
+from rayval.stages.bucketed import DEFAULT_BUCKETS, grouped_reduce, key_codes
 
 
 def _tag_union(
@@ -88,33 +86,7 @@ def _tag_union(
     )
 
 
-def _grouped(both: "ray.data.Dataset", by: str, n_buckets: int, udf) -> "ray.data.Dataset":
-    """Dispatch the reduce: hash-bucketed (default — n_buckets Python calls
-    total) or exact per-key when ``n_buckets == 0`` (the reference path the
-    tests compare against; same UDF either way)."""
-    if n_buckets <= 0:
-        return both.groupby(by).map_groups(udf, batch_format="pyarrow")
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        col = b[by]
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        bk = (hash64(col) % np.uint64(n_buckets)).astype(np.int64)
-        return b.append_column("__bucket", pa.array(bk))
-
-    return (
-        both.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__bucket")
-        .map_groups(udf, batch_format="pyarrow")
-    )
-
-
-def _key_codes(col) -> np.ndarray:
-    """Per-row key-run codes for a SORTED key column: dictionary codes with
-    nulls mapped to -1 (null keys are one group; value comparison would make
-    null != null and split them)."""
-    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    enc = pc.dictionary_encode(col)
-    return pc.fill_null(pc.cast(enc.indices, pa.int64()), -1).to_numpy(zero_copy_only=False)
+_grouped = grouped_reduce  # shared dispatch (stages/bucketed.py)
 
 
 def _merge_pass(g: pa.Table, by: str, probe: str, right_first: bool, with_pick: bool):
@@ -146,7 +118,7 @@ def _merge_pass(g: pa.Table, by: str, probe: str, right_first: bool, with_pick: 
     is_r = s["__side"].to_numpy(zero_copy_only=False) == 1
     cumr = np.cumsum(is_r)
     pos = np.flatnonzero(~is_r)
-    codes = _key_codes(s[by])
+    codes = key_codes(s[by])
     return {
         "s": s,
         "is_r": is_r,
@@ -333,7 +305,11 @@ def range_pairs_join(
         lo_g = lo_by_rid[hi["rid"]]
         counts = hi["upto"] - lo_g
         if max_pairs_per_key is not None and counts.sum() > 0:
-            per_key = np.bincount(np.maximum(hi["codes_l"], 0) + 1, weights=counts)
+            # codes are >= -1 (null key = -1): +1 gives every key — including
+            # the null-key group — its OWN bincount bin (np.maximum would
+            # merge null-key pairs into key 0's bin and could trip the cap
+            # on their combined total)
+            per_key = np.bincount(hi["codes_l"] + 1, weights=counts)
             worst = int(per_key.max())
             if worst > max_pairs_per_key:
                 raise ValueError(

@@ -14,7 +14,6 @@ SimHash, n-gram-Jaccard-verified — shaped for Ray Data:
 
 from __future__ import annotations
 
-import hashlib
 from typing import Optional
 
 import numpy as np
@@ -71,11 +70,14 @@ def exact_dup_members(ds: "ray.data.Dataset", text_col: str, key_col: str) -> pa
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by("h").aggregate([(key_col, "count"), (key_col, "min")])
+        # count_all, not (key, "count"): Arrow's keyed count skips NULL keys,
+        # which would undercount a dup group containing a null-key member
+        # below the n_total > 1 bar (SQL COUNT(*) semantics count the row)
+        g = batch.group_by("h").aggregate([([], "count_all"), (key_col, "min")])
         return pa.table(
             {
                 "h": g["h"],
-                "n": pc.cast(g[f"{key_col}_count"], pa.int64()),
+                "n": pc.cast(g["count_all"], pa.int64()),
                 "k": g[f"{key_col}_min"],
             }
         )

@@ -217,8 +217,15 @@ def kmeans_centroids(
             return out.append_column("__h", pa.array(hv[mask].view(np.int64)))
 
         sample = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).take_all()
-        sample.sort(key=lambda r: r["__h"])
+        # order by the UNSIGNED hash (the column is its int64 view; a signed
+        # sort would put hashes >= 2^63 first, not the smallest)
+        sample.sort(key=lambda r: r["__h"] % (1 << 64))
         sample = sample[:sample_rows]
+        if len(sample) < min(k, sample_rows):
+            # low-cardinality / heavily-duplicated sample keys can starve the
+            # hash filter (all rows sharing a value keep or drop together) —
+            # fall back to the bounded ordered scan rather than crash kmeans
+            sample = ds.limit(sample_rows).take_all()
     else:
         sample = ds.take_all()
     m = _normalize(np.array([np.asarray(r[emb_col], dtype=np.float64) for r in sample]))

@@ -24,39 +24,16 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from rayval.state.hashing import hash64
+from rayval.stages.bucketed import DEFAULT_BUCKETS, drop_bucket_col, grouped_reduce, key_codes
 
-DEFAULT_BUCKETS = 64
-
-
-def _grouped(ds: "ray.data.Dataset", by: str, n_buckets: int, udf) -> "ray.data.Dataset":
-    if n_buckets <= 0:
-        return ds.groupby(by).map_groups(udf, batch_format="pyarrow")
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        col = b[by]
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        bk = (hash64(col) % np.uint64(n_buckets)).astype(np.int64)
-        return b.append_column("__bucket", pa.array(bk))
-
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__bucket")
-        .map_groups(udf, batch_format="pyarrow")
-    )
-
-
-def _drop_bucket(g: pa.Table) -> pa.Table:
-    return g.drop_columns(["__bucket"]) if "__bucket" in g.column_names else g
+_grouped = grouped_reduce  # shared dispatch (stages/bucketed.py)
+_drop_bucket = drop_bucket_col
 
 
 def _key_change(col, n: int) -> np.ndarray:
     """Boolean mask: True where the SORTED key column starts a new key run
     (dictionary codes with nulls as -1, so null keys form one group)."""
-    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    codes = pc.fill_null(pc.cast(pc.dictionary_encode(col).indices, pa.int64()), -1).to_numpy(
-        zero_copy_only=False
-    )
+    codes = key_codes(col)
     change = np.ones(n, dtype=bool)
     change[1:] = codes[1:] != codes[:-1]
     return change
@@ -74,7 +51,11 @@ def grouped_lag(
     """Per-key LAG over the (ts, id)-ordered log: one output row per input
     row with the previous row's id and the microsecond gap (null on each
     key's first row) — SQL ``LAG(...) OVER (PARTITION BY by ORDER BY ts,
-    id)``.  One Arrow sort + shifted-compare per bucket."""
+    id)``.  One Arrow sort + shifted-compare per bucket.
+
+    Null-``ts`` rows: emitted with null prev/gap and never serve as another
+    row's prev (a NaT would otherwise round-trip to int64-min and poison the
+    next row's gap arithmetic with a wrapped garbage value)."""
     sch = ds.schema().base_schema
     by_t, id_t = sch.field(by).type, sch.field(id_col).type
 
@@ -92,11 +73,16 @@ def grouped_lag(
             null_placement="at_start",
         )
         s = g.take(idx)
+        ts_valid = s[ts_col].is_valid().to_numpy(zero_copy_only=False)
         ts = s[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         first = _key_change(s[by], n)
+        # a row has no prev when it heads its key run, its own ts is null,
+        # or the sorted predecessor's ts is null (nulls sort at the run head)
+        first |= ~ts_valid
+        first[1:] |= ~ts_valid[:-1]
         not_first = pa.array(~first)
         # previous row's id via a shifted take (typed — works for any id
-        # type), masked null on key-run heads
+        # type), masked null where there is no prev
         shifted = s[id_col].take(pa.array(np.maximum(np.arange(n, dtype=np.int64) - 1, 0)))
         shifted = shifted.combine_chunks() if isinstance(shifted, pa.ChunkedArray) else shifted
         gap = np.empty(n, dtype=np.int64)
@@ -126,11 +112,14 @@ def sessionize(
     """Gaps-and-islands sessionization: one output row per (key, session)
     with the session's start timestamp (epoch us) and event count; a gap
     > ``gap_us`` (or a key change) starts a new session.  One Arrow sort +
-    run-length pass per bucket."""
+    run-length pass per bucket.  Rows with null ``ts`` are DROPPED (a NaT
+    would round-trip to int64-min and fabricate a garbage session_start;
+    SQL window frames ordered by ts skip them the same way)."""
     by_t = ds.schema().base_schema.field(by).type
 
     def per_bucket(g: pa.Table) -> pa.Table:
         g = _drop_bucket(g)
+        g = g.filter(g[ts_col].is_valid())
         n = g.num_rows
         if n == 0:
             return pa.table(

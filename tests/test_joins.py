@@ -505,3 +505,59 @@ def test_window_ops_bucketed_equals_per_key(ray_session):
     assert _sorted_rows(s_b) == _sorted_rows(s_k)
     # sanity: session counts sum to the row count
     assert sum(r["n_events"] for r in s_b.to_pylist()) == n
+
+
+def test_range_pairs_cap_counts_null_key_separately(ray_session):
+    """The per-key pair cap must bin the null-key group separately from key
+    0 (regression: np.maximum(codes, 0) merged them and a within-bounds join
+    tripped the cap on their combined total)."""
+    import numpy as np
+    import ray.data
+
+    from rayval.stages.asof import range_pairs_join
+
+    # two groups (null key and key 0), each 8 window pairs
+    # (t=10->{9,10}, t=11->{9,10,11}, t=12->{9,10,11});
+    # cap 10 passes per key but would fail on the merged 16
+    l = pa.table({
+        "k": pa.array([None, None, None, 0, 0, 0], pa.int64()),
+        "t": pa.array([10, 11, 12, 10, 11, 12], pa.int64()),
+        "lid": pa.array(list(range(6)), pa.int64()),
+    })
+    r = pa.table({
+        "k": pa.array([None, None, None, 0, 0, 0], pa.int64()),
+        "t": pa.array([9, 10, 11, 9, 10, 11], pa.int64()),
+        "rid": pa.array(list(range(100, 106)), pa.int64()),
+    })
+    out = range_pairs_join(
+        ray.data.from_arrow(l), ray.data.from_arrow(r),
+        by="k", on="t", width=5, left_keep=["lid"], right_pick="rid",
+        out_col="m", max_pairs_per_key=10, n_buckets=1,  # one bucket: both groups together
+    )
+    rows = out.take_all()
+    assert len(rows) == 16  # 8 pairs per group, no spurious cap trip
+
+
+def test_window_ops_null_ts_semantics(ray_session):
+    """grouped_lag: a null-ts row gets null prev/gap and never serves as a
+    prev (a NaT int64 round-trip would fabricate wrapped garbage gaps);
+    sessionize drops null-ts rows."""
+    import ray.data
+
+    from rayval.stages.windows import grouped_lag, sessionize
+    import numpy as np
+
+    ts = pa.array([None, np.datetime64(1_000_000, "us"), np.datetime64(3_000_000, "us")],
+                  type=pa.timestamp("us"))
+    t = pa.table({"user_id": pa.array([1, 1, 1], pa.int64()), "ts": ts,
+                  "event_id": pa.array([10, 11, 12], pa.int64())})
+    lag = {r["event_id"]: (r["prev_event_id"], r["gap_us"])
+           for r in grouped_lag(ray.data.from_arrow(t), "user_id", "ts", "event_id",
+                                n_buckets=4).take_all()}
+    assert lag[10] == (None, None)          # null ts: no prev
+    assert lag[11] == (None, None)          # its predecessor has null ts
+    assert lag[12] == (11, 2_000_000)       # normal LAG
+    sess = sessionize(ray.data.from_arrow(t), "user_id", "ts", gap_us=10_000_000,
+                      n_buckets=4).take_all()
+    assert len(sess) == 1 and sess[0]["n_events"] == 2  # null-ts row dropped
+    assert sess[0]["session_start"] == 1_000_000

@@ -942,3 +942,21 @@ def test_pack_sequences_sharded(ray_session):
     for r in out:
         per_group_shards.setdefault(r["g"], set()).add(r["seq_id"] >> 32)
     assert all(len(s) > 1 for s in per_group_shards.values()), per_group_shards
+
+
+def test_exact_dup_members_null_key_member_counts(ray_session):
+    """A dup group whose members include a NULL key must still clear the
+    n_total > 1 bar (regression: Arrow's keyed count skips null keys and the
+    group undercounted to 1); grp = min over NON-null keys (SQL MIN)."""
+    import ray.data
+
+    from rayval.stages.docdedup import exact_dup_members
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(["b", None, "z"], type=pa.string()),
+                  "text": pa.array(["same", "same", "other"])})
+    )
+    out = exact_dup_members(ds, "text", "doc_id")
+    got = sorted(zip(out["doc_id"].to_pylist(), out["grp"].to_pylist()),
+                 key=lambda x: (x[0] is None, x[0]))
+    assert got == [("b", "b"), (None, "b")]
