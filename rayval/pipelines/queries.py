@@ -720,6 +720,44 @@ FROM events GROUP BY user_id, hour
 """
 
 
+def q_events_sliding_window(sf_dir: str) -> pa.Table:
+    """Hopping (sliding) 1h window with a 15min hop, per event_type: every
+    window start on a 15-min boundary gets the count and e3 value sum of the
+    events inside [start, start+1h).  The windowed-aggregate op Ray Data has
+    no native form of — expressed as per-batch partial aggregation on the
+    hop bucket followed by a k=4 window-membership expansion of the REDUCED
+    space (stages/windows.py:hopping_window_agg), so the shuffle moves
+    ~4 rows per (bucket, type) per batch, never input rows."""
+    from rayval.stages.windows import hopping_window_agg
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = hopping_window_agg(
+        ds, "ts", "event_type", "value", window_us=3_600_000_000, hop_us=900_000_000
+    )
+    return _collect(
+        out,
+        pa.schema(
+            [
+                ("window_start_us", pa.int64()),
+                ("event_type", pa.string()),
+                ("n", pa.int64()),
+                ("sum_value_e3", pa.int64()),
+            ]
+        ),
+    )
+
+
+SQL_EVENTS_SLIDING_WINDOW = """
+SELECT (epoch_us(ts) // 900000000 - i) * 900000000 AS window_start_us,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_e3
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) offs
+WHERE ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # ========================================================== dedup / lookups
 def q_dedup_first_per_group(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
@@ -2829,6 +2867,7 @@ QUERIES = {
     # sessions family was re-bucketed in round 5 — keep all five in-window)
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_with_prev": (q_events_with_prev, SQL_EVENTS_WITH_PREV),
     "events_asof_view": (q_events_asof_view, SQL_EVENTS_ASOF_VIEW),

@@ -144,3 +144,98 @@ def sessionize(
         )
 
     return _grouped(ds, by, n_buckets, per_bucket)
+
+def _fill_of(t: pa.DataType):
+    """Arbitrary non-null fill for a null-bearing group-key column; rows
+    carrying it are distinguished from genuine occurrences of the same value
+    by the paired null-flag column, so the choice is semantics-free."""
+    return pa.scalar("", t) if pa.types.is_string(t) or pa.types.is_large_string(t) else pa.scalar(0, t)
+
+
+def hopping_window_agg(
+    ds: "ray.data.Dataset",
+    ts_col: str,
+    by: str,
+    value_col: str,
+    window_us: int,
+    hop_us: int,
+    n_col: str = "n",
+    sum_col: str = "sum_value_e3",
+    ws_col: str = "window_start_us",
+) -> "ray.data.Dataset":
+    """Hopping (sliding) window aggregate: for every window of length
+    ``window_us`` starting on a ``hop_us`` boundary, the event count and the
+    e3 fixed-point sum of ``value_col`` per ``by`` group — SQL ``GROUP BY
+    window_start, by`` after a k-way window-membership expansion
+    (k = window/hop).  events_hourly is the tumbling special case (k = 1).
+
+    Scale shape: each batch is PARTIAL-AGGREGATED on its (hop-bucket, by)
+    pairs first — one row per pair per batch — and the k-way expansion runs
+    on that reduced space, so the global groupby shuffles ~k * buckets *
+    groups rows per batch, never the input rows.  No sort, no per-key
+    dispatch; output cardinality is (time-range / hop) * |by| regardless of
+    input size.  Null-``ts`` rows are dropped (no window membership — SQL
+    oracles filter them identically); null ``value`` sums as 0 (SQL SUM
+    skips nulls, adding nothing).
+    """
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    k = window_us // hop_us
+    by_t = ds.schema().base_schema.field(by).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {ws_col: pa.array([], pa.int64()), by: pa.array([], by_t),
+             "_e3": pa.array([], pa.int64()), "_one": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        batch = batch.filter(batch[ts_col].is_valid())
+        if batch.num_rows == 0:
+            return empty
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(batch[value_col], 0.0).to_numpy(zero_copy_only=False)
+        # DuckDB ROUND parity: half AWAY from zero (np.round is half-even)
+        e3 = (np.sign(v) * np.floor(np.abs(v) * 1000 + 0.5)).astype(np.int64)
+        t = pa.table(
+            {by: batch[by], "_b": pa.array(ts // hop_us), "_e3": pa.array(e3),
+             "_one": pa.array(np.ones(batch.num_rows, dtype=np.int64))}
+        )
+        part = t.group_by([by, "_b"]).aggregate([("_e3", "sum"), ("_one", "sum")]).combine_chunks()
+        m = part.num_rows
+        rep = pa.array(np.repeat(np.arange(m, dtype=np.int64), k))
+        offs = np.tile(np.arange(k, dtype=np.int64), m)
+        b = part["_b"].to_numpy(zero_copy_only=False)
+        # Ray's groupby sort chokes on null keys (None vs str compare), so
+        # the group key crosses the exchange as (null-filled value, null
+        # flag) — exact, collision-free — and nulls are restored after the
+        # aggregate.
+        by_rep = part[by].take(rep)
+        return pa.table(
+            {
+                ws_col: pa.array((np.repeat(b, k) - offs) * hop_us),
+                "_byf": pc.fill_null(by_rep, _fill_of(by_t)),
+                "_byn": pc.is_null(by_rep),
+                "_e3": part["_e3_sum"].take(rep),
+                "_one": part["_one_sum"].take(rep),
+            }
+        )
+
+    def restore(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                ws_col: batch[ws_col],
+                by: pc.if_else(batch["_byn"], pa.scalar(None, by_t), batch["_byf"]),
+                n_col: batch[n_col],
+                sum_col: batch[sum_col],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([ws_col, "_byf", "_byn"])
+        .aggregate(Sum("_one", alias_name=n_col), Sum("_e3", alias_name=sum_col))
+        .map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)
+    )

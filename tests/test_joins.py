@@ -561,3 +561,64 @@ def test_window_ops_null_ts_semantics(ray_session):
                       n_buckets=4).take_all()
     assert len(sess) == 1 and sess[0]["n_events"] == 2  # null-ts row dropped
     assert sess[0]["session_start"] == 1_000_000
+
+
+def test_hopping_window_agg_brute_force(ray_session):
+    """hopping_window_agg vs a per-row python reference: every event counts
+    in exactly k = window/hop windows; null ts dropped; null value sums 0;
+    multi-block input (partial aggregation across block boundaries)."""
+    import collections
+
+    import numpy as np
+    import ray.data
+
+    from rayval.stages.windows import hopping_window_agg
+
+    rng = np.random.default_rng(11)
+    n = 500
+    hop, win = 900_000_000, 3_600_000_000
+    ts = rng.integers(0, 40 * hop, n)
+    types = rng.choice(["a", "b", None], n, p=[0.5, 0.4, 0.1]).tolist()
+    vals = rng.uniform(-5, 5, n).round(4)
+    ts_mask = rng.random(n) < 0.05
+    val_mask = rng.random(n) < 0.05
+    t = pa.table({
+        "ts": pa.array([None if m else int(v) for m, v in zip(ts_mask, ts)],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array([None if m else float(v) for m, v in zip(val_mask, vals)],
+                          pa.float64()),
+    })
+    out = pa.Table.from_pylist(
+        hopping_window_agg(
+            ray.data.from_arrow(t).repartition(7), "ts", "event_type", "value",
+            window_us=win, hop_us=hop,
+        ).take_all()
+    )
+    exp_n, exp_s = collections.Counter(), collections.Counter()
+    for i in range(n):
+        if ts_mask[i]:
+            continue
+        v = 0.0 if val_mask[i] else float(vals[i])
+        e3 = int(np.sign(v) * np.floor(abs(v) * 1000 + 0.5))
+        b = int(ts[i]) // hop
+        for j in range(win // hop):
+            key = ((b - j) * hop, types[i])
+            exp_n[key] += 1
+            exp_s[key] += e3
+    got = {(r["window_start_us"], r["event_type"]): (r["n"], r["sum_value_e3"])
+           for r in out.to_pylist()}
+    assert got == {k: (exp_n[k], exp_s[k]) for k in exp_n}
+    assert sum(exp_n.values()) == (n - int(ts_mask.sum())) * (win // hop)
+
+
+def test_hopping_window_agg_rejects_non_multiple(ray_session):
+    import ray.data
+
+    from rayval.stages.windows import hopping_window_agg
+
+    t = pa.table({"ts": pa.array([0], pa.int64()).cast(pa.timestamp("us")),
+                  "event_type": pa.array(["a"]), "value": pa.array([1.0])})
+    with pytest.raises(ValueError):
+        hopping_window_agg(ray.data.from_arrow(t), "ts", "event_type", "value",
+                           window_us=1000, hop_us=300)
