@@ -747,8 +747,12 @@ def q_events_sliding_window(sf_dir: str) -> pa.Table:
     )
 
 
+# time_bucket (not //) on the oracle side: DuckDB integer division truncates
+# toward zero while the engine's numpy // floors, so a pre-1970 timestamp
+# would silently land the two sides in different hop buckets; time_bucket
+# floors for all signs (the 1970 epoch is itself 15-min aligned).
 SQL_EVENTS_SLIDING_WINDOW = """
-SELECT (epoch_us(ts) // 900000000 - i) * 900000000 AS window_start_us,
+SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)) - CAST(i AS BIGINT) * 900000000 AS window_start_us,
        event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_e3
