@@ -1620,6 +1620,31 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_lang_char_histogram(sf_dir: str) -> pa.Table:
+    """EXACT fixed-bin histogram of n_chars per lang (width 50, 16 bins,
+    clipped) — the deterministic complement of the KLL drift sketches for
+    profile checks that pin exact bin counts.  Per-batch Arrow partial count
+    on (lang, bin), then a tiny global groupby (stages/stats.py:
+    grouped_histogram); output cardinality n_langs x 16 regardless of input
+    size."""
+    from rayval.stages.stats import grouped_histogram
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = grouped_histogram(ds, "lang", "n_chars", width=50, nbins=16)
+    return _collect(
+        out,
+        pa.schema([("lang", pa.string()), ("bin", pa.int64()), ("n", pa.int64())]),
+    )
+
+
+# clip rescues the floor-vs-truncate divergence of numpy // vs DuckDB //:
+# a negative quotient lands in bin 0 under both semantics.
+SQL_LANG_CHAR_HISTOGRAM = """
+SELECT lang, LEAST(GREATEST(n_chars // 50, 0), 15) AS bin, COUNT(*) AS n
+FROM documents WHERE n_chars IS NOT NULL GROUP BY lang, bin
+"""
+
+
 def q_grouped_distinct_corpus(sf_dir: str) -> pa.Table:
     """HLL grouped-distinct over the REAL orders table (rows-only: estimates
     carry ~1.04/sqrt(2^p) error at corpus cardinalities; pytest gates them
@@ -2836,6 +2861,7 @@ QUERIES = {
     "langid_predictions": (q_langid, _sql_langid()),
     "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
     "grouped_distinct": (q_grouped_distinct, SQL_GROUPED_DISTINCT),
+    "lang_char_histogram": (q_lang_char_histogram, SQL_LANG_CHAR_HISTOGRAM),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     # sampling + dedup-hash family: engine hash columns vectorized in round 5
     # (md5 parity moved into the oracle side) — keep in the driver's 50-query

@@ -48,3 +48,11 @@ def key_codes(col) -> np.ndarray:
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     enc = pc.dictionary_encode(col)
     return pc.fill_null(pc.cast(enc.indices, pa.int64()), -1).to_numpy(zero_copy_only=False)
+
+
+def null_fill_of(t: pa.DataType):
+    """Arbitrary non-null fill for a null-bearing group-key column crossing
+    a Ray groupby exchange (whose sort rejects None-vs-value comparisons);
+    rows carrying it are distinguished from genuine occurrences of the same
+    value by a paired null-flag key column, so the choice is semantics-free."""
+    return pa.scalar("", t) if pa.types.is_string(t) or pa.types.is_large_string(t) else pa.scalar(0, t)

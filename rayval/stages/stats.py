@@ -330,3 +330,81 @@ def grouped_distinct_sketch(
         .groupby(group_col)
         .map_groups(merge_group, batch_format="pyarrow")
     )
+
+
+def grouped_histogram(
+    ds,
+    by: str,
+    col: str,
+    width: int,
+    nbins: int,
+    lo: int = 0,
+    bin_col: str = "bin",
+    n_col: str = "n",
+):
+    """EXACT fixed-bin histogram of integer ``col`` per ``by`` group — the
+    deterministic complement of the KLL/t-digest drift sketches (stats above
+    estimate quantiles; a profile check that pins exact bin counts wants
+    this).  bin = clip((col - lo) // width, 0, nbins-1), pure integer
+    arithmetic.
+
+    Floor-vs-truncate parity note: numpy ``//`` floors while DuckDB ``//``
+    truncates toward zero — they differ only on NEGATIVE quotients, and
+    every negative quotient clips to bin 0 under BOTH semantics, so the
+    clipped bin is oracle-exact for any input sign.
+
+    Scale shape: per-batch Arrow partial count on (by, bin) — at most
+    n_groups x nbins rows leave each batch — then a tiny global groupby;
+    output cardinality is n_groups x nbins regardless of input size.  Null
+    ``col`` rows are dropped (no bin; SQL oracles filter identically); null
+    ``by`` keys are kept as their own group, crossing the Ray exchange as
+    (filled value, null flag) pairs exactly like hopping_window_agg."""
+    from rayval.stages.bucketed import null_fill_of
+
+    if width <= 0 or nbins <= 0:
+        raise ValueError("width and nbins must be positive")
+    by_t = ds.schema().base_schema.field(by).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"_byf": pa.array([], by_t), "_byn": pa.array([], pa.bool_()),
+             bin_col: pa.array([], pa.int64()), "_one": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        batch = batch.filter(batch[col].is_valid())
+        if batch.num_rows == 0:
+            return empty
+        v = batch[col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bins = np.clip((v - lo) // width, 0, nbins - 1)
+        t = pa.table(
+            {by: batch[by], bin_col: pa.array(bins),
+             "_one": pa.array(np.ones(batch.num_rows, dtype=np.int64))}
+        )
+        part = t.group_by([by, bin_col]).aggregate([("_one", "sum")]).combine_chunks()
+        return pa.table(
+            {
+                "_byf": pc.fill_null(part[by], null_fill_of(by_t)),
+                "_byn": pc.is_null(part[by]),
+                bin_col: part[bin_col],
+                "_one": part["_one_sum"],
+            }
+        )
+
+    def restore(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                by: pc.if_else(batch["_byn"], pa.scalar(None, by_t), batch["_byf"]),
+                bin_col: batch[bin_col],
+                n_col: batch[n_col],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["_byf", "_byn", bin_col])
+        .aggregate(Sum("_one", alias_name=n_col))
+        .map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -24,7 +24,13 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from rayval.stages.bucketed import DEFAULT_BUCKETS, drop_bucket_col, grouped_reduce, key_codes
+from rayval.stages.bucketed import (
+    DEFAULT_BUCKETS,
+    drop_bucket_col,
+    grouped_reduce,
+    key_codes,
+    null_fill_of,
+)
 
 _grouped = grouped_reduce  # shared dispatch (stages/bucketed.py)
 _drop_bucket = drop_bucket_col
@@ -145,12 +151,6 @@ def sessionize(
 
     return _grouped(ds, by, n_buckets, per_bucket)
 
-def _fill_of(t: pa.DataType):
-    """Arbitrary non-null fill for a null-bearing group-key column; rows
-    carrying it are distinguished from genuine occurrences of the same value
-    by the paired null-flag column, so the choice is semantics-free."""
-    return pa.scalar("", t) if pa.types.is_string(t) or pa.types.is_large_string(t) else pa.scalar(0, t)
-
 
 def hopping_window_agg(
     ds: "ray.data.Dataset",
@@ -214,7 +214,7 @@ def hopping_window_agg(
         return pa.table(
             {
                 ws_col: pa.array((np.repeat(b, k) - offs) * hop_us),
-                "_byf": pc.fill_null(by_rep, _fill_of(by_t)),
+                "_byf": pc.fill_null(by_rep, null_fill_of(by_t)),
                 "_byn": pc.is_null(by_rep),
                 "_e3": part["_e3_sum"].take(rep),
                 "_one": part["_one_sum"].take(rep),

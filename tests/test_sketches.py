@@ -321,3 +321,50 @@ def test_tdigest_quantile_monotone_property():
         assert min(vals) <= ests[0] + 1e-9 and ests[-1] <= max(vals) + 1e-9
 
     check()
+
+
+def test_grouped_histogram_brute_force(ray_session):
+    """grouped_histogram vs per-row python: clipped bins, null col dropped,
+    null group key kept as its own group, multi-block partials."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.stats import grouped_histogram
+
+    rng = np.random.default_rng(5)
+    n = 400
+    vals = rng.integers(-120, 1200, n)
+    langs = rng.choice(["en", "de", None], n, p=[0.5, 0.4, 0.1]).tolist()
+    vmask = rng.random(n) < 0.08
+    t = pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_chars": pa.array([None if m else int(v) for m, v in zip(vmask, vals)], pa.int64()),
+    })
+    out = pa.Table.from_pylist(
+        grouped_histogram(
+            ray.data.from_arrow(t).repartition(5), "lang", "n_chars", width=50, nbins=16
+        ).take_all()
+    )
+    exp = collections.Counter()
+    for i in range(n):
+        if vmask[i]:
+            continue
+        exp[(langs[i], min(max(int(vals[i]) // 50, 0), 15))] += 1
+    got = {(r["lang"], r["bin"]): r["n"] for r in out.to_pylist()}
+    assert got == dict(exp)
+    assert any(k[0] is None for k in got)  # null group survived the exchange
+
+
+def test_grouped_histogram_rejects_bad_params(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from rayval.stages.stats import grouped_histogram
+
+    t = pa.table({"lang": pa.array(["a"]), "n_chars": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError):
+        grouped_histogram(ray.data.from_arrow(t), "lang", "n_chars", width=0, nbins=4)
