@@ -755,7 +755,7 @@ SQL_EVENTS_SLIDING_WINDOW = """
 SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)) - CAST(i AS BIGINT) * 900000000 AS window_start_us,
        event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_e3
+       CAST(COALESCE(SUM(CAST(ROUND(value*1000) AS BIGINT)), 0) AS BIGINT) AS sum_value_e3
 FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) offs
 WHERE ts IS NOT NULL
 GROUP BY 1, 2

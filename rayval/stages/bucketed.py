@@ -55,4 +55,30 @@ def null_fill_of(t: pa.DataType):
     a Ray groupby exchange (whose sort rejects None-vs-value comparisons);
     rows carrying it are distinguished from genuine occurrences of the same
     value by a paired null-flag key column, so the choice is semantics-free."""
-    return pa.scalar("", t) if pa.types.is_string(t) or pa.types.is_large_string(t) else pa.scalar(0, t)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar("", t)
+    if pa.types.is_fixed_size_binary(t):
+        return pa.scalar(b"\x00" * t.byte_width, t)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pa.scalar(b"", t)
+    if pa.types.is_boolean(t):
+        return pa.scalar(False, t)
+    if (pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t)
+            or pa.types.is_temporal(t)):
+        return pa.scalar(0, t)
+    raise TypeError(f"unsupported group-key type for a null-safe exchange: {t}")
+
+
+def pack_null_key(col, t: pa.DataType):
+    """(filled, null_flag) pair for a group-key column about to cross a Ray
+    groupby exchange: Ray's sort rejects None-vs-value comparisons, so the
+    key travels as a non-null filled column plus a boolean flag and is
+    rebuilt with restore_null_key after the aggregate.  Exact and
+    collision-free (a genuine fill-value key differs in the flag)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pc.fill_null(col, null_fill_of(t)), pc.is_null(col)
+
+
+def restore_null_key(filled, flag, t: pa.DataType):
+    """Inverse of pack_null_key: null where the flag is set."""
+    return pc.if_else(flag, pa.scalar(None, t), filled)

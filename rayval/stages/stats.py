@@ -359,7 +359,7 @@ def grouped_histogram(
     ``col`` rows are dropped (no bin; SQL oracles filter identically); null
     ``by`` keys are kept as their own group, crossing the Ray exchange as
     (filled value, null flag) pairs exactly like hopping_window_agg."""
-    from rayval.stages.bucketed import null_fill_of
+    from rayval.stages.bucketed import pack_null_key, restore_null_key
 
     if width <= 0 or nbins <= 0:
         raise ValueError("width and nbins must be positive")
@@ -382,10 +382,11 @@ def grouped_histogram(
              "_one": pa.array(np.ones(batch.num_rows, dtype=np.int64))}
         )
         part = t.group_by([by, bin_col]).aggregate([("_one", "sum")]).combine_chunks()
+        byf, byn = pack_null_key(part[by], by_t)
         return pa.table(
             {
-                "_byf": pc.fill_null(part[by], null_fill_of(by_t)),
-                "_byn": pc.is_null(part[by]),
+                "_byf": byf,
+                "_byn": byn,
                 bin_col: part[bin_col],
                 "_one": part["_one_sum"],
             }
@@ -394,7 +395,7 @@ def grouped_histogram(
     def restore(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                by: pc.if_else(batch["_byn"], pa.scalar(None, by_t), batch["_byf"]),
+                by: restore_null_key(batch["_byf"], batch["_byn"], by_t),
                 bin_col: batch[bin_col],
                 n_col: batch[n_col],
             }

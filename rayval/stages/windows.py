@@ -29,7 +29,8 @@ from rayval.stages.bucketed import (
     drop_bucket_col,
     grouped_reduce,
     key_codes,
-    null_fill_of,
+    pack_null_key,
+    restore_null_key,
 )
 
 _grouped = grouped_reduce  # shared dispatch (stages/bucketed.py)
@@ -175,18 +176,22 @@ def hopping_window_agg(
     groups rows per batch, never the input rows.  No sort, no per-key
     dispatch; output cardinality is (time-range / hop) * |by| regardless of
     input size.  Null-``ts`` rows are dropped (no window membership — SQL
-    oracles filter them identically); null ``value`` sums as 0 (SQL SUM
-    skips nulls, adding nothing).
+    oracles filter them identically); null ``value`` sums as 0 — note SQL
+    SUM alone returns NULL for an all-null group, so oracles COALESCE their
+    SUM to 0 to share this semantics.
     """
-    if window_us % hop_us:
-        raise ValueError("window_us must be a multiple of hop_us")
+    if window_us <= 0 or hop_us <= 0 or window_us % hop_us:
+        raise ValueError("window_us and hop_us must be positive with window a multiple of hop")
     k = window_us // hop_us
     by_t = ds.schema().base_schema.field(by).type
 
     def partial(batch: pa.Table) -> pa.Table:
+        # same schema as the populated path — a heterogeneous empty block
+        # entering the sort-based exchange is the documented Ray pathology
         empty = pa.table(
-            {ws_col: pa.array([], pa.int64()), by: pa.array([], by_t),
-             "_e3": pa.array([], pa.int64()), "_one": pa.array([], pa.int64())}
+            {ws_col: pa.array([], pa.int64()), "_byf": pa.array([], by_t),
+             "_byn": pa.array([], pa.bool_()), "_e3": pa.array([], pa.int64()),
+             "_one": pa.array([], pa.int64())}
         )
         if batch.num_rows == 0:
             return empty
@@ -206,16 +211,14 @@ def hopping_window_agg(
         rep = pa.array(np.repeat(np.arange(m, dtype=np.int64), k))
         offs = np.tile(np.arange(k, dtype=np.int64), m)
         b = part["_b"].to_numpy(zero_copy_only=False)
-        # Ray's groupby sort chokes on null keys (None vs str compare), so
-        # the group key crosses the exchange as (null-filled value, null
-        # flag) — exact, collision-free — and nulls are restored after the
-        # aggregate.
-        by_rep = part[by].take(rep)
+        # Ray's groupby sort chokes on null keys (None vs str compare): pack
+        # the key as (filled, flag) on the m-row reduced space, THEN expand
+        byf, byn = pack_null_key(part[by], by_t)
         return pa.table(
             {
                 ws_col: pa.array((np.repeat(b, k) - offs) * hop_us),
-                "_byf": pc.fill_null(by_rep, null_fill_of(by_t)),
-                "_byn": pc.is_null(by_rep),
+                "_byf": byf.take(rep),
+                "_byn": byn.take(rep),
                 "_e3": part["_e3_sum"].take(rep),
                 "_one": part["_one_sum"].take(rep),
             }
@@ -225,7 +228,7 @@ def hopping_window_agg(
         return pa.table(
             {
                 ws_col: batch[ws_col],
-                by: pc.if_else(batch["_byn"], pa.scalar(None, by_t), batch["_byf"]),
+                by: restore_null_key(batch["_byf"], batch["_byn"], by_t),
                 n_col: batch[n_col],
                 sum_col: batch[sum_col],
             }

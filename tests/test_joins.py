@@ -622,3 +622,47 @@ def test_hopping_window_agg_rejects_non_multiple(ray_session):
     with pytest.raises(ValueError):
         hopping_window_agg(ray.data.from_arrow(t), "ts", "event_type", "value",
                            window_us=1000, hop_us=300)
+
+
+def test_hopping_window_agg_all_null_ts_block(ray_session):
+    """A block that is ENTIRELY null-ts (and an empty block) must emit the
+    same partial schema as populated blocks — a heterogeneous empty block
+    entering the sort exchange is the documented Ray pathology; also the
+    all-null-value group sums to 0 (the oracle COALESCEs to match)."""
+    import ray.data
+
+    from rayval.stages.windows import hopping_window_agg
+
+    hop = 900_000_000
+    t_null = pa.table({
+        "ts": pa.array([None] * 5, pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array(["a"] * 5, pa.string()),
+        "value": pa.array([1.0] * 5, pa.float64()),
+    })
+    t_real = pa.table({
+        "ts": pa.array([hop + 7, hop + 9], pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array(["a", "a"], pa.string()),
+        "value": pa.array([None, None], pa.float64()),
+    })
+    ds = ray.data.from_arrow(t_null).union(ray.data.from_arrow(t_real))
+    out = pa.Table.from_pylist(
+        hopping_window_agg(ds, "ts", "event_type", "value",
+                           window_us=4 * hop, hop_us=hop).take_all()
+    )
+    got = {(r["window_start_us"], r["event_type"]): (r["n"], r["sum_value_e3"])
+           for r in out.to_pylist()}
+    # 2 non-null-ts rows in bucket 1, all-null values -> n=2, sum 0, 4 windows
+    assert got == {((1 - j) * hop, "a"): (2, 0) for j in range(4)}
+
+
+def test_hopping_window_agg_rejects_nonpositive(ray_session):
+    import ray.data
+
+    from rayval.stages.windows import hopping_window_agg
+
+    t = pa.table({"ts": pa.array([0], pa.int64()).cast(pa.timestamp("us")),
+                  "event_type": pa.array(["a"]), "value": pa.array([1.0])})
+    for w, h in ((3600, 0), (-3600, -900), (0, 900)):
+        with pytest.raises(ValueError):
+            hopping_window_agg(ray.data.from_arrow(t), "ts", "event_type", "value",
+                               window_us=w, hop_us=h)

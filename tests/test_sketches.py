@@ -368,3 +368,22 @@ def test_grouped_histogram_rejects_bad_params(ray_session):
     t = pa.table({"lang": pa.array(["a"]), "n_chars": pa.array([1], pa.int64())})
     with pytest.raises(ValueError):
         grouped_histogram(ray.data.from_arrow(t), "lang", "n_chars", width=0, nbins=4)
+
+
+def test_grouped_histogram_binary_group_key(ray_session):
+    """pack_null_key supports binary group keys (null_fill_of b'' fill) —
+    the hash-key shape dedup stages group on."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.stats import grouped_histogram
+
+    t = pa.table({
+        "k": pa.array([b"\x01", b"\x01", None, b"\x02"], pa.binary()),
+        "v": pa.array([10, 120, 10, None], pa.int64()),
+    })
+    out = pa.Table.from_pylist(
+        grouped_histogram(ray.data.from_arrow(t), "k", "v", width=50, nbins=4).take_all()
+    )
+    got = {(r["k"], r["bin"]): r["n"] for r in out.to_pylist()}
+    assert got == {(b"\x01", 0): 1, (b"\x01", 2): 1, (None, 0): 1}
