@@ -876,12 +876,16 @@ def q_events_sessions(sf_dir: str) -> pa.Table:
     )
 
 
+# WHERE ts IS NOT NULL mirrors the engine (stages/windows.py:sessionize
+# DROPS null-ts rows — a NaT would fabricate a garbage session_start);
+# without the filter SQL's NULLS-LAST ordering would count them into the
+# last session instead.
 SQL_EVENTS_SESSIONS = """
 WITH marked AS (
   SELECT user_id, ts,
          CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), numbered AS (
   SELECT user_id, ts, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked
@@ -1181,6 +1185,21 @@ FROM k, c ORDER BY doc_id
 """
 
 
+def _clean_report_table(rep: dict) -> pa.Table:
+    """Shared by the fixture and corpus clean_corpus queries: the kept
+    doc_ids (Arrow-block collect of the one projected column — a row-based
+    take_all would build a python dict per row) plus the four per-stage
+    report counts broadcast into constant columns, so the two variants can
+    never drift apart in schema."""
+    kept_ids = _collect(rep["_kept"].select_columns(["doc_id"]), pa.schema([("doc_id", pa.int64())]))
+    ids = kept_ids.sort_by("doc_id")["doc_id"]
+    n = len(ids)
+    cols = {"doc_id": ids}
+    for c in ("rows_in", "rows_after_quality", "exact_dropped", "near_dropped"):
+        cols[c] = pa.array([rep[c]] * n, type=pa.int64())
+    return pa.table(cols)
+
+
 def q_clean_corpus(sf_dir: str) -> pa.Table:
     """Composed training-data cleaning chain (quality filter -> exact dedup
     keep-first -> near-dup keep-canonical) over the planted fixture; returns
@@ -1193,21 +1212,7 @@ def q_clean_corpus(sf_dir: str) -> pa.Table:
 
     ds = ray.data.read_parquet(_ensure_clean_fixture())
     rep = clean_corpus(ds, cfg=CleanConfig(min_tokens=5, minhash_est_threshold=0.7))
-    kept = rep["_kept"]
-    # Arrow-block collect of the one projected column (row-based take_all
-    # would build a python dict per row)
-    ids_t = _collect(kept.select_columns(["doc_id"]), pa.schema([("doc_id", pa.int64())]))
-    ids = ids_t.sort_by("doc_id")["doc_id"]
-    n = len(ids)
-    return pa.table(
-        {
-            "doc_id": ids,
-            "rows_in": pa.array([rep["rows_in"]] * n, type=pa.int64()),
-            "rows_after_quality": pa.array([rep["rows_after_quality"]] * n, type=pa.int64()),
-            "exact_dropped": pa.array([rep["exact_dropped"]] * n, type=pa.int64()),
-            "near_dropped": pa.array([rep["near_dropped"]] * n, type=pa.int64()),
-        }
-    )
+    return _clean_report_table(rep)
 
 
 def q_clean_corpus_corpus(sf_dir: str) -> pa.Table:
@@ -1217,18 +1222,7 @@ def q_clean_corpus_corpus(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     rep = clean_corpus(ds, cfg=CleanConfig(min_tokens=5, minhash_est_threshold=0.7))
-    ids_t = _collect(rep["_kept"].select_columns(["doc_id"]), pa.schema([("doc_id", pa.int64())]))
-    ids = ids_t.sort_by("doc_id")["doc_id"]
-    n = len(ids)
-    return pa.table(
-        {
-            "doc_id": ids,
-            "rows_in": pa.array([rep["rows_in"]] * n, type=pa.int64()),
-            "rows_after_quality": pa.array([rep["rows_after_quality"]] * n, type=pa.int64()),
-            "exact_dropped": pa.array([rep["exact_dropped"]] * n, type=pa.int64()),
-            "near_dropped": pa.array([rep["near_dropped"]] * n, type=pa.int64()),
-        }
-    )
+    return _clean_report_table(rep)
 
 
 def q_top_orders(sf_dir: str) -> pa.Table:
@@ -1399,11 +1393,19 @@ def q_events_with_prev(sf_dir: str) -> pa.Table:
     )
 
 
+# Two-branch form mirrors the engine (stages/windows.py:grouped_lag): a
+# null-ts row carries null prev/gap and never serves as another row's prev,
+# so LAG runs over the non-null-ts rows only; a single LAG over all rows
+# would order NULLs last and hand the last real event to them as prev.
 SQL_EVENTS_WITH_PREV = """
 SELECT event_id, user_id,
        LAG(event_id) OVER w AS prev_event_id,
        CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS BIGINT) AS gap_us
-FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+FROM events WHERE ts IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+UNION ALL
+SELECT event_id, user_id, NULL AS prev_event_id, NULL AS gap_us
+FROM events WHERE ts IS NULL
 """
 
 
@@ -1425,12 +1427,20 @@ def q_events_asof_view(sf_dir: str) -> pa.Table:
     ).sort_by([("event_id", "ascending")])
 
 
+# Two-branch form: DuckDB's ASOF implementation binary-searches with NULLS
+# LAST, so a NULL probe ts "matches" the last build row — the engine (and
+# plain comparison semantics) match nothing for NULL.  Null-ts probes are
+# split out with a NULL match; null-ts build rows are filtered (p.ts >=
+# NULL is never true).
 SQL_EVENTS_ASOF_VIEW = """
 SELECT p.event_id, v.event_id AS view_event_id
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+FROM (SELECT * FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view' AND ts IS NOT NULL) v
   ON p.user_id = v.user_id AND p.ts >= v.ts
-ORDER BY p.event_id
+UNION ALL
+SELECT event_id, NULL AS view_event_id
+FROM events WHERE event_type = 'purchase' AND ts IS NULL
+ORDER BY 1
 """
 
 

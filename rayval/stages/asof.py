@@ -32,8 +32,11 @@ matches nothing (comparisons with NULL are never true); right rows with a
 NULL ``on`` never match.  Ties on ``on`` within a key are broken by the
 LARGEST right-side pick value (sort places null picks first, so a null pick
 loses ties), so output is deterministic even when (by, on) repeats on the
-right.  Null ``by`` keys form their own group (dictionary-encode run codes,
-not value comparisons, so null==null groups correctly).
+right.  Null ``by`` keys follow SQL ON-clause semantics: ``l.by = r.by`` is
+never true for NULL, so null-key RIGHT rows are dropped at bucket prep and
+null-key LEFT rows come out unmatched (null pick / count 0 / no pairs) —
+unlike the window operators (windows.py), whose SQL analog is PARTITION BY,
+which groups NULL keys together.
 """
 
 from __future__ import annotations
@@ -86,7 +89,6 @@ def _tag_union(
     )
 
 
-_grouped = grouped_reduce  # shared dispatch (stages/bucketed.py)
 
 
 def _merge_pass(g: pa.Table, by: str, probe: str, right_first: bool, with_pick: bool):
@@ -132,13 +134,18 @@ def _merge_pass(g: pa.Table, by: str, probe: str, right_first: bool, with_pick: 
     }
 
 
-def _prep_bucket(g: pa.Table, on: str) -> pa.Table:
-    """Drop the bucket column and right rows with null ``on`` (they can never
-    match), and attach ``__rid`` row ids for cross-pass alignment."""
+def _prep_bucket(g: pa.Table, on: str, by: str) -> pa.Table:
+    """Drop the bucket column and right rows with a null ``on`` OR a null
+    ``by`` key (SQL ``ON l.by = r.by`` is never true for NULL, so they can
+    never match; left rows keep LEFT-join semantics: emitted unmatched), and
+    attach ``__rid`` row ids for cross-pass alignment."""
     if "__bucket" in g.column_names:
         g = g.drop_columns(["__bucket"])
     side = g["__side"]
-    keep = pc.or_(pc.equal(side, pa.scalar(0, pa.int8())), g[on].is_valid())
+    keep = pc.or_(
+        pc.equal(side, pa.scalar(0, pa.int8())),
+        pc.and_(g[on].is_valid(), g[by].is_valid()),
+    )
     g = g.filter(keep)
     return g.append_column("__rid", pa.array(np.arange(g.num_rows, dtype=np.int64)))
 
@@ -166,7 +173,7 @@ def asof_join(
     both = _tag_union(left, right, by, on, l_cols, right_pick, pick_type, l_types)
 
     def per_bucket(g: pa.Table) -> pa.Table:
-        g = _prep_bucket(g, on)
+        g = _prep_bucket(g, on, by)
         if g.num_rows == 0:
             return pa.table(
                 {**{c: pa.array([], keep_types[c]) for c in left_keep},
@@ -190,7 +197,7 @@ def asof_join(
             out[out_col] = pa.nulls(lt.num_rows, pick_type)
         return pa.table(out)
 
-    return _grouped(both, by, n_buckets, per_bucket)
+    return grouped_reduce(both, by, n_buckets, per_bucket)
 
 
 def _probe_lo_col(g: pa.Table, on: str, width) -> pa.Table:
@@ -234,7 +241,7 @@ def range_count_join(
     both = _tag_union(left, right, by, on, l_cols, None, None, l_types)
 
     def per_bucket(g: pa.Table) -> pa.Table:
-        g = _prep_bucket(g, on)
+        g = _prep_bucket(g, on, by)
         if g.num_rows == 0:
             return pa.table(
                 {**{c: pa.array([], keep_types[c]) for c in left_keep},
@@ -251,7 +258,7 @@ def range_count_join(
         out[out_col] = pa.array(counts)
         return pa.table(out)
 
-    return _grouped(both, by, n_buckets, per_bucket)
+    return grouped_reduce(both, by, n_buckets, per_bucket)
 
 
 def range_pairs_join(
@@ -294,7 +301,7 @@ def range_pairs_join(
             {**{c: pa.array([], keep_types[c]) for c in left_keep},
              out_col: pa.array([], pick_type)}
         )
-        g = _prep_bucket(g, on)
+        g = _prep_bucket(g, on, by)
         if g.num_rows == 0:
             return empty
         g = _probe_lo_col(g, on, width)
@@ -331,4 +338,4 @@ def range_pairs_join(
         out[out_col] = picks.take(pa.array(r_idx))
         return pa.table(out)
 
-    return _grouped(both, by, n_buckets, per_bucket)
+    return grouped_reduce(both, by, n_buckets, per_bucket)

@@ -187,47 +187,47 @@ def kmeans_centroids(
     """Deterministic mini-kmeans (driver-side over a bounded sample) for the
     IVF coarse quantizer.
 
-    The training sample is a distributed HASH-sample — one streaming
-    ``map_batches`` filter keeping rows whose hash (of ``key_col`` when
-    given, else of the vector contents) lands under a rate tuned to ~2×
-    ``sample_rows``, then the ``sample_rows`` smallest hashes — NOT an
-    ordered ``limit()``: limit() materializes a driver-side scan PREFIX
-    whose content depends on block order (and at 10^12 rows concentrates the
-    read on the first fragments), while the hash-sample reads every block in
-    parallel and keeps an order-independent, cluster-width-independent
-    subset.  Only ~2×sample_rows rows ever reach the driver."""
+    The training sample is a distributed HASH-sample — ONE streaming
+    ``map_batches`` pass where each batch keeps its ``sample_rows``
+    smallest-hash rows (hash of ``key_col`` when given, else of the vector
+    contents), then the driver takes the global ``sample_rows`` smallest —
+    NOT an ordered ``limit()``: limit() materializes a driver-side scan
+    PREFIX whose content depends on block order (and at 10^12 rows
+    concentrates the read on the first fragments), while the hash-sample
+    reads every block in parallel and keeps an order-independent,
+    cluster-width-independent subset (the global bottom-``sample_rows`` by
+    hash is a subset of the per-batch bottoms, so the prune is exact).  No
+    ``count()`` pre-pass — counting a filtered/transformed upstream would
+    execute the whole plan one extra time just to tune a keep rate, and the
+    per-batch bound needs no rate.  Driver volume is bounded by
+    min(batch_rows, sample_rows) per block; at extreme block counts insert
+    a single-key grouped top-n reduce before the driver (stages/topn.py
+    pattern) — documented tradeoff, not needed at this repo's block sizes."""
     from rayval.state.hashing import hash64
 
-    n = ds.count()
-    if n > sample_rows:
-        thr = np.uint64(max(1, int(min(1.0, (2.0 * sample_rows) / n) * (1 << 32))))
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("__h", pa.array([], pa.int64()))
+        if key_col is not None and key_col in b.column_names:
+            col = b[key_col]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            hv = hash64(col)
+        else:
+            # keyless: hash a deterministic per-row reduction of the
+            # vector (sampling only needs spread, not collision-freedom)
+            mat = _matrix(b[emb_col], d=1)
+            hv = hash64(np.round(mat.sum(axis=1) * 1e6).astype(np.int64))
+        if b.num_rows > sample_rows:
+            # unsigned partial-select: the batch's sample_rows smallest hashes
+            idx = np.argpartition(hv, sample_rows)[:sample_rows]
+            b, hv = b.take(pa.array(idx)), hv[idx]
+        return b.append_column("__h", pa.array(hv.view(np.int64)))
 
-        def keep(b: pa.Table) -> pa.Table:
-            if key_col is not None and key_col in b.column_names:
-                col = b[key_col]
-                col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-                hv = hash64(col)
-            else:
-                # keyless: hash a deterministic per-row reduction of the
-                # vector (sampling only needs spread, not collision-freedom)
-                mat = _matrix(b[emb_col], d=1)
-                hv = hash64(np.round(mat.sum(axis=1) * 1e6).astype(np.int64))
-            mask = (hv >> np.uint64(32)) < thr
-            out = b.filter(pa.array(mask))
-            return out.append_column("__h", pa.array(hv[mask].view(np.int64)))
-
-        sample = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).take_all()
-        # order by the UNSIGNED hash (the column is its int64 view; a signed
-        # sort would put hashes >= 2^63 first, not the smallest)
-        sample.sort(key=lambda r: r["__h"] % (1 << 64))
-        sample = sample[:sample_rows]
-        if len(sample) < min(k, sample_rows):
-            # low-cardinality / heavily-duplicated sample keys can starve the
-            # hash filter (all rows sharing a value keep or drop together) —
-            # fall back to the bounded ordered scan rather than crash kmeans
-            sample = ds.limit(sample_rows).take_all()
-    else:
-        sample = ds.take_all()
+    sample = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    # order by the UNSIGNED hash (the column is its int64 view; a signed
+    # sort would put hashes >= 2^63 first, not the smallest)
+    sample.sort(key=lambda r: r["__h"] % (1 << 64))
+    sample = sample[:sample_rows]
     m = _normalize(np.array([np.asarray(r[emb_col], dtype=np.float64) for r in sample]))
     rng = np.random.default_rng(seed)
     cents = m[rng.choice(len(m), size=min(k, len(m)), replace=False)]

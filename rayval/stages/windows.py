@@ -33,9 +33,6 @@ from rayval.stages.bucketed import (
     restore_null_key,
 )
 
-_grouped = grouped_reduce  # shared dispatch (stages/bucketed.py)
-_drop_bucket = drop_bucket_col
-
 
 def _key_change(col, n: int) -> np.ndarray:
     """Boolean mask: True where the SORTED key column starts a new key run
@@ -67,7 +64,7 @@ def grouped_lag(
     by_t, id_t = sch.field(by).type, sch.field(id_col).type
 
     def per_bucket(g: pa.Table) -> pa.Table:
-        g = _drop_bucket(g)
+        g = drop_bucket_col(g)
         n = g.num_rows
         if n == 0:
             return pa.table(
@@ -104,7 +101,7 @@ def grouped_lag(
             }
         )
 
-    return _grouped(ds, by, n_buckets, per_bucket)
+    return grouped_reduce(ds, by, n_buckets, per_bucket)
 
 
 def sessionize(
@@ -120,12 +117,14 @@ def sessionize(
     with the session's start timestamp (epoch us) and event count; a gap
     > ``gap_us`` (or a key change) starts a new session.  One Arrow sort +
     run-length pass per bucket.  Rows with null ``ts`` are DROPPED (a NaT
-    would round-trip to int64-min and fabricate a garbage session_start;
-    SQL window frames ordered by ts skip them the same way)."""
+    would round-trip to int64-min and fabricate a garbage session_start);
+    note plain SQL windowing orders NULLs LAST and would count them into the
+    last session, so the paired oracles filter ``ts IS NOT NULL`` to share
+    this semantics."""
     by_t = ds.schema().base_schema.field(by).type
 
     def per_bucket(g: pa.Table) -> pa.Table:
-        g = _drop_bucket(g)
+        g = drop_bucket_col(g)
         g = g.filter(g[ts_col].is_valid())
         n = g.num_rows
         if n == 0:
@@ -150,7 +149,7 @@ def sessionize(
             }
         )
 
-    return _grouped(ds, by, n_buckets, per_bucket)
+    return grouped_reduce(ds, by, n_buckets, per_bucket)
 
 
 def hopping_window_agg(

@@ -507,25 +507,24 @@ def test_window_ops_bucketed_equals_per_key(ray_session):
     assert sum(r["n_events"] for r in s_b.to_pylist()) == n
 
 
-def test_range_pairs_cap_counts_null_key_separately(ray_session):
-    """The per-key pair cap must bin the null-key group separately from key
-    0 (regression: np.maximum(codes, 0) merged them and a within-bounds join
-    tripped the cap on their combined total)."""
+def test_range_pairs_cap_bins_per_key(ray_session):
+    """The per-key pair cap must bin each key separately (regression: a
+    shared bincount bin merged two groups and a within-bounds join tripped
+    the cap on their combined total)."""
     import numpy as np
     import ray.data
 
     from rayval.stages.asof import range_pairs_join
 
-    # two groups (null key and key 0), each 8 window pairs
-    # (t=10->{9,10}, t=11->{9,10,11}, t=12->{9,10,11});
-    # cap 10 passes per key but would fail on the merged 16
+    # two keys, each 8 window pairs (t=10->{9,10}, t=11->{9,10,11},
+    # t=12->{9,10,11}); cap 10 passes per key, would fail on the merged 16
     l = pa.table({
-        "k": pa.array([None, None, None, 0, 0, 0], pa.int64()),
+        "k": pa.array([1, 1, 1, 0, 0, 0], pa.int64()),
         "t": pa.array([10, 11, 12, 10, 11, 12], pa.int64()),
         "lid": pa.array(list(range(6)), pa.int64()),
     })
     r = pa.table({
-        "k": pa.array([None, None, None, 0, 0, 0], pa.int64()),
+        "k": pa.array([1, 1, 1, 0, 0, 0], pa.int64()),
         "t": pa.array([9, 10, 11, 9, 10, 11], pa.int64()),
         "rid": pa.array(list(range(100, 106)), pa.int64()),
     })
@@ -535,7 +534,41 @@ def test_range_pairs_cap_counts_null_key_separately(ray_session):
         out_col="m", max_pairs_per_key=10, n_buckets=1,  # one bucket: both groups together
     )
     rows = out.take_all()
-    assert len(rows) == 16  # 8 pairs per group, no spurious cap trip
+    assert len(rows) == 16  # 8 pairs per key, no spurious cap trip
+
+
+def test_temporal_joins_null_key_sql_semantics(ray_session):
+    """SQL ON-clause parity: ``l.by = r.by`` is never true for NULL, so a
+    null-key left row comes out unmatched (null pick / count 0 / no pairs)
+    even when a null-key right row would 'match' under null==null grouping —
+    unlike the window ops, whose PARTITION BY analog groups nulls."""
+    import ray.data
+
+    from rayval.stages.asof import asof_join, range_count_join, range_pairs_join
+
+    l = pa.table({
+        "k": pa.array([None, 0], pa.int64()),
+        "t": pa.array([10, 10], pa.int64()),
+        "lid": pa.array([0, 1], pa.int64()),
+    })
+    r = pa.table({
+        "k": pa.array([None, 0], pa.int64()),
+        "t": pa.array([9, 9], pa.int64()),
+        "rid": pa.array([100, 101], pa.int64()),
+    })
+    ds = lambda t: ray.data.from_arrow(t)  # noqa: E731
+    a = {row["lid"]: row["m"] for row in asof_join(
+        ds(l), ds(r), by="k", on="t", left_keep=["lid"], right_pick="rid",
+        out_col="m", n_buckets=1).take_all()}
+    assert a == {0: None, 1: 101}
+    c = {row["lid"]: row["n"] for row in range_count_join(
+        ds(l), ds(r), by="k", on="t", width=5, left_keep=["lid"],
+        out_col="n", n_buckets=1).take_all()}
+    assert c == {0: 0, 1: 1}
+    p = range_pairs_join(
+        ds(l), ds(r), by="k", on="t", width=5, left_keep=["lid"],
+        right_pick="rid", out_col="m", n_buckets=1).take_all()
+    assert [(row["lid"], row["m"]) for row in p] == [(1, 101)]
 
 
 def test_window_ops_null_ts_semantics(ray_session):
@@ -666,3 +699,77 @@ def test_hopping_window_agg_rejects_nonpositive(ray_session):
         with pytest.raises(ValueError):
             hopping_window_agg(ray.data.from_arrow(t), "ts", "event_type", "value",
                                window_us=w, hop_us=h)
+
+
+def test_window_and_asof_null_parity_vs_duckdb(ray_session):
+    """Engine vs the REGISTERED oracle SQL shapes on a null-bearing table —
+    the exact scenario the production fixtures mask (they carry no null
+    ts/keys): sessionize/grouped_lag against the two-branch LAG + filtered
+    session SQL, asof_join against ASOF LEFT JOIN."""
+    import duckdb
+    import ray.data
+
+    from rayval.stages.asof import asof_join
+    from rayval.stages.windows import grouped_lag, sessionize
+
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array([1, 1, 1, None, None, 2], pa.int64()),
+        "ts": pa.array([1_000_000, 3_000_000, None, 5_000_000, None, 7_000_000],
+                       pa.int64()).cast(pa.timestamp("us")),
+    })
+    con = duckdb.connect()
+    con.register("events", ev)
+
+    lag = pa.Table.from_pylist(
+        grouped_lag(ray.data.from_arrow(ev), "user_id", "ts", "event_id",
+                    n_buckets=2).take_all())
+    sql_lag = con.execute("""
+        SELECT event_id, user_id, LAG(event_id) OVER w AS prev_event_id,
+               CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS BIGINT) AS gap_us
+        FROM events WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        UNION ALL
+        SELECT event_id, user_id, NULL, NULL FROM events WHERE ts IS NULL
+    """).arrow().cast(lag.schema)
+    assert _sorted_rows(lag) == _sorted_rows(sql_lag)
+
+    ses = pa.Table.from_pylist(
+        sessionize(ray.data.from_arrow(ev), "user_id", "ts", gap_us=60_000_000,
+                   n_buckets=2).take_all())
+    sql_ses = con.execute("""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 60000000
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS s
+          FROM events WHERE ts IS NOT NULL
+        ), numbered AS (
+          SELECT user_id, ts, SUM(s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start, COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, sid
+    """).arrow().cast(ses.schema)
+    assert _sorted_rows(ses) == _sorted_rows(sql_ses)
+
+    right = pa.table({
+        "user_id": pa.array([1, None], pa.int64()),
+        "ts": pa.array([500_000, 500_000], pa.int64()).cast(pa.timestamp("us")),
+        "rid": pa.array([100, 101], pa.int64()),
+    })
+    con.register("r", right)
+    a = pa.Table.from_pylist(
+        asof_join(ray.data.from_arrow(ev), ray.data.from_arrow(right),
+                  by="user_id", on="ts", left_keep=["event_id"],
+                  right_pick="rid", out_col="m", n_buckets=2).take_all())
+    # two-branch shape of the registered oracle: DuckDB's ASOF binary-search
+    # quirk matches a NULL probe ts to the LAST build row, so null-ts probes
+    # are split out with a NULL match (engine: null matches nothing)
+    sql_a = con.execute("""
+        SELECT l.event_id, r.rid AS m FROM events l
+        ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        WHERE l.ts IS NOT NULL
+        UNION ALL
+        SELECT event_id, NULL FROM events WHERE ts IS NULL
+    """).arrow().cast(a.schema)
+    assert _sorted_rows(a) == _sorted_rows(sql_a)
