@@ -187,43 +187,68 @@ def kmeans_centroids(
     """Deterministic mini-kmeans (driver-side over a bounded sample) for the
     IVF coarse quantizer.
 
-    The training sample is a distributed HASH-sample — ONE streaming
-    ``map_batches`` pass where each batch keeps its ``sample_rows``
-    smallest-hash rows (hash of ``key_col`` when given, else of the vector
-    contents), then the driver takes the global ``sample_rows`` smallest —
-    NOT an ordered ``limit()``: limit() materializes a driver-side scan
-    PREFIX whose content depends on block order (and at 10^12 rows
-    concentrates the read on the first fragments), while the hash-sample
-    reads every block in parallel and keeps an order-independent,
-    cluster-width-independent subset (the global bottom-``sample_rows`` by
-    hash is a subset of the per-batch bottoms, so the prune is exact).  No
-    ``count()`` pre-pass — counting a filtered/transformed upstream would
-    execute the whole plan one extra time just to tune a keep rate, and the
-    per-batch bound needs no rate.  Driver volume is bounded by
-    min(batch_rows, sample_rows) per block; at extreme block counts insert
-    a single-key grouped top-n reduce before the driver (stages/topn.py
-    pattern) — documented tradeoff, not needed at this repo's block sizes."""
+    The training sample is a distributed HASH-sample: the input is projected
+    to the needed columns, each block keeps its ``sample_rows``
+    smallest-hash rows, the pruned (narrow) rows are COALESCED into a few
+    blocks and pruned again, and the driver takes the global ``sample_rows``
+    smallest — NOT an ordered ``limit()``: limit() materializes a
+    driver-side scan PREFIX whose content depends on block order (and at
+    10^12 rows concentrates the read on the first fragments), while the
+    hash-sample reads every block in parallel (the global bottom by hash is
+    a subset of the per-block bottoms, so the two-level prune is exact).
+    No ``count()`` pre-pass — counting a filtered/transformed upstream
+    would execute the whole plan one extra time just to tune a keep rate,
+    and the per-block bound needs no rate.  The coalesce+re-prune level
+    bounds driver volume at ``_COALESCE_BLOCKS x sample_rows`` rows even
+    when blocks are SMALLER than sample_rows (many tiny fragments), where a
+    single-level prune would degrade to take_all of everything.
+
+    Determinism: the hash always mixes the VECTOR contents (xor of two
+    rounded-reduction hashes) with ``key_col`` when given, so rows tying on
+    the hash are (near-certainly) identical vectors — interchangeable for
+    training — and the sampled set does not depend on block boundaries or
+    cluster width, unlike a per-batch tie-break on a key-only hash."""
     from rayval.state.hashing import hash64
+
+    _COALESCE_BLOCKS = 8
+    names = ds.schema().base_schema.names
+    use_key = key_col is not None and key_col in names
+    cols = [emb_col] + ([key_col] if use_key else [])
+
+    def _prune(b: pa.Table, hv: np.ndarray):
+        if b.num_rows > sample_rows:
+            # unsigned partial-select: the block's sample_rows smallest hashes
+            idx = np.argpartition(hv, sample_rows)[:sample_rows]
+            b, hv = b.take(pa.array(idx)), hv[idx]
+        return b, hv
 
     def keep(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return b.append_column("__h", pa.array([], pa.int64()))
-        if key_col is not None and key_col in b.column_names:
+        # two rounded per-row reductions of the vector (sampling needs
+        # spread and block-independent tie identity, not collision-freedom)
+        mat = _matrix(b[emb_col], d=1)
+        hv = hash64(np.round(mat.sum(axis=1) * 1e6).astype(np.int64))
+        if mat.shape[1]:
+            hv = hv ^ hash64(np.round(mat[:, 0] * 1e6).astype(np.int64))
+        if use_key:
             col = b[key_col]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            hv = hash64(col)
-        else:
-            # keyless: hash a deterministic per-row reduction of the
-            # vector (sampling only needs spread, not collision-freedom)
-            mat = _matrix(b[emb_col], d=1)
-            hv = hash64(np.round(mat.sum(axis=1) * 1e6).astype(np.int64))
-        if b.num_rows > sample_rows:
-            # unsigned partial-select: the batch's sample_rows smallest hashes
-            idx = np.argpartition(hv, sample_rows)[:sample_rows]
-            b, hv = b.take(pa.array(idx)), hv[idx]
+            hv = hash64(col) ^ hv
+        b, hv = _prune(b, hv)
         return b.append_column("__h", pa.array(hv.view(np.int64)))
 
-    sample = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    def reprune(b: pa.Table) -> pa.Table:
+        hv = b["__h"].to_numpy(zero_copy_only=False).view(np.uint64) if b.num_rows else None
+        return _prune(b, hv)[0]
+
+    sample = (
+        ds.select_columns(cols)
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(_COALESCE_BLOCKS)
+        .map_batches(reprune, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
     # order by the UNSIGNED hash (the column is its int64 view; a signed
     # sort would put hashes >= 2^63 first, not the smallest)
     sample.sort(key=lambda r: r["__h"] % (1 << 64))

@@ -960,3 +960,30 @@ def test_exact_dup_members_null_key_member_counts(ray_session):
     got = sorted(zip(out["doc_id"].to_pylist(), out["grp"].to_pylist()),
                  key=lambda x: (x[0] is None, x[0]))
     assert got == [("b", "b"), (None, "b")]
+
+
+def test_kmeans_sample_block_independent_with_dup_keys(ray_session):
+    """The training sample must not depend on block boundaries even when
+    key_col is heavily duplicated (the old key-only hash made whole tie
+    classes keep-or-drop per batch): the hash mixes vector contents, so the
+    global bottom-by-hash set — and the centroids — are identical across
+    block layouts and the coalesce+re-prune level."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(3)
+    n, d = 600, 8
+    vecs = rng.normal(size=(n, d))
+    t = pa.table({
+        "k": pa.array((np.arange(n) % 5).astype(np.int64)),  # 5 dup key values
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    c1 = kmeans_centroids(ray.data.from_arrow(t).repartition(3), k=4,
+                          key_col="k", sample_rows=128)
+    c2 = kmeans_centroids(ray.data.from_arrow(t).repartition(23), k=4,
+                          key_col="k", sample_rows=128)
+    np.testing.assert_array_equal(c1, c2)
