@@ -203,16 +203,22 @@ def kmeans_centroids(
     when blocks are SMALLER than sample_rows (many tiny fragments), where a
     single-level prune would degrade to take_all of everything.
 
-    Determinism: the hash always mixes the VECTOR contents (xor of two
-    rounded-reduction hashes) with ``key_col`` when given, so rows tying on
-    the hash are (near-certainly) identical vectors — interchangeable for
-    training — and the sampled set does not depend on block boundaries or
-    cluster width, unlike a per-batch tie-break on a key-only hash."""
-    from rayval.state.hashing import hash64
+    Determinism: the hash always mixes the VECTOR contents (two bit-exact
+    per-row reductions through two DIFFERENT hash families) with ``key_col``
+    when given, so rows tying on the hash are (near-certainly) identical
+    vectors — interchangeable for training — and the sampled set does not
+    depend on block boundaries or cluster width, unlike a per-batch
+    tie-break on a key-only hash."""
+    from rayval.state.hashing import hash64, rehash
 
     _COALESCE_BLOCKS = 8
-    names = ds.schema().base_schema.names
-    use_key = key_col is not None and key_col in names
+    if key_col is None:
+        # no schema() probe on the keyless path: schema(fetch_if_missing) can
+        # execute the first block of a lazily transformed upstream just to
+        # answer a column-presence question the keyless path never asks
+        use_key = False
+    else:
+        use_key = key_col in ds.schema().base_schema.names
     cols = [emb_col] + ([key_col] if use_key else [])
 
     def _prune(b: pa.Table, hv: np.ndarray):
@@ -225,12 +231,19 @@ def kmeans_centroids(
     def keep(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return b.append_column("__h", pa.array([], pa.int64()))
-        # two rounded per-row reductions of the vector (sampling needs
-        # spread and block-independent tie identity, not collision-freedom)
+        # two bit-exact per-row reductions of the vector (sampling needs
+        # spread and block-independent tie identity, not collision-freedom).
+        # Two distinct hash FAMILIES: xor of the same family over correlated
+        # reductions cancels to all-zeros whenever sum(v) == v[0] (every d=1
+        # input).  Float64 BIT PATTERNS, not rounded ints: round(x*1e6)
+        # .astype(int64) funnels NaN / |x|>2^43 onto one sentinel, building
+        # tie classes of non-identical vectors that break the identity
+        # invariant the two-level prune's exactness rests on.  (_matrix
+        # guarantees d >= 1 for a non-empty batch — reshape(n, -1) raises on
+        # zero-size flat values — so mat[:, 0] is safe here.)
         mat = _matrix(b[emb_col], d=1)
-        hv = hash64(np.round(mat.sum(axis=1) * 1e6).astype(np.int64))
-        if mat.shape[1]:
-            hv = hv ^ hash64(np.round(mat[:, 0] * 1e6).astype(np.int64))
+        hv = hash64(mat.sum(axis=1).view(np.int64))
+        hv = hv ^ rehash(hash64(np.ascontiguousarray(mat[:, 0]).view(np.int64)), 0xA5)
         if use_key:
             col = b[key_col]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col

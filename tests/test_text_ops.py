@@ -987,3 +987,26 @@ def test_kmeans_sample_block_independent_with_dup_keys(ray_session):
     c2 = kmeans_centroids(ray.data.from_arrow(t).repartition(23), k=4,
                           key_col="k", sample_rows=128)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_kmeans_sample_block_independent_d1_keyless(ray_session):
+    """d=1 regression: sum(v) == v[0] for every 1-dim vector, so XORing the
+    SAME hash family over both reductions cancelled to all-zeros — every row
+    tied and the sample silently became block-layout-dependent.  The two
+    reductions now go through distinct families (hash64 + rehash), so the
+    keyless d=1 sample — and the centroids — are layout-independent."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=400)
+    t = pa.table({"embedding": pa.array([[float(v)] for v in vals],
+                                        pa.list_(pa.float64()))})
+    c1 = kmeans_centroids(ray.data.from_arrow(t).repartition(3), k=4,
+                          sample_rows=128)
+    c2 = kmeans_centroids(ray.data.from_arrow(t).repartition(23), k=4,
+                          sample_rows=128)
+    np.testing.assert_array_equal(c1, c2)
