@@ -49,11 +49,7 @@ def _collect(ds: "ray.data.Dataset", schema: pa.Schema) -> pa.Table:
     return collect_tables(ds, schema)
 
 
-def _round_half_away(x: np.ndarray) -> np.ndarray:
-    """int64 rounding with DuckDB ROUND parity: half AWAY from zero.
-    np.round is banker's (half-even) — 62.5 rounds to 62 vs DuckDB's 63 —
-    so an exactly-representable .5 product would hash-mismatch the oracle."""
-    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+from rayval.util import round_half_away as _round_half_away  # shared DuckDB ROUND parity
 
 
 def _violations_query(ds: "ray.data.Dataset", profile: Profile, key_sql_cols: list[str]) -> pa.Table:

@@ -49,7 +49,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from rayval.stages.bucketed import DEFAULT_BUCKETS, grouped_reduce, key_codes
+from rayval.stages.bucketed import DEFAULT_BUCKETS, drop_bucket_col, grouped_reduce, key_codes
 
 
 def _tag_union(
@@ -91,7 +91,15 @@ def _tag_union(
 
 
 
-def _merge_pass(g: pa.Table, by: str, probe: str, right_first: bool, with_pick: bool):
+def _merge_pass(
+    g: pa.Table,
+    by: str,
+    probe: str,
+    right_first: bool,
+    with_pick: bool,
+    with_codes: bool = True,
+    rid_only: bool = False,
+):
     """ONE vectorized merge pass over a bucket's tagged union table.
 
     Sorts by (by asc, probe asc, side, [pick asc]) with nulls first; with
@@ -110,26 +118,40 @@ def _merge_pass(g: pa.Table, by: str, probe: str, right_first: bool, with_pick: 
     side tie-break).  A left row with null ``on`` sorts at its key run's
     head (nulls first), so its ``upto`` counts no same-key rights — the
     null-matches-nothing semantics falls out of the sort order.
-    """
+
+    ``with_codes=False`` skips the dictionary-encode of ``by`` (the range
+    joins never consume codes: both bounds are bucket-global counts in the
+    same key-sorted order, so other keys' rights cancel in the difference).
+    ``rid_only=True`` additionally gathers just (__side, __rid) instead of
+    materializing every payload column — the lower-bound pass needs only
+    (rid, upto), and the full-table take was its dominant cost."""
     keys = [(by, "ascending"), (probe, "ascending"),
             ("__side", "descending" if right_first else "ascending")]
     if with_pick:
         keys.append(("__pick", "ascending"))
     idx = pc.sort_indices(g, sort_keys=keys, null_placement="at_start")
+    if rid_only:
+        sl = g.select(["__side", "__rid"]).take(idx)
+        is_r = sl["__side"].to_numpy(zero_copy_only=False) == 1
+        pos = np.flatnonzero(~is_r)
+        return {
+            "rid": sl["__rid"].to_numpy(zero_copy_only=False)[pos],
+            "upto": np.cumsum(is_r)[pos],
+        }
     s = g.take(idx)
     is_r = s["__side"].to_numpy(zero_copy_only=False) == 1
     cumr = np.cumsum(is_r)
     pos = np.flatnonzero(~is_r)
-    codes = key_codes(s[by])
+    codes = key_codes(s[by]) if with_codes else None
     return {
         "s": s,
         "is_r": is_r,
-        "codes_r": codes[is_r],
+        "codes_r": codes[is_r] if with_codes else None,
         "rid": s["__rid"].to_numpy(zero_copy_only=False)[pos],
         "upto": cumr[pos],  # rights strictly before each left row (left rows
         # contribute 0 to cumr, so the inclusive cumsum at a left position
         # counts exactly the rights sorted before it)
-        "codes_l": codes[pos],
+        "codes_l": codes[pos] if with_codes else None,
         "pos": pos,
     }
 
@@ -139,8 +161,7 @@ def _prep_bucket(g: pa.Table, on: str, by: str) -> pa.Table:
     ``by`` key (SQL ``ON l.by = r.by`` is never true for NULL, so they can
     never match; left rows keep LEFT-join semantics: emitted unmatched), and
     attach ``__rid`` row ids for cross-pass alignment."""
-    if "__bucket" in g.column_names:
-        g = g.drop_columns(["__bucket"])
+    g = drop_bucket_col(g)
     side = g["__side"]
     keep = pc.or_(
         pc.equal(side, pa.scalar(0, pa.int8())),
@@ -248,8 +269,8 @@ def range_count_join(
                  out_col: pa.array([], pa.int64())}
             )
         g = _probe_lo_col(g, on, width)
-        hi = _merge_pass(g, by, on, right_first=True, with_pick=False)
-        lo = _merge_pass(g, by, "__vlo", right_first=False, with_pick=False)
+        hi = _merge_pass(g, by, on, right_first=True, with_pick=False, with_codes=False)
+        lo = _merge_pass(g, by, "__vlo", right_first=False, with_pick=False, rid_only=True)
         lo_by_rid = np.zeros(g.num_rows, dtype=np.int64)
         lo_by_rid[lo["rid"]] = lo["upto"]
         counts = hi["upto"] - lo_by_rid[hi["rid"]]
@@ -305,8 +326,14 @@ def range_pairs_join(
         if g.num_rows == 0:
             return empty
         g = _probe_lo_col(g, on, width)
-        hi = _merge_pass(g, by, on, right_first=True, with_pick=True)
-        lo = _merge_pass(g, by, "__vlo", right_first=False, with_pick=True)
+        # codes feed only the skew guard; the lo pass feeds only (rid, upto)
+        # — equal-(by, probe) rights permuting among themselves can't move a
+        # left row across any right, so __pick still participates in the sort
+        # for exactness of the documented enumeration but no payload columns
+        # need materializing
+        hi = _merge_pass(g, by, on, right_first=True, with_pick=True,
+                         with_codes=max_pairs_per_key is not None)
+        lo = _merge_pass(g, by, "__vlo", right_first=False, with_pick=True, rid_only=True)
         lo_by_rid = np.zeros(g.num_rows, dtype=np.int64)
         lo_by_rid[lo["rid"]] = lo["upto"]
         lo_g = lo_by_rid[hi["rid"]]

@@ -203,8 +203,8 @@ def kmeans_centroids(
     when blocks are SMALLER than sample_rows (many tiny fragments), where a
     single-level prune would degrade to take_all of everything.
 
-    Determinism: the hash always mixes the VECTOR contents (two bit-exact
-    per-row reductions through two DIFFERENT hash families) with ``key_col``
+    Determinism: the hash always mixes the VECTOR contents (three bit-exact
+    per-row reductions through DIFFERENT hash families) with ``key_col``
     when given, so rows tying on the hash are (near-certainly) identical
     vectors — interchangeable for training — and the sampled set does not
     depend on block boundaries or cluster width, unlike a per-batch
@@ -231,19 +231,31 @@ def kmeans_centroids(
     def keep(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return b.append_column("__h", pa.array([], pa.int64()))
-        # two bit-exact per-row reductions of the vector (sampling needs
+        # three bit-exact per-row reductions of the vector (sampling needs
         # spread and block-independent tie identity, not collision-freedom).
-        # Two distinct hash FAMILIES: xor of the same family over correlated
-        # reductions cancels to all-zeros whenever sum(v) == v[0] (every d=1
-        # input).  Float64 BIT PATTERNS, not rounded ints: round(x*1e6)
-        # .astype(int64) funnels NaN / |x|>2^43 onto one sentinel, building
-        # tie classes of non-identical vectors that break the identity
-        # invariant the two-level prune's exactness rests on.  (_matrix
-        # guarantees d >= 1 for a non-empty batch — reshape(n, -1) raises on
-        # zero-size flat values — so mat[:, 0] is safe here.)
+        # Distinct hash FAMILIES per reduction: xor of the same family over
+        # correlated reductions cancels to all-zeros whenever sum(v) == v[0]
+        # (every d=1 input).  Float64 BIT PATTERNS, not rounded ints:
+        # round(x*1e6).astype(int64) funnels NaN / |x|>2^43 onto one sentinel,
+        # building tie classes of non-identical vectors that break the
+        # identity invariant the two-level prune's exactness rests on.  The
+        # seeded-random position-weighted sum removes the SYSTEMATIC collision
+        # class of (equal sum, equal v[0]) vectors — e.g. permuted tails —
+        # which plain sum+first cannot distinguish; after it, a tie between
+        # non-identical vectors needs several float-exact linear coincidences
+        # at once.  (_matrix guarantees d >= 1 for a non-empty batch —
+        # reshape(n, -1) raises on zero-size flat values — so mat[:, 0] is
+        # safe here; the weight vector is seeded, so it is identical across
+        # blocks and widths.)  NOT ``mat @ w``: BLAS picks kernels by matrix
+        # HEIGHT, so the same row's dot product returns different low bits
+        # inside different-sized blocks — measured on this host — which would
+        # silently reintroduce block-dependence; (mat * w).sum(axis=1)
+        # reduces along the fixed-length axis only and is bit-stable.
         mat = _matrix(b[emb_col], d=1)
+        w = np.random.default_rng(0xC3).uniform(0.5, 2.0, mat.shape[1])
         hv = hash64(mat.sum(axis=1).view(np.int64))
         hv = hv ^ rehash(hash64(np.ascontiguousarray(mat[:, 0]).view(np.int64)), 0xA5)
+        hv = hv ^ rehash(hash64((mat * w).sum(axis=1).view(np.int64)), 0x3C)
         if use_key:
             col = b[key_col]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col

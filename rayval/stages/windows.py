@@ -32,6 +32,7 @@ from rayval.stages.bucketed import (
     pack_null_key,
     restore_null_key,
 )
+from rayval.util import round_half_away
 
 
 def _key_change(col, n: int) -> np.ndarray:
@@ -199,8 +200,7 @@ def hopping_window_agg(
             return empty
         ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         v = pc.fill_null(batch[value_col], 0.0).to_numpy(zero_copy_only=False)
-        # DuckDB ROUND parity: half AWAY from zero (np.round is half-even)
-        e3 = (np.sign(v) * np.floor(np.abs(v) * 1000 + 0.5)).astype(np.int64)
+        e3 = round_half_away(v * 1000)  # shared DuckDB ROUND parity helper
         t = pa.table(
             {by: batch[by], "_b": pa.array(ts // hop_us), "_e3": pa.array(e3),
              "_one": pa.array(np.ones(batch.num_rows, dtype=np.int64))}

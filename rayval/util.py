@@ -50,3 +50,13 @@ def collect_tables(ds: "ray.data.Dataset", schema: Optional[pa.Schema] = None) -
     if schema is not None:
         return pa.concat_tables([t.cast(schema) for t in tables])
     return pa.concat_tables(tables, promote_options="default")
+
+
+def round_half_away(x: np.ndarray) -> np.ndarray:
+    """int64 rounding with DuckDB ROUND parity: half AWAY from zero.
+    np.round is banker's (half-even) — 62.5 rounds to 62 vs DuckDB's 63 —
+    so an exactly-representable .5 product would hash-mismatch the oracle.
+    The single shared copy: every oracle-compared fixed-point conversion
+    (pipelines/queries.py, stages/windows.py) must route through here so a
+    future FP-edge parity fix lands everywhere at once."""
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)

@@ -1010,3 +1010,31 @@ def test_kmeans_sample_block_independent_d1_keyless(ray_session):
     c2 = kmeans_centroids(ray.data.from_arrow(t).repartition(23), k=4,
                           sample_rows=128)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_kmeans_sample_block_independent_permuted_tails(ray_session):
+    """Vectors with equal sum AND equal first coordinate (permuted tails,
+    e.g. [a,b,c] vs [a,c,b]) defeated the sum+first two-reduction hash: the
+    whole fixture became one tie class and the sample was block-layout-
+    dependent.  The third (seeded position-weighted) reduction distinguishes
+    them, so centroids are identical across block layouts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(11)
+    n = 420
+    tails = rng.normal(size=(n, 3))
+    # force equal sum and equal first coordinate across ALL rows: v[0]=1.0,
+    # last tail element compensates so every row sums to exactly 5.0
+    vecs = np.column_stack([np.ones(n), tails])
+    vecs[:, -1] = 5.0 - vecs[:, :-1].sum(axis=1)
+    t = pa.table({"embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        pa.list_(pa.float64()))})
+    c1 = kmeans_centroids(ray.data.from_arrow(t).repartition(3), k=4,
+                          sample_rows=128)
+    c2 = kmeans_centroids(ray.data.from_arrow(t).repartition(23), k=4,
+                          sample_rows=128)
+    np.testing.assert_array_equal(c1, c2)
