@@ -1784,12 +1784,15 @@ def q_sketch_stats(sf_dir: str) -> pa.Table:
     DETERMINISTIC order (KLL compaction is merge-order-sensitive, so partials
     sort by their min doc_id first), plus the two-sample KS distance between
     the even/odd doc_id halves (the drift primitive; same distribution ->
-    tiny distance).  Deterministic integer outputs; no SQL analog (estimates,
-    not exact values)."""
+    tiny distance).  Deterministic integer outputs; no SQL analog at corpus
+    cardinality (estimates, not exact values) — the planted twin
+    ``sketch_stats_planted`` proves the same code path exactly."""
+    return _sketch_stats_over(_read(sf_dir, "documents", ["doc_id", "n_chars"]))
+
+
+def _sketch_stats_over(ds: "ray.data.Dataset") -> pa.Table:
     from rayval.state.hll import HLL
     from rayval.state.kll import KLL, ks_distance
-
-    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -1826,6 +1829,65 @@ def q_sketch_stats(sf_dir: str) -> pa.Table:
         }
     )
 
+
+_SKETCH_FIXTURE = "/tmp/rayval_q_sketch/docs_v1.parquet"
+
+
+def _ensure_sketch_fixture() -> str:
+    """Deterministic fixture on which the sketch estimates are EXACTLY
+    invertible, giving the HLL/KLL/KS stack a real SQL oracle (the pii_flags
+    device):
+
+    - 40 distinct doc_ids x 3 repeats = 120 rows.  hash64(0..39) hits 40
+      DISTINCT HLL registers (verified; pinned by the oracle row itself), so
+      linear counting gives m*ln(m/(m-40)) = 40.197 -> round() = the exact
+      COUNT(DISTINCT).
+    - 60 n_chars values per parity half — under KLL's level-0 capacity
+      (200), so no compaction ever fires: quantile(0.5) is exactly the
+      30th-smallest value (searchsorted(cum, 0.5n, 'left') = ceil(n/2)) and
+      merge order is irrelevant (level-0 concat only).
+    - even doc 2k and odd doc 2k+1 carry IDENTICAL value triples, so the
+      halves are the same multiset and the KS distance is exactly 0.
+    """
+    import os as _os
+
+    import pyarrow.parquet as pq_mod
+
+    if _os.path.exists(_SKETCH_FIXTURE):
+        return _SKETCH_FIXTURE
+    _os.makedirs(_os.path.dirname(_SKETCH_FIXTURE), exist_ok=True)
+    doc_id = np.repeat(np.arange(40, dtype=np.int64), 3)
+    rep = np.tile(np.arange(3, dtype=np.int64), 40)
+    n_chars = 50 + (doc_id // 2) * 7 + rep
+    tmp = f"{_SKETCH_FIXTURE}.{_os.getpid()}.tmp"
+    pq_mod.write_table(
+        pa.table({"doc_id": pa.array(doc_id), "n_chars": pa.array(n_chars)}), tmp
+    )
+    _os.replace(tmp, _SKETCH_FIXTURE)
+    return _SKETCH_FIXTURE
+
+
+def q_sketch_stats_planted(sf_dir: str) -> pa.Table:
+    """The sketch stack over the planted fixture where every estimate is
+    exactly invertible (see :func:`_ensure_sketch_fixture`) — proves the
+    HLL linear-counting range, the KLL exact-buffer quantile rank rule and
+    the identical-halves KS zero against plain SQL."""
+    return _sketch_stats_over(ray.data.read_parquet(_ensure_sketch_fixture()))
+
+
+SQL_SKETCH_STATS_PLANTED = f"""
+WITH t AS (SELECT * FROM read_parquet('{_SKETCH_FIXTURE}')),
+ev AS (
+  SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM t WHERE doc_id % 2 = 0
+)
+SELECT (SELECT COUNT(*) FROM t) AS n_docs,
+       (SELECT COUNT(DISTINCT doc_id) FROM t) AS distinct_doc_est,
+       (SELECT CAST(n_chars AS BIGINT) FROM ev
+         WHERE rn = CAST(CEIL(cnt * 0.5) AS BIGINT)) AS n_chars_p50_est,
+       CAST(0 AS BIGINT) AS halves_ks_e6
+"""
 
 
 def _ensure_langid_fixture() -> str:
@@ -2753,6 +2815,7 @@ def ensure_oracle_fixtures() -> None:
     _ensure_audio_fixture()
     _ensure_ann_fixture()
     _ensure_clean_fixture()
+    _ensure_sketch_fixture()
 
 
 def q_pii_flags(sf_dir: str) -> pa.Table:
@@ -2869,6 +2932,7 @@ QUERIES = {
     "grouped_distinct": (q_grouped_distinct, SQL_GROUPED_DISTINCT),
     "lang_char_histogram": (q_lang_char_histogram, SQL_LANG_CHAR_HISTOGRAM),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "sketch_stats_planted": (q_sketch_stats_planted, SQL_SKETCH_STATS_PLANTED),
     # sampling + dedup-hash family: engine hash columns vectorized in round 5
     # (md5 parity moved into the oracle side) — keep in the driver's 50-query
     # window so the conversion gets fresh CORRECTNESS rows

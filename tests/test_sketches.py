@@ -387,3 +387,20 @@ def test_grouped_histogram_binary_group_key(ray_session):
     )
     got = {(r["k"], r["bin"]): r["n"] for r in out.to_pylist()}
     assert got == {(b"\x01", 0): 1, (b"\x01", 2): 1, (None, 0): 1}
+
+
+def test_sketch_stats_planted_exact(ray_session):
+    """On the planted fixture every sketch estimate is exactly invertible
+    (see queries._ensure_sketch_fixture): HLL linear counting rounds to the
+    true COUNT(DISTINCT) with 40 collision-free registers, KLL stays in its
+    exact level-0 regime (no compaction at n=60 <= 200) so p50 is the
+    30th-smallest value, and identical even/odd halves give KS == 0."""
+    from rayval.pipelines.queries import q_sketch_stats_planted
+
+    row = q_sketch_stats_planted("ignored").to_pylist()[0]
+    assert row == {
+        "n_docs": 120,
+        "distinct_doc_est": 40,
+        "n_chars_p50_est": 50 + 9 * 7 + 2,  # 30th smallest of the even half
+        "halves_ks_e6": 0,
+    }
