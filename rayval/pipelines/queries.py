@@ -2960,11 +2960,10 @@ QUERIES = {
     "extension_violations": (q_extension_violations, SQL_EXTENSION_VIOLATIONS),
     "rules_driven_violations": (q_rules_driven_violations, SQL_RULES_DRIVEN_VIOLATIONS),
     "xsd_supplier_violations": (q_xsd_supplier_violations, SQL_XSD_SUPPLIER_VIOLATIONS),
-    "scalar_inference_violations": (q_scalar_inference_violations, SQL_SCALAR_INFERENCE_VIOLATIONS),
-    "nested_struct_violations": (q_nested_struct_violations, SQL_NESTED_STRUCT_VIOLATIONS),
-    "structural_violations": (q_structural_violations, SQL_STRUCTURAL_VIOLATIONS),
     # sources / aggregates / windows / temporal joins (the asof/range/LAG/
-    # sessions family was re-bucketed in round 5 — keep all five in-window)
+    # sessions family was re-bucketed in round 5 — keep the WHOLE family
+    # inside the driver's first-50 sampling window; the three XSD queries
+    # moved after it are r5-untouched with two green driver rounds each)
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
@@ -2973,6 +2972,9 @@ QUERIES = {
     "events_asof_view": (q_events_asof_view, SQL_EVENTS_ASOF_VIEW),
     "events_range_count": (q_events_range_count, SQL_EVENTS_RANGE_COUNT),
     "events_range_pairs": (q_events_range_pairs, SQL_EVENTS_RANGE_PAIRS),
+    "scalar_inference_violations": (q_scalar_inference_violations, SQL_SCALAR_INFERENCE_VIOLATIONS),
+    "nested_struct_violations": (q_nested_struct_violations, SQL_NESTED_STRUCT_VIOLATIONS),
+    "structural_violations": (q_structural_violations, SQL_STRUCTURAL_VIOLATIONS),
     # joins / windowed rank / text
     "top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
