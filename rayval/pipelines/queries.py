@@ -2816,6 +2816,7 @@ def ensure_oracle_fixtures() -> None:
     _ensure_ann_fixture()
     _ensure_clean_fixture()
     _ensure_sketch_fixture()
+    _ensure_phash_fixture()
 
 
 def q_pii_flags(sf_dir: str) -> pa.Table:
@@ -2969,6 +2970,93 @@ FROM imgs ORDER BY image_id
 """
 
 
+_PHASH_FIXTURE = "/tmp/rayval_q_phash/images_v1.parquet"
+
+
+def _ensure_phash_fixture() -> str:
+    """Deterministic (image_id, phash) table with PLANTED Hamming structure
+    so the pigeonhole-banded near-dup join gets an EXACT brute-force DuckDB
+    oracle (the pii_flags device):
+
+    - 300 base hashes drawn uniformly over 64 bits (seeded) — any chance
+      pair inside the radius is fine, the oracle is exact either way;
+    - derived rows at exactly 1 / 2 / 3 flipped bits (inside the d=3
+      radius), at 4 flipped bits (just OUTSIDE — the boundary case), exact
+      duplicates (d=0), and one 6-copy d=0 clique (C(7,2)=21 pairs);
+    - NULL phashes (undecodable images): SQL join semantics, never matched.
+
+    All distinct (band, value) buckets stay far below ``hot_cap``, so the
+    banding's recall is provably exact here and engine == oracle is a true
+    equality, not an approximation.  image_ids offset to 8*10^8 so a UNION
+    with the generated images table stays key-unique."""
+    import os as _os
+
+    import pyarrow.parquet as pq_mod
+
+    if _os.path.exists(_PHASH_FIXTURE):
+        return _PHASH_FIXTURE
+    _os.makedirs(_os.path.dirname(_PHASH_FIXTURE), exist_ok=True)
+    rng = np.random.default_rng(20260818)
+    base = rng.integers(0, 2**64, size=300, dtype=np.uint64)
+    ph: list = [int(v) for v in base.view(np.int64)]
+
+    def _flip(u: np.uint64, k: int) -> int:
+        m = np.uint64(0)
+        for bit in rng.choice(64, size=k, replace=False):
+            m |= np.uint64(1) << np.uint64(bit)
+        return int((u ^ m).view(np.int64))
+
+    for j in range(12):  # d=1 pairs (j, 300+j)
+        ph.append(_flip(base[j], 1))
+    for j in range(10):  # d=2 pairs (12+j, 312+j)
+        ph.append(_flip(base[12 + j], 2))
+    for j in range(10):  # d=3 pairs (22+j, 322+j)
+        ph.append(_flip(base[22 + j], 3))
+    for j in range(8):  # d=4 — OUTSIDE the radius, must not pair
+        ph.append(_flip(base[32 + j], 4))
+    for j in range(5):  # exact dups (40+j, 340+j)
+        ph.append(int(np.int64(base[40 + j])))
+    ph.extend([int(np.int64(base[45]))] * 6)  # d=0 clique with row 45
+    ph.extend([None] * 5)  # undecodable: null phash
+    n = len(ph)
+    tmp = f"{_PHASH_FIXTURE}.{_os.getpid()}.tmp"
+    pq_mod.write_table(
+        pa.table(
+            {
+                "image_id": pa.array([f"img-{800_000_000 + i:09d}" for i in range(n)]),
+                "phash": pa.array(ph, type=pa.int64()),
+            }
+        ),
+        tmp,
+    )
+    _os.replace(tmp, _PHASH_FIXTURE)
+    return _PHASH_FIXTURE
+
+
+def q_phash_neardups(sf_dir: str) -> pa.Table:
+    """Image near-duplicates by pHash Hamming radius (<= 3 bits): the
+    perceptual complement to the flagship's exact ``phash.unique`` pass —
+    a recompressed or lightly-edited copy hashes a few bits away, not
+    identically.  Pigeonhole-banded (4 x 16-bit bands, exact recall) with
+    exact popcount verify; oracle is the brute-force ``bit_count(xor(...))``
+    self-join over the same planted fixture."""
+    from rayval.stages.dedup import phash_neardups
+
+    path = _ensure_phash_fixture()
+    ds = ray.data.read_parquet(path, columns=["image_id", "phash"])
+    return phash_neardups(ds, max_hamming=3)
+
+
+SQL_PHASH_NEARDUPS = f"""
+WITH t AS (SELECT image_id, phash FROM read_parquet('{_PHASH_FIXTURE}') WHERE phash IS NOT NULL)
+SELECT x.image_id AS a, y.image_id AS b,
+       CAST(bit_count(xor(x.phash, y.phash)) AS INTEGER) AS hamming
+FROM t x JOIN t y ON x.image_id < y.image_id
+WHERE bit_count(xor(x.phash, y.phash)) <= 3
+ORDER BY a, b
+"""
+
+
 # Registry order is DELIBERATE: the driver sweeps in this order under a
 # wall-clock budget (round 3 recorded only the first 50 of 57), so the
 # flagship, the multimodal stages and the headline scale paths come FIRST;
@@ -2990,6 +3078,10 @@ QUERIES = {
     # so it sits in the window; lineitem_violations (4 green rounds, engine
     # untouched since r2) moved to the tail to keep the window at 50
     "wds_roundtrip": (q_wds_roundtrip, SQL_WDS_ROUNDTRIP),
+    # NEW in r5: pHash Hamming near-dup join (image-native) — needs its
+    # first driver row; part_violations (4 green rounds, engine untouched
+    # since r2) moved to the tail to keep the window at 50
+    "phash_neardups": (q_phash_neardups, SQL_PHASH_NEARDUPS),
     # headline scale paths (dedup / similarity / corpus cleaning)
     "embedding_neardups_lsh": (q_embedding_neardups_lsh, SQL_EMBEDDING_NEARDUPS_LSH),
     "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
@@ -3019,7 +3111,6 @@ QUERIES = {
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     "pii_flags": (q_pii_flags, _sql_pii_flags()),
     # reference semantics (XSD constraint engine)
-    "part_violations": (q_part_violations, SQL_PART_VIOLATIONS),
     "orders_violations": (q_orders_violations, SQL_ORDERS_VIOLATIONS),
     "length_violations": (q_length_violations, SQL_LENGTH_VIOLATIONS),
     "union_annotate": (q_union_annotate, SQL_UNION_ANNOTATE),
@@ -3058,6 +3149,7 @@ QUERIES = {
     # this round, or whose operator is also covered by an earlier entry —
     # old rows remain the evidence; never-rechecked queries must not sit here
     "lineitem_violations": (q_lineitem_violations, SQL_LINEITEM_VIOLATIONS),
+    "part_violations": (q_part_violations, SQL_PART_VIOLATIONS),
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION),

@@ -43,6 +43,8 @@ import pyarrow.compute as pc
 import ray
 
 from rayval.constraints.profile import PARTITION_COL
+from rayval.functions.phash import _popcount64
+from rayval.stages.docdedup import _bucket_pair_indices, _collect_dedup_pairs
 
 
 def phash_counts_ds(results: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -263,3 +265,109 @@ def _topk_table(counts: pa.Table, k: int) -> pa.Table:
         counts, sort_keys=[("n", "descending"), ("phash", "ascending")]
     )
     return counts.take(order[:k])
+
+
+def phash_neardups(
+    results: "ray.data.Dataset",
+    phash_col: str = "phash",
+    key_col: str = "image_id",
+    max_hamming: int = 3,
+    hot_cap: int = 256,
+) -> pa.Table:
+    """NEAR-duplicate image pairs by pHash Hamming distance: (a, b, hamming)
+    with popcount(phash_a XOR phash_b) <= ``max_hamming``, a < b.
+
+    The exact-duplicate pass above flags identical pHashes; real perceptual
+    duplicates (recompressed / slightly-edited copies of one image) land a
+    few BITS apart, so the north rule's "every pHash duplicate flagged"
+    needs a Hamming-radius join too.  Shape (the 10^12-image path):
+
+    - pigeonhole banding: the 64-bit hash splits into ``max_hamming + 1``
+      contiguous bit-bands, so any pair within the radius agrees EXACTLY on
+      at least one band (d flipped bits can touch at most d of d+1 bands) —
+      recall is exact, no probabilistic LSH tuning.  Default d=3 gives four
+      16-bit bands.
+    - each batch explodes to (band, band_value, key, sig) rows — 4 narrow
+      rows per image, never pixel bytes — and ONE groupby([band, bh])
+      exchange co-locates candidates.  The group count is bounded by
+      ``(d+1) * 2^band_bits`` (<= 262,144 at d=3) independent of row count,
+      so per-group map_groups dispatch can never become the gram-explosion
+      failure mode (docdedup.ngram_jaccard_pairs history).
+    - within a bucket, pairing is the shared vectorized
+      ``_bucket_pair_indices`` with the hot-bucket guard: a bucket larger
+      than ``hot_cap`` pairs identical-signature rows as representative
+      chains (exact dups stay cheap and fully recalled) and skips
+      cross-signature all-pairs when DISTINCT signatures exceed the cap —
+      the documented skew trade.  At 10^12 rows a 16-bit band averages
+      ~15M rows/bucket, so cross-signature recall there comes from raising
+      band count (smaller radius per sub-join) or ``hot_cap``; the exact
+      pass above is unaffected.
+    - survivors get an exact popcount verify (precision 1.0), then the
+      distributed (a, b) min-dedup collect shared with MinHash/SimHash.
+
+    Reference parity: the reference validates per-document and has no
+    cross-row dedup at all (core.clj:1-170) — engine-new surface, SQL-oracled
+    against a brute-force DuckDB ``bit_count(xor(...))`` self-join.
+    """
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+    band_los = [b * band_bits for b in range(n_bands)]
+    band_widths = [band_bits] * (n_bands - 1) + [64 - band_los[-1]]
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        # NULL phash never matches anything (SQL join semantics; an
+        # undecodable image has no trustworthy hash) — drop the ROW before
+        # to_numpy so a null can't widen the int64 block to float64.
+        mask = pc.and_kleene(pc.is_valid(batch[phash_col]), pc.is_valid(batch[key_col]))
+        t = batch.filter(mask)
+        n = t.num_rows
+        s = t[phash_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = s.view(np.uint64)
+        keys = t[key_col].combine_chunks()
+        bands_out, bh_out, key_idx = [], [], []
+        for b in range(n_bands):
+            bmask = np.uint64((1 << band_widths[b]) - 1)
+            bh_out.append(((u >> np.uint64(band_los[b])) & bmask).astype(np.int64))
+            bands_out.append(np.full(n, b, dtype=np.int32))
+            key_idx.append(np.arange(n))
+        idx = pa.array(np.concatenate(key_idx) if n else np.empty(0, np.int64), type=pa.int64())
+        return pa.table(
+            {
+                "band": pa.array(
+                    np.concatenate(bands_out) if n else np.empty(0, np.int32), type=pa.int32()
+                ),
+                "bh": pa.array(
+                    np.concatenate(bh_out) if n else np.empty(0, np.int64), type=pa.int64()
+                ),
+                key_col: keys.take(idx),
+                "sig": pa.array(np.tile(s, n_bands), type=pa.int64()),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        keys = group[key_col].to_numpy(zero_copy_only=False)
+        s = group["sig"].to_numpy(zero_copy_only=False)
+        i_idx, j_idx = _bucket_pair_indices(keys, s.reshape(-1, 1), hot_cap)
+        if not len(i_idx):
+            return pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+                 "hamming": pa.array([], pa.int32())}
+            )
+        d = _popcount64((s[i_idx] ^ s[j_idx]).view(np.uint64))
+        keep = d <= max_hamming
+        i_idx, j_idx, d = i_idx[keep], j_idx[keep], d[keep]
+        return pa.table(
+            {
+                "a": pa.array(keys[i_idx], type=pa.string()),
+                "b": pa.array(keys[j_idx], type=pa.string()),
+                "hamming": pa.array(d.astype(np.int32)),
+            }
+        )
+
+    return _collect_dedup_pairs(
+        results.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "bh"])
+        .map_groups(pairs, batch_format="pyarrow"),
+        value_col="hamming",
+        value_type=pa.int32(),
+    )

@@ -492,3 +492,61 @@ def test_group_parallelism_cap_multi_node():
     # fused mode (no reserved pools): never capped
     fused = RunConfig(group_parallelism=4, decode_concurrency=None)
     assert _effective_group_parallelism(fused, node_cpus=[2]) == 4
+
+
+def test_phash_neardups_vs_bruteforce(ray_session):
+    """Pigeonhole-banded Hamming join == numpy brute force on a seeded set
+    with planted flips at d = 0..4, nulls, and multi-block input (pairs must
+    meet across blocks via the band exchange)."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.functions.phash import _popcount64
+    from rayval.stages.dedup import phash_neardups
+
+    rng = np.random.default_rng(99)
+    base = rng.integers(0, 2**64, size=80, dtype=np.uint64)
+    ph = [int(v) for v in base.view(np.int64)]
+    for j, d in enumerate([1, 1, 2, 2, 3, 3, 4, 4, 0, 0]):
+        m = np.uint64(0)
+        for bit in rng.choice(64, size=d, replace=False):
+            m |= np.uint64(1) << np.uint64(bit)
+        ph.append(int((base[j] ^ m).view(np.int64)))
+    ph += [None, None]
+    ids = [f"i{k:04d}" for k in range(len(ph))]
+    t = pa.table({"image_id": pa.array(ids), "phash": pa.array(ph, type=pa.int64())})
+    got = phash_neardups(
+        ray.data.from_arrow(t).repartition(6), max_hamming=3
+    )
+    valid = [(i, p) for i, p in zip(ids, ph) if p is not None]
+    exp = sorted(
+        (a, b, int(_popcount64(np.array([np.uint64(np.int64(x)) ^ np.uint64(np.int64(y))]))[0]))
+        for (a, x), (b, y) in itertools.combinations(valid, 2)
+        if int(_popcount64(np.array([np.uint64(np.int64(x)) ^ np.uint64(np.int64(y))]))[0]) <= 3
+    )
+    assert sorted(zip(got["a"].to_pylist(), got["b"].to_pylist(), got["hamming"].to_pylist())) == exp
+    assert len(exp) >= 6  # the planted d<=3 rows all surfaced
+
+
+def test_phash_neardups_hot_bucket_clique(ray_session):
+    """An identical-phash clique LARGER than hot_cap still connects: the
+    hot-bucket guard emits representative->member chain edges (same
+    connected components as the full clique) instead of O(b^2) pairs."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.dedup import phash_neardups
+
+    n = 12
+    ids = [f"c{k:03d}" for k in range(n)]
+    t = pa.table(
+        {"image_id": pa.array(ids), "phash": pa.array([12345] * n, type=pa.int64())}
+    )
+    got = phash_neardups(ray.data.from_arrow(t).repartition(3), max_hamming=3, hot_cap=4)
+    pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    assert all(h == 0 for h in got["hamming"].to_pylist())
+    # chain edges: every non-representative member pairs with the min key
+    assert {("c000", m) for m in ids[1:]} <= pairs
