@@ -47,6 +47,7 @@ def cmd_validate(args) -> int:
         decode_concurrency=args.decode_concurrency,
         annotated_output=args.annotated,
         distributed_violations=args.distributed_violations,
+        phash_near_radius=args.phash_near_radius,
     )
     ref = load_profile(args.reference) if args.reference else None
     report = run(args.images, args.out, captions_path=args.captions,
@@ -163,6 +164,10 @@ def main(argv=None) -> int:
                    help="write the violation listing as per-task parquet parts and merge "
                         "it as a streaming Dataset (for wholesale-violating inputs; the "
                         "driver then only ever holds counts)")
+    v.add_argument("--phash-near-radius", type=int, default=0,
+                   help="also flag images whose pHash is within this many bits of "
+                        "another's as 'phash.neardup' (0 = off; exact duplicates are "
+                        "always flagged as 'phash.unique')")
     v.add_argument("--reference", default=None,
                    help="global_profile.bin from a previous run: enables drift checks")
     v.add_argument("--num-cpus", type=int, default=None)

@@ -47,7 +47,9 @@ from rayval.pipelines.manifest import Manifest
 from rayval.sources.images import MAX_CAPTION
 from rayval.sources.parquet import list_fragments, read_fragments
 from rayval.stages.decode import DecodeCheck
-from rayval.stages.dedup import dup_counts_and_top_bucketed, duplicate_violations
+from rayval.stages.dedup import (
+    dup_counts_and_top_bucketed, duplicate_violations, neardup_violations,
+)
 from rayval.stages.referential import referential_violations, referential_violations_ds
 from rayval.stages.stats import ColumnStats, drift_violations, global_stats, merge_partials, sketch_partials
 from rayval.stages.validate import MetaValidate, annotate_from_masks, explode_violations
@@ -118,6 +120,11 @@ class RunConfig:
     # or re-decode PSNR >= 40 dB — stages/decode.py FIDELITY_CHECK); off by
     # default: doubles the per-row codec work
     hot_threshold: int = 1000
+    phash_near_radius: int = 0  # >0: ALSO flag perceptual near-duplicates —
+    # images whose pHash sits 1..radius bits from another's — as
+    # 'phash.neardup' (stages/dedup.py:neardup_violations, banded Hamming
+    # join + broadcast member set).  Exact duplicates stay 'phash.unique'.
+    # Off by default: the radius join is an extra (narrow) band exchange.
     drift_threshold: float = 0.15
     ref_buckets: int = 32
     bloom_expected: int = 1_000_000  # FIXED per run: partials must share
@@ -445,6 +452,17 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
             }
         )
         extra_violations.append(ref)
+
+    # --- perceptual near-dups (optional) --------------------------------------
+    # runs AFTER the two threaded DAGs rather than as a third concurrent one:
+    # phase-2 concurrency stays at the tested 2-way overlap (rules.py has the
+    # same conservative cap), and the radius join is off by default anyway.
+    if cfg.phash_near_radius > 0:
+        nd_ds = neardup_violations(results, max_hamming=cfg.phash_near_radius)
+        if distributed:
+            extra_violations.append(nd_ds)
+        else:
+            extra_violations.extend(t for t in _ds_tables(nd_ds) if t.num_rows)
 
     # --- stats + drift --------------------------------------------------------
     per_partition: dict[int, ColumnStats] = {}

@@ -371,3 +371,45 @@ def phash_neardups(
         value_col="hamming",
         value_type=pa.int32(),
     )
+
+
+def neardup_violations(
+    results: "ray.data.Dataset",
+    max_hamming: int = 2,
+    hot_cap: int = 256,
+) -> "ray.data.Dataset":
+    """Violation rows (partition_id, image_id, 'phash.neardup') for every
+    image whose pHash sits within ``max_hamming`` bits (but NOT 0 — exact
+    duplicates are ``phash.unique``'s, flagged by :func:`duplicate_violations`)
+    of another image's.
+
+    Same broadcast-membership shape as the exact pass: the banded pair join
+    (:func:`phash_neardups`) returns a pair table bounded by the near-dup
+    population, its member-id set is ``ray.put`` once, and flagging is a
+    map-only ``is_in`` filter — no row-level shuffle.  If the member set
+    ever outgrew a broadcast, the fallback is the hash-partitioned semi-join
+    (stages/rules.py:_members_via_semijoin), exactly as for exact dups.
+    Undecodable rows carry a null phash and can never be members."""
+    pairs = phash_neardups(results, max_hamming=max_hamming, hot_cap=hot_cap)
+    pairs = pairs.filter(pc.greater(pairs["hamming"], 0))
+    members = pc.unique(
+        pa.concat_arrays(
+            [pairs["a"].combine_chunks(), pairs["b"].combine_chunks()]
+        )
+    )
+    mem_ref = ray.put(members)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        keys = ray.get(mem_ref)
+        t = batch
+        member = pc.fill_null(pc.is_in(t["image_id"], value_set=keys), False)
+        t = t.filter(member)
+        return pa.table(
+            {
+                PARTITION_COL: t[PARTITION_COL],
+                "image_id": t["image_id"],
+                "constraint_id": pa.array(["phash.neardup"] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    return results.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

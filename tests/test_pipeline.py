@@ -550,3 +550,74 @@ def test_phash_neardups_hot_bucket_clique(ray_session):
     assert all(h == 0 for h in got["hamming"].to_pylist())
     # chain edges: every non-representative member pairs with the min key
     assert {("c000", m) for m in ids[1:]} <= pairs
+
+
+def test_neardup_violations_unit(ray_session):
+    """neardup_violations flags exactly the 1..radius-bit members: exact
+    dups (hamming 0) are phash.unique's and stay out; nulls never match."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.dedup import neardup_violations
+
+    t = pa.table(
+        {
+            "partition_id": pa.array([0, 0, 1, 1, 1, 0, 1], type=pa.int64()),
+            "image_id": [f"n{i}" for i in range(7)],
+            # n0/n1: 1 bit apart (members); n2/n3: identical (exact dup,
+            # NOT near); n4: 3 bits from n0 / 4 from n1 (outside radius 2);
+            # n5: null; n6: far from everything (verified pairwise)
+            "phash": pa.array(
+                [
+                    0x123456789ABCDEF0,
+                    0x123456789ABCDEF0 ^ 1,
+                    0x0F0F00FF33CC55AA,
+                    0x0F0F00FF33CC55AA,
+                    0x123456789ABCDEF0 ^ 0b1110,
+                    None,
+                    0x7EDCBA9876543210,
+                ],
+                type=pa.int64(),
+            ),
+        }
+    )
+    out = neardup_violations(
+        ray.data.from_arrow(t).repartition(3), max_hamming=2
+    ).take_all()
+    assert sorted(r["image_id"] for r in out) == ["n0", "n1"]
+    assert all(r["constraint_id"] == "phash.neardup" for r in out)
+
+
+def test_flagship_phash_near_radius(data_dir, tmp_path, ray_session):
+    """Flagship with phash_near_radius on: the phash.neardup listing equals
+    a brute-force Hamming scan of the committed narrow results (whatever
+    pairs the seeded generator produced — engine == brute force, exactly)."""
+    import glob
+
+    import numpy as np
+
+    from rayval.functions.phash import _popcount64
+
+    out = str(tmp_path / "near_out")
+    cfg = RunConfig(group_size=3, decode_concurrency=2, hot_threshold=3,
+                    bloom_expected=10_000, phash_near_radius=8)
+    run(data_dir + "/images", out, captions_path=data_dir + "/captions.parquet", cfg=cfg)
+    res = pq.read_table(
+        glob.glob(os.path.join(out, "results", "group-*", "*.parquet")),
+        columns=["image_id", "phash"],
+    )
+    res = res.filter(res["phash"].is_valid())
+    ids = np.array(res["image_id"].to_pylist())
+    ph = res["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    x = ph[:, None] ^ ph[None, :]
+    d = _popcount64(x.ravel()).reshape(x.shape)
+    near = (d >= 1) & (d <= 8)
+    np.fill_diagonal(near, False)
+    exp = set(ids[near.any(axis=1)])
+    got = {
+        r[1]
+        for r in _violations_set(os.path.join(out, "final_violations"))
+        if r[2] == "phash.neardup"
+    }
+    assert got == exp
+    assert exp, "seeded generator produced no <=8-bit pairs; widen the radius"
