@@ -377,11 +377,13 @@ def neardup_violations(
     results: "ray.data.Dataset",
     max_hamming: int = 2,
     hot_cap: int = 256,
+    phash_col: str = "phash",
+    key_col: str = "image_id",
 ) -> "ray.data.Dataset":
-    """Violation rows (partition_id, image_id, 'phash.neardup') for every
-    image whose pHash sits within ``max_hamming`` bits (but NOT 0 — exact
-    duplicates are ``phash.unique``'s, flagged by :func:`duplicate_violations`)
-    of another image's.
+    """Violation rows (partition_id, <key_col>, '<phash_col>.neardup') for
+    every image whose pHash sits within ``max_hamming`` bits (but NOT 0 —
+    exact duplicates are ``phash_col.unique``'s, flagged by
+    :func:`duplicate_violations`) of another image's.
 
     Same broadcast-membership shape as the exact pass: the banded pair join
     (:func:`phash_neardups`) returns a pair table bounded by the near-dup
@@ -390,7 +392,10 @@ def neardup_violations(
     ever outgrew a broadcast, the fallback is the hash-partitioned semi-join
     (stages/rules.py:_members_via_semijoin), exactly as for exact dups.
     Undecodable rows carry a null phash and can never be members."""
-    pairs = phash_neardups(results, max_hamming=max_hamming, hot_cap=hot_cap)
+    pairs = phash_neardups(
+        results, phash_col=phash_col, key_col=key_col,
+        max_hamming=max_hamming, hot_cap=hot_cap,
+    )
     pairs = pairs.filter(pc.greater(pairs["hamming"], 0))
     members = pc.unique(
         pa.concat_arrays(
@@ -402,13 +407,20 @@ def neardup_violations(
     def flag(batch: pa.Table) -> pa.Table:
         keys = ray.get(mem_ref)
         t = batch
-        member = pc.fill_null(pc.is_in(t["image_id"], value_set=keys), False)
+        member = pc.fill_null(pc.is_in(t[key_col], value_set=keys), False)
         t = t.filter(member)
+        if PARTITION_COL in t.column_names:
+            part = t[PARTITION_COL]
+        else:  # untagged input (e.g. a bare (image_id, phash) table): -1,
+            part = pa.array([-1] * t.num_rows, type=pa.int64())  # as in
+            # constraints/profile.py:BatchValidator.violations
         return pa.table(
             {
-                PARTITION_COL: t[PARTITION_COL],
-                "image_id": t["image_id"],
-                "constraint_id": pa.array(["phash.neardup"] * t.num_rows, type=pa.string()),
+                PARTITION_COL: part,
+                key_col: t[key_col],
+                "constraint_id": pa.array(
+                    [f"{phash_col}.neardup"] * t.num_rows, type=pa.string()
+                ),
             }
         )
 

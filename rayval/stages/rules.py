@@ -13,8 +13,11 @@ onto the engine's scale-shaped stage:
                       (stages/referential.py) against a valid-values source.
 - ``drift``        -> per-partition KLL sketches + two-sample KS against a
                       reference profile (stages/stats.py).
+- ``neardup``      -> Hamming near-dup on a 64-bit hash column: pigeonhole-
+                      banded pair join + broadcast member set
+                      (stages/dedup.py:neardup_violations).
 
-All three produce violation rows ``(partition_id, <key>, constraint_id)``
+All four produce violation rows ``(partition_id, <key>, constraint_id)``
 with the rule's ``constraint_id`` (e.g. ``c_custkey.referential``).
 """
 
@@ -246,6 +249,29 @@ def run_table_rules(
                         }
                     ).cast(schema)
                 )
+        elif rule.kind == "neardup":
+            # Hamming near-dup on a 64-bit perceptual-hash column: the
+            # banded pair join + broadcast member set (stages/dedup.py:
+            # neardup_violations — the flagship's phash_near_radius stage,
+            # declaratively).  params: max_hamming (default 2), hot_cap.
+            from rayval.stages.dedup import neardup_violations
+
+            nd = neardup_violations(
+                ds,
+                max_hamming=rule.params.get("max_hamming", 2),
+                hot_cap=rule.params.get("hot_cap", 256),
+                phash_col=rule.column,
+                key_col=key,
+            )
+            t = collect_tables(
+                nd,
+                pa.schema(
+                    [(PARTITION_COL, pa.int64()), (key, pa.string()),
+                     ("constraint_id", pa.string())]
+                ),
+            )
+            if t.num_rows:
+                parts.append(t.cast(schema))
         elif rule.kind == "drift":
             if reference_profile is None:
                 raise ValueError(f"drift rule on {rule.column!r} needs reference_profile")

@@ -140,3 +140,30 @@ def test_many_concurrent_rule_dags(dup_ds, ray_session):
     assert sorted(zip(got["k"].to_pylist(), got["constraint_id"].to_pylist()),
                   key=lambda t: (t[0] or "", t[1])) == sorted(
         serial, key=lambda t: (t[0] or "", t[1]))
+
+
+def test_neardup_rule(ray_session):
+    """TableRule('neardup', hash_col): the declarative route into the banded
+    Hamming join — members at 1..max_hamming bits flagged, exact duplicates
+    (d=0) and out-of-radius rows not, nulls never."""
+    import ray.data
+
+    base = 0x5A5A0FF0C3C31234
+    t = pa.table(
+        {
+            "k": pa.array([f"r{i}" for i in range(7)]),
+            # r0/r1: 1 bit apart; r2/r3: identical (exact dup, NOT near);
+            # r4: 5 bits from r0 (outside radius 2); r5: null; r6: far
+            "h": pa.array(
+                [base, base ^ 1, 7, 7, base ^ 0b11111, None, -1],
+                type=pa.int64(),
+            ),
+        }
+    )
+    prof = Profile(
+        "t", [F("k"), F("h")], key="k",
+        table_rules=[TableRule("neardup", "h", {"max_hamming": 2})],
+    )
+    out = run_table_rules(ray.data.from_arrow(t).repartition(2), prof, key="k")
+    got = sorted(zip(out["k"].to_pylist(), out["constraint_id"].to_pylist()))
+    assert got == [("r0", "h.neardup"), ("r1", "h.neardup")]
