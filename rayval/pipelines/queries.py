@@ -3116,17 +3116,9 @@ def q_rules_neardup_violations(sf_dir: str) -> pa.Table:
     return run_table_rules(ds, prof, key="image_id")
 
 
-SQL_RULES_NEARDUP_VIOLATIONS = f"""
-WITH t AS (SELECT image_id, phash FROM read_parquet('{_PHASH_FIXTURE}') WHERE phash IS NOT NULL)
-SELECT CAST(-1 AS BIGINT) AS partition_id, x.image_id,
-       'phash.neardup' AS constraint_id
-FROM t x
-WHERE EXISTS (
-  SELECT 1 FROM t y
-  WHERE y.image_id <> x.image_id
-    AND bit_count(xor(x.phash, y.phash)) BETWEEN 1 AND 3)
-ORDER BY x.image_id
-"""
+# the declarative route asserts the SAME listing as the imperative one —
+# one oracle string, shared, so the two can't drift apart
+SQL_RULES_NEARDUP_VIOLATIONS = SQL_PHASH_NEARDUP_MEMBERS
 
 
 # Registry order is DELIBERATE: the driver sweeps in this order under a

@@ -457,8 +457,17 @@ def run_phase2(out_dir: str, captions_path: Optional[str] = None, reference_prof
     # runs AFTER the two threaded DAGs rather than as a third concurrent one:
     # phase-2 concurrency stays at the tested 2-way overlap (rules.py has the
     # same conservative cap), and the radius join is off by default anyway.
-    if cfg.phash_near_radius > 0:
-        nd_ds = neardup_violations(results, max_hamming=cfg.phash_near_radius)
+    # Declared like every other table check — TableRule("neardup", "phash",
+    # {"max_hamming": r}) on the profile — OR forced on by the explicit
+    # cfg.phash_near_radius / --phash-near-radius knob (which wins on radius
+    # when both are present; the knob is an explicit user request, so it runs
+    # the stage even when the profile omits the rule).
+    nd_rule = next((r for r in profile.table_rules if r.kind == "neardup"), None)
+    near_radius = cfg.phash_near_radius or (
+        int(nd_rule.params.get("max_hamming", 2)) if nd_rule is not None else 0
+    )
+    if near_radius > 0:
+        nd_ds = neardup_violations(results, max_hamming=near_radius)
         if distributed:
             extra_violations.append(nd_ds)
         else:

@@ -385,29 +385,71 @@ def neardup_violations(
     exact duplicates are ``phash_col.unique``'s, flagged by
     :func:`duplicate_violations`) of another image's.
 
-    Same broadcast-membership shape as the exact pass: the banded pair join
+    Same broadcast-membership shape as the exact pass, but the broadcast set
+    holds member phash VALUES, not keys: Hamming membership is a property of
+    the hash value (d(x, y) depends only on values), so every exact copy of a
+    member value is itself a member — flagging by value both avoids shipping
+    wide string keys and closes the hot-bucket chain hole (in a >hot_cap
+    identical-value clique the pair join emits d=0 chain edges, which the
+    ``hamming > 0`` filter drops; the clique's VALUE still appears in the
+    surviving (clique, 1..r-bit variant) pair, so every copy gets flagged,
+    matching the brute-force EXISTS oracle).  The banded pair join
     (:func:`phash_neardups`) returns a pair table bounded by the near-dup
-    population, its member-id set is ``ray.put`` once, and flagging is a
-    map-only ``is_in`` filter — no row-level shuffle.  If the member set
-    ever outgrew a broadcast, the fallback is the hash-partitioned semi-join
-    (stages/rules.py:_members_via_semijoin), exactly as for exact dups.
-    Undecodable rows carry a null phash and can never be members."""
+    population; member values are resolved by one narrow distributed pass and
+    ``ray.put`` once; flagging is a map-only ``is_in`` filter — no row-level
+    shuffle.  If the member set ever outgrew a broadcast, the fallback is the
+    hash-partitioned semi-join (stages/rules.py:_members_via_semijoin),
+    exactly as for exact dups.
+
+    Only decodable rows participate on BOTH sides (flagship narrow results
+    keep the stored ``phash`` for undecodable rows — an untrustworthy hash,
+    already flagged ``bytes.decodable``; inputs without a ``decodable``
+    column pass through).  Null phash never matches anything."""
+    cols = [
+        c
+        for c in (key_col, phash_col, PARTITION_COL, "decodable")
+        if c in results.schema().names
+    ]
+    narrow = results.select_columns(cols)
+
+    def _decodable(t: pa.Table) -> pa.Table:
+        if "decodable" in t.column_names:
+            t = t.filter(t["decodable"])
+        return t
+
     pairs = phash_neardups(
-        results, phash_col=phash_col, key_col=key_col,
+        narrow.map_batches(_decodable, batch_format="pyarrow", zero_copy_batch=True),
+        phash_col=phash_col, key_col=key_col,
         max_hamming=max_hamming, hot_cap=hot_cap,
     )
     pairs = pairs.filter(pc.greater(pairs["hamming"], 0))
-    members = pc.unique(
+    member_keys = pc.unique(
         pa.concat_arrays(
             [pairs["a"].combine_chunks(), pairs["b"].combine_chunks()]
         )
     )
-    mem_ref = ray.put(members)
+    key_ref = ray.put(member_keys)
+
+    # member keys -> member VALUES: one narrow distributed pass, each batch
+    # returns only the (<= |member| distinct) phash values of its member rows
+    def _vals(batch: pa.Table) -> pa.Table:
+        t = _decodable(batch)
+        sel = pc.fill_null(pc.is_in(t[key_col], value_set=ray.get(key_ref)), False)
+        v = t.filter(sel)[phash_col]
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        return pa.table({"v": pc.unique(v.drop_null() if v.null_count else v)})
+
+    val_parts = narrow.map_batches(
+        _vals, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    member_vals = pa.array(sorted({r["v"] for r in val_parts}), type=pa.int64())
+    val_ref = ray.put(member_vals)
 
     def flag(batch: pa.Table) -> pa.Table:
-        keys = ray.get(mem_ref)
-        t = batch
-        member = pc.fill_null(pc.is_in(t[key_col], value_set=keys), False)
+        t = _decodable(batch)
+        member = pc.fill_null(
+            pc.is_in(t[phash_col], value_set=ray.get(val_ref)), False
+        )
         t = t.filter(member)
         if PARTITION_COL in t.column_names:
             part = t[PARTITION_COL]
@@ -424,4 +466,4 @@ def neardup_violations(
             }
         )
 
-    return results.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+    return narrow.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

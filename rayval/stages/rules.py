@@ -256,8 +256,20 @@ def run_table_rules(
             # declaratively).  params: max_hamming (default 2), hot_cap.
             from rayval.stages.dedup import neardup_violations
 
+            # key cast to string up front (the pair join and the violation
+            # schema are string-keyed) — same cast every other rule kind does
+            keep = [
+                c for c in {rule.column, key, PARTITION_COL, "decodable"}
+                if c in ds.schema().names
+            ]
+            proj = ds.select_columns(keep).map_batches(
+                lambda b, _k=key: b.set_column(
+                    b.column_names.index(_k), _k, pc.cast(b[_k], pa.string())
+                ),
+                batch_format="pyarrow",
+            )
             nd = neardup_violations(
-                ds,
+                proj,
                 max_hamming=rule.params.get("max_hamming", 2),
                 hot_cap=rule.params.get("hot_cap", 256),
                 phash_col=rule.column,

@@ -604,8 +604,12 @@ def test_flagship_phash_near_radius(data_dir, tmp_path, ray_session):
     run(data_dir + "/images", out, captions_path=data_dir + "/captions.parquet", cfg=cfg)
     res = pq.read_table(
         glob.glob(os.path.join(out, "results", "group-*", "*.parquet")),
-        columns=["image_id", "phash"],
+        columns=["image_id", "phash", "decodable"],
     )
+    # ground truth mirrors the stage: only decodable rows participate (an
+    # undecodable row keeps its stored phash in the narrow results, but that
+    # hash is untrustworthy and the row is already flagged bytes.decodable)
+    res = res.filter(res["decodable"])
     res = res.filter(res["phash"].is_valid())
     ids = np.array(res["image_id"].to_pylist())
     ph = res["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
@@ -621,3 +625,49 @@ def test_flagship_phash_near_radius(data_dir, tmp_path, ray_session):
     }
     assert got == exp
     assert exp, "seeded generator produced no <=8-bit pairs; widen the radius"
+
+
+def test_neardup_violations_hot_clique_all_flagged(ray_session):
+    """A >hot_cap identical-phash clique with one 1-bit variant: EVERY clique
+    member is within 1 bit of the variant, so all must be flagged — the pair
+    join only emits d=0 chain edges inside the clique plus one (rep, variant)
+    edge, and value-set membership must recover the rest (the chain-edge
+    recall hole)."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.dedup import neardup_violations
+
+    base = 0x0123456789ABCDEF
+    n_clique = 12
+    ids = [f"c{i:03d}" for i in range(n_clique)] + ["variant", "far"]
+    ph = [base] * n_clique + [base ^ 1, 0x7EDCBA0000000000]
+    t = pa.table({"image_id": ids, "phash": pa.array(ph, type=pa.int64())})
+    out = neardup_violations(
+        ray.data.from_arrow(t).repartition(3), max_hamming=2, hot_cap=4
+    ).take_all()
+    got = sorted(r["image_id"] for r in out)
+    assert got == sorted(ids[:n_clique] + ["variant"])
+
+
+def test_neardup_violations_undecodable_excluded(ray_session):
+    """Rows with decodable=False keep their stored phash in the flagship's
+    narrow results but must NOT participate in the near-dup join on either
+    side (untrustworthy hash, already flagged bytes.decodable)."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayval.stages.dedup import neardup_violations
+
+    base = 0x5555AAAA5555AAAA
+    t = pa.table(
+        {
+            "image_id": ["good", "corrupt", "other"],
+            # corrupt is 1 bit from good; other is far from both: with the
+            # decodable filter NOTHING pairs, without it good+corrupt would
+            "phash": pa.array([base, base ^ 1, -42], type=pa.int64()),
+            "decodable": pa.array([True, False, True]),
+        }
+    )
+    out = neardup_violations(ray.data.from_arrow(t), max_hamming=2).take_all()
+    assert out == []

@@ -167,3 +167,25 @@ def test_neardup_rule(ray_session):
     out = run_table_rules(ray.data.from_arrow(t).repartition(2), prof, key="k")
     got = sorted(zip(out["k"].to_pylist(), out["constraint_id"].to_pylist()))
     assert got == [("r0", "h.neardup"), ("r1", "h.neardup")]
+
+
+def test_neardup_rule_int_key(ray_session):
+    """The neardup rule casts a non-string profile key to string itself
+    (every other rule kind does the same) instead of crashing in the pair
+    join."""
+    import ray.data
+
+    base = 0x00F0F0F0F0F0F0F0
+    t = pa.table(
+        {
+            "ik": pa.array([101, 102, 103], type=pa.int64()),
+            "h": pa.array([base, base ^ 2, -5], type=pa.int64()),
+        }
+    )
+    prof = Profile(
+        "t", [F("ik"), F("h")], key="ik",
+        table_rules=[TableRule("neardup", "h", {"max_hamming": 1})],
+    )
+    out = run_table_rules(ray.data.from_arrow(t), prof, key="ik")
+    got = sorted(zip(out["ik"].to_pylist(), out["constraint_id"].to_pylist()))
+    assert got == [("101", "h.neardup"), ("102", "h.neardup")]
