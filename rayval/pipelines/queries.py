@@ -3166,11 +3166,9 @@ QUERIES = {
     # (md5 parity moved into the oracle side) — keep in the driver's 50-query
     # window so the conversion gets fresh CORRECTNESS rows
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "sample_documents": (q_sample_documents, SQL_SAMPLE_DOCUMENTS),
     "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),
     "dedup_first_per_group": (q_dedup_first_per_group, SQL_DEDUP_FIRST),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
-    "embedding_topk_multi": (q_embedding_topk_multi, SQL_EMBEDDING_TOPK_MULTI),
     "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
@@ -3199,6 +3197,8 @@ QUERIES = {
     "events_asof_view": (q_events_asof_view, SQL_EVENTS_ASOF_VIEW),
     "events_range_count": (q_events_range_count, SQL_EVENTS_RANGE_COUNT),
     "events_range_pairs": (q_events_range_pairs, SQL_EVENTS_RANGE_PAIRS),
+    "sample_documents": (q_sample_documents, SQL_SAMPLE_DOCUMENTS),
+    "embedding_topk_multi": (q_embedding_topk_multi, SQL_EMBEDDING_TOPK_MULTI),
     "scalar_inference_violations": (q_scalar_inference_violations, SQL_SCALAR_INFERENCE_VIOLATIONS),
     "nested_struct_violations": (q_nested_struct_violations, SQL_NESTED_STRUCT_VIOLATIONS),
     "structural_violations": (q_structural_violations, SQL_STRUCTURAL_VIOLATIONS),
