@@ -1599,6 +1599,92 @@ SELECT lang, doc_id FROM (
 """
 
 
+def q_hash_split_counts(sf_dir: str) -> pa.Table:
+    """Deterministic 90/5/5 train/val/test split (stages/split.hash_split):
+    membership is a pure splitmix64 function of doc_id — map-only, no
+    shuffle, reproducible across block layouts, duplicate keys co-assigned
+    (no train/eval leakage).  Weights are integer basis points so the DuckDB
+    oracle replicates the assignment bit-for-bit; the query returns per
+    (split, lang) counts, exercising the full assignment on every row."""
+    from ray.data.aggregate import Count
+
+    from rayval.stages.split import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = hash_split(ds, "doc_id").groupby(["split", "lang"]).aggregate(
+        Count(alias_name="n")
+    )
+    t = _collect(
+        out,
+        pa.schema([("split", pa.string()), ("lang", pa.string()), ("n", pa.int64())]),
+    )
+    return t.sort_by([("split", "ascending"), ("lang", "ascending")])
+
+
+SQL_HASH_SPLIT_COUNTS = f"""
+SELECT split, lang, COUNT(*) AS n FROM (
+  SELECT lang,
+         CASE WHEN bucket < 9000 THEN 'train'
+              WHEN bucket < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT lang, h64 % 10000 AS bucket FROM (
+      SELECT lang,
+             {_splitmix64_sql("doc_id")}
+      FROM documents
+    )
+  )
+) GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+def q_heavy_hitters_lang(sf_dir: str) -> pa.Table:
+    """Heavy hitters of documents.lang via mergeable Misra-Gries partials
+    (stages/stats.heavy_hitters) — ONE map-only pass, k-bounded blobs, no
+    shuffle.  The column's total distinct count sits far below k=64, so no
+    decrement ever fires: every estimate is EXACT and err_bound is provably
+    0, making plain GROUP BY counts a full hash-match oracle (the same
+    planted-regime device as grouped_distinct's HLL linear-counting range).
+    Over-capacity behavior (bounds, guaranteed recall of >n/(k+1) keys) is
+    gated in tests/test_sketches.py."""
+    from rayval.stages.stats import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    t = heavy_hitters(ds, "lang", k=64)
+    return t.cast(
+        pa.schema(
+            [("value", pa.string()), ("est_count", pa.int64()), ("err_bound", pa.int64())]
+        )
+    )
+
+
+SQL_HEAVY_HITTERS_LANG = """
+SELECT lang AS value, COUNT(*) AS est_count, CAST(0 AS BIGINT) AS err_bound
+FROM documents WHERE lang IS NOT NULL
+GROUP BY lang ORDER BY est_count DESC, value
+"""
+
+
+def q_document_row_ids(sf_dir: str) -> pa.Table:
+    """Exact global ROW_NUMBER over doc_id (stages/rowids.global_row_number —
+    the zipWithIndex Ray Data lacks): KLL-balanced range buckets, exact
+    per-bucket base offsets from a key-column-only counting pass, one
+    vectorized argsort per bucket.  doc_id is unique, so ranks are fully
+    deterministic and the ROW_NUMBER oracle is exact."""
+    from rayval.stages.rowids import global_row_number
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = global_row_number(ds, "doc_id", n_buckets=16)
+    t = _collect(out, pa.schema([("doc_id", pa.int64()), ("row_id", pa.int64())]))
+    return t.sort_by("doc_id")
+
+
+SQL_DOCUMENT_ROW_IDS = """
+SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS row_id
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_grouped_distinct(sf_dir: str) -> pa.Table:
     """Per-group distinct counts from mergeable HLL partials
     (stages/stats.grouped_distinct_sketch) — grouped uniqueness at the
@@ -3166,6 +3252,13 @@ QUERIES = {
     # (md5 parity moved into the oracle side) — keep in the driver's 50-query
     # window so the conversion gets fresh CORRECTNESS rows
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    # NEW in r5 (late session): deterministic train/val/test split, MG heavy
+    # hitters, global ROW_NUMBER — need their first driver rows, so they sit
+    # in the window; three constraints-engine queries (untouched since r2,
+    # multiple green rounds) moved to the tail to keep the window at 50
+    "hash_split_counts": (q_hash_split_counts, SQL_HASH_SPLIT_COUNTS),
+    "heavy_hitters_lang": (q_heavy_hitters_lang, SQL_HEAVY_HITTERS_LANG),
+    "document_row_ids": (q_document_row_ids, SQL_DOCUMENT_ROW_IDS),
     "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),
     "dedup_first_per_group": (q_dedup_first_per_group, SQL_DEDUP_FIRST),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
@@ -3175,10 +3268,7 @@ QUERIES = {
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     "pii_flags": (q_pii_flags, _sql_pii_flags()),
     # reference semantics (XSD constraint engine)
-    "orders_violations": (q_orders_violations, SQL_ORDERS_VIOLATIONS),
-    "length_violations": (q_length_violations, SQL_LENGTH_VIOLATIONS),
     "union_annotate": (q_union_annotate, SQL_UNION_ANNOTATE),
-    "choice_violations": (q_choice_violations, SQL_CHOICE_VIOLATIONS),
     "fixed_default_violations": (q_fixed_default_violations, SQL_FIXED_DEFAULT_VIOLATIONS),
     "typechain_violations": (q_typechain_violations, SQL_TYPECHAIN_VIOLATIONS),
     "ref_restriction_violations": (q_ref_restriction_violations, SQL_REF_RESTRICTION_VIOLATIONS),
@@ -3216,6 +3306,9 @@ QUERIES = {
     # old rows remain the evidence; never-rechecked queries must not sit here
     "lineitem_violations": (q_lineitem_violations, SQL_LINEITEM_VIOLATIONS),
     "part_violations": (q_part_violations, SQL_PART_VIOLATIONS),
+    "orders_violations": (q_orders_violations, SQL_ORDERS_VIOLATIONS),
+    "length_violations": (q_length_violations, SQL_LENGTH_VIOLATIONS),
+    "choice_violations": (q_choice_violations, SQL_CHOICE_VIOLATIONS),
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION),

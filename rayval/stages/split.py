@@ -1,0 +1,73 @@
+"""Deterministic train/val/test splitting — the assignment step every
+training-data pipeline runs before writing shards.
+
+``hash_split`` is MAP-ONLY: split membership is a pure function of the row's
+KEY (splitmix64 bit-mix over ``hash64(key)``, optionally re-hashed with a
+salt), so
+
+- the assignment is reproducible across runs, cluster sizes, block layouts
+  and repartitions — no global shuffle, no sampled boundaries, no RNG state;
+- duplicate keys always land in the SAME split (no train/eval leakage through
+  exact duplicates — the property a ``ds.random_shuffle().split()`` approach
+  silently lacks);
+- at 10^12 rows the stage costs one vectorized hash + searchsorted per batch
+  and nothing leaves the task.
+
+Weights are integer BASIS POINTS (sum to 10_000) rather than floats, so the
+bucket thresholds are exact integers and the DuckDB oracle replicates the
+assignment bit-for-bit (same device as the ``sample_documents`` /
+``stratified_sample`` oracles).  ``salt`` decorrelates the split from other
+consumers of ``hash64(key)`` (e.g. the ~10% ``sample_documents`` bucket uses
+``h64 % 10``; with ``salt=0`` the two decisions share a hash and are
+correlated by construction — pass a salt when independence matters).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from rayval.state.hashing import hash64, rehash
+
+BASIS = 10_000
+
+
+def hash_split(
+    ds,
+    key_col: str,
+    weights: dict[str, int] | None = None,
+    salt: int = 0,
+    split_col: str = "split",
+):
+    """Add ``split_col`` (string) assigning each row to a named split by a
+    deterministic hash of ``key_col``.  ``weights`` maps split name -> basis
+    points and must sum to exactly 10_000; insertion order defines the bucket
+    layout (first name owns buckets [0, w0), the next [w0, w0+w1), ...).
+
+    Null keys hash to the fixed null sentinel (one bucket), so they all land
+    in the same split — deterministic, and documented rather than hidden."""
+    if weights is None:
+        weights = {"train": 9_000, "val": 500, "test": 500}
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("every split weight must be a positive basis-point count")
+    total = sum(weights.values())
+    if total != BASIS:
+        raise ValueError(f"weights must sum to {BASIS} basis points, got {total}")
+    names = np.array(list(weights.keys()), dtype=object)
+    # exclusive upper bucket bounds; searchsorted(side='right') maps bucket
+    # b to the first name whose bound exceeds b
+    bounds = np.cumsum(np.fromiter(weights.values(), dtype=np.int64))
+    salt_u = np.uint64(salt)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        h = hash64(batch[key_col].to_numpy())
+        if salt:
+            h = rehash(h, int(salt_u))
+        bucket = (h % np.uint64(BASIS)).astype(np.int64)
+        batch = batch.copy()
+        batch[split_col] = names[np.searchsorted(bounds, bucket, side="right")]
+        return batch
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -409,3 +409,73 @@ def grouped_histogram(
         .aggregate(Sum("_one", alias_name=n_col))
         .map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def heavy_hitters(
+    ds,
+    col: str,
+    k: int = 64,
+    merge_batch: int = 1024,
+) -> pa.Table:
+    """Approximate top-frequency keys of ``col`` via mergeable Misra-Gries
+    partials — the "WHICH keys are hot" member of the sketch family (HLL
+    answers how many distinct, KLL/t-digest how distributed).  Its output is
+    exactly what the skew defenses consume: feed the result to
+    ``join.bucket_join(hot_keys=...)`` / salted groupbys instead of guessing
+    hot keys, without ever running the exact (all-to-all) groupby.
+
+    Scale shape: ONE map-only pass.  Each batch collapses to (value, count)
+    pairs with a vectorized ``pc.value_counts`` and folds them into a
+    k-bounded summary (cost scales with distinct-per-batch, never rows); one
+    fixed-size blob per batch flows into a ``merge_batch``-way intermediate
+    merge stage, so the driver's final merge sees ceil(n_blocks/merge_batch)
+    blobs of <= k counters each — no shuffle anywhere, nothing proportional
+    to input rows leaves a task.
+
+    Guarantees (see :class:`rayval.state.heavyhitters.MisraGries`): every key
+    with true frequency > n/(k+1) is present; for each returned key
+    ``est_count <= true <= est_count + err_bound``; when the column's total
+    distinct-key count is <= k, ``err_bound`` is 0 and every count is EXACT
+    (the SQL-oracle regime used by the ``heavy_hitters_lang`` driver query).
+
+    Output: (value, est_count, err_bound) sorted by (-est_count, value);
+    null values are excluded (SQL COUNT(col) semantics)."""
+    from rayval.state.heavyhitters import MisraGries
+
+    v_type = ds.schema().base_schema.field(col).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch[col].is_valid())
+        mg = MisraGries(k)
+        if t.num_rows:
+            vc = pc.value_counts(t[col].combine_chunks())
+            mg.update_weighted(
+                vc.field("values").to_pylist(), vc.field("counts").to_numpy()
+            )
+        return pa.table({"mg": pa.array([mg.to_bytes()], type=pa.binary())})
+
+    def merge_stage(batch: pa.Table) -> pa.Table:
+        mg = MisraGries(k)
+        for b in batch["mg"].to_pylist():
+            mg.merge(MisraGries.from_bytes(b))
+        return pa.table({"mg": pa.array([mg.to_bytes()], type=pa.binary())})
+
+    rows = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(merge_stage, batch_format="pyarrow", batch_size=merge_batch)
+        .take_all()
+    )
+    final = MisraGries(k)
+    for r in rows:
+        final.merge(MisraGries.from_bytes(r["mg"]))
+    items = final.items()
+    return pa.table(
+        {
+            "value": pa.array([key for key, _ in items], type=v_type),
+            "est_count": pa.array([int(c) for _, c in items], type=pa.int64()),
+            "err_bound": pa.array(
+                [final.error_bound()] * len(items), type=pa.int64()
+            ),
+        }
+    )

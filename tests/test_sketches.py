@@ -2,6 +2,7 @@
 round-trip (checkpoint), determinism (resume re-merge)."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from rayval.state import HLL, KLL, Bloom, hash64, ks_distance
@@ -404,3 +405,117 @@ def test_sketch_stats_planted_exact(ray_session):
         "n_chars_p50_est": 50 + 9 * 7 + 2,  # 30th smallest of the even half
         "halves_ks_e6": 0,
     }
+
+
+# ---------------------------------------------------------------- MisraGries
+def test_misra_gries_exact_when_under_capacity():
+    from rayval.state.heavyhitters import MisraGries
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 40, size=5_000)  # 40 distinct <= k
+    mg = MisraGries(k=64).update(vals)
+    assert mg.error_bound() == 0
+    truth = {int(v): int(c) for v, c in zip(*np.unique(vals, return_counts=True))}
+    assert dict(mg.items()) == dict(sorted(truth.items(), key=lambda kv: (-kv[1], str(kv[0]))))
+
+
+def test_misra_gries_bounds_over_capacity():
+    from rayval.state.heavyhitters import MisraGries
+
+    rng = np.random.default_rng(11)
+    # zipf-ish: a few hot keys + a long uniform tail of distinct keys
+    hot = np.repeat(np.arange(5), 2_000)
+    tail = rng.integers(1_000, 100_000, size=20_000)
+    vals = np.concatenate([hot, tail])
+    rng.shuffle(vals)
+    k = 64
+    mg = MisraGries(k=k)
+    for chunk in np.array_split(vals, 13):
+        mg.update(chunk)
+    n = len(vals)
+    assert mg.error_bound() <= n // (k + 1)
+    truth = {int(v): int(c) for v, c in zip(*np.unique(vals, return_counts=True))}
+    est = dict(mg.items())
+    # every key with freq > n/(k+1) is guaranteed present
+    for key, c in truth.items():
+        if c > n // (k + 1):
+            assert key in est
+    # est <= true <= est + deducted for every tracked key
+    for key, e in est.items():
+        assert e <= truth[key] <= e + mg.error_bound()
+
+
+def test_misra_gries_merge_matches_single_build_bounds():
+    from rayval.state.heavyhitters import MisraGries
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 500, size=30_000)
+    parts = np.array_split(vals, 7)
+    merged = MisraGries(k=32)
+    for p in parts:
+        merged.merge(MisraGries(k=32).update(p))
+    truth = {int(v): int(c) for v, c in zip(*np.unique(vals, return_counts=True))}
+    assert merged.n == len(vals)
+    assert merged.error_bound() <= len(vals) // 33
+    for key, e in merged.counters.items():
+        assert e <= truth[key] <= e + merged.error_bound()
+
+
+def test_misra_gries_serialize_roundtrip_and_k_mismatch():
+    import pytest as _pytest
+
+    from rayval.state.heavyhitters import MisraGries
+
+    mg = MisraGries(k=8).update(np.array(["a", "b", "a", "c"], dtype=object))
+    back = MisraGries.from_bytes(mg.to_bytes())
+    assert back.counters == mg.counters and back.n == mg.n and back.k == mg.k
+    with _pytest.raises(ValueError):
+        back.merge(MisraGries(k=9))
+    with _pytest.raises(ValueError):
+        MisraGries.from_bytes(b"XXXX" + mg.to_bytes()[4:])
+
+
+def test_heavy_hitters_stage_exact_regime(ray_session):
+    import ray
+
+    from rayval.stages.stats import heavy_hitters
+
+    rng = np.random.default_rng(5)
+    langs = np.array(["en", "de", "fr", "sv", "zh"])[rng.integers(0, 5, size=4_000)]
+    t = pa.table({"lang": pa.array(langs.tolist()),
+                  "pad": pa.array(np.arange(4_000))})
+    out = heavy_hitters(ray.data.from_arrow(t).repartition(6), "lang", k=16)
+    truth = {v: int(c) for v, c in zip(*np.unique(langs, return_counts=True))}
+    assert out["err_bound"].to_pylist() == [0] * len(truth)
+    got = dict(zip(out["value"].to_pylist(), out["est_count"].to_pylist()))
+    assert got == truth
+    # sorted by (-count, value)
+    pairs = list(zip(out["est_count"].to_pylist(), out["value"].to_pylist()))
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+def test_heavy_hitters_stage_nulls_and_bounds(ray_session):
+    import ray
+
+    from rayval.stages.stats import heavy_hitters
+
+    rng = np.random.default_rng(9)
+    ids = np.concatenate([np.repeat([1, 2, 3], 3_000), rng.integers(100, 50_000, 30_000)])
+    rng.shuffle(ids)
+    vals = [None if i % 97 == 0 else int(v) for i, v in enumerate(ids)]
+    n_valid = sum(v is not None for v in vals)
+    t = pa.table({"user_id": pa.array(vals, type=pa.int64())})
+    k = 64
+    out = heavy_hitters(ray.data.from_arrow(t).repartition(5), "user_id", k=k)
+    bound = out["err_bound"][0].as_py()
+    assert bound <= n_valid // (k + 1)
+    truth = {}
+    for v in vals:
+        if v is not None:
+            truth[v] = truth.get(v, 0) + 1
+    got = dict(zip(out["value"].to_pylist(), out["est_count"].to_pylist()))
+    for key, c in truth.items():
+        if c > n_valid // (k + 1):
+            assert key in got
+    for key, e in got.items():
+        assert e <= truth[key] <= e + bound
