@@ -1685,6 +1685,47 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_tfidf_keywords(sf_dir: str) -> pa.Table:
+    """Per-document top-3 tf-idf keywords (stages/tfidf.tfidf_topk) — a
+    composition of the engine's own primitives: shared tokenizer -> per-batch
+    tf -> combiner df -> bucket_join(token) -> integer reciprocal-df scoring
+    (EXACT int64 arithmetic on both sides; log-idf would hash-mismatch on
+    float rounding) -> topn_per_group.  Nothing re-shuffles input rows except
+    the one token join."""
+    from rayval.stages.tfidf import tfidf_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_topk(ds, "text", "doc_id", k=3)
+    t = _collect(
+        out,
+        pa.schema([("doc_id", pa.int64()), ("score_e6", pa.int64()),
+                   ("token", pa.string())]),
+    )
+    return t.sort_by([("doc_id", "ascending"), ("score_e6", "descending"),
+                      ("token", "ascending")])
+
+
+SQL_TFIDF_KEYWORDS = """
+WITH toks AS (
+  SELECT doc_id, lower(u.t) AS token
+  FROM documents, unnest(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS u(t)
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf * ((n.n_docs * 1000000) // d.df) AS score_e6
+  FROM tf t JOIN df d USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, score_e6, token FROM ranked WHERE rn <= 3
+ORDER BY doc_id, score_e6 DESC, token
+"""
+
+
 def q_grouped_distinct(sf_dir: str) -> pa.Table:
     """Per-group distinct counts from mergeable HLL partials
     (stages/stats.grouped_distinct_sketch) — grouped uniqueness at the
@@ -3259,6 +3300,7 @@ QUERIES = {
     "hash_split_counts": (q_hash_split_counts, SQL_HASH_SPLIT_COUNTS),
     "heavy_hitters_lang": (q_heavy_hitters_lang, SQL_HEAVY_HITTERS_LANG),
     "document_row_ids": (q_document_row_ids, SQL_DOCUMENT_ROW_IDS),
+    "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),
     "dedup_first_per_group": (q_dedup_first_per_group, SQL_DEDUP_FIRST),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
@@ -3270,7 +3312,6 @@ QUERIES = {
     # reference semantics (XSD constraint engine)
     "union_annotate": (q_union_annotate, SQL_UNION_ANNOTATE),
     "fixed_default_violations": (q_fixed_default_violations, SQL_FIXED_DEFAULT_VIOLATIONS),
-    "typechain_violations": (q_typechain_violations, SQL_TYPECHAIN_VIOLATIONS),
     "ref_restriction_violations": (q_ref_restriction_violations, SQL_REF_RESTRICTION_VIOLATIONS),
     "extension_violations": (q_extension_violations, SQL_EXTENSION_VIOLATIONS),
     "rules_driven_violations": (q_rules_driven_violations, SQL_RULES_DRIVEN_VIOLATIONS),
@@ -3309,6 +3350,7 @@ QUERIES = {
     "orders_violations": (q_orders_violations, SQL_ORDERS_VIOLATIONS),
     "length_violations": (q_length_violations, SQL_LENGTH_VIOLATIONS),
     "choice_violations": (q_choice_violations, SQL_CHOICE_VIOLATIONS),
+    "typechain_violations": (q_typechain_violations, SQL_TYPECHAIN_VIOLATIONS),
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION),

@@ -132,3 +132,67 @@ def test_global_row_number_tie_col_pins_duplicates(ray_session):
         grp = out[out["key"] == k]
         assert (np.diff(grp["tie"].to_numpy()) > 0).all()
         assert (np.diff(grp["row_id"].to_numpy()) == 1).all()
+
+
+# ------------------------------------------------------------------- tf-idf
+def _tfidf_brute(texts, k, max_df=None):
+    """Pure-Python reference: same tokenizer contract, reciprocal-df idf."""
+    import re
+
+    docs = [re.findall(r"[a-z0-9]+", (t or "").lower()) for t in texts]
+    n = len(docs)
+    tf = [{} for _ in docs]
+    for i, toks in enumerate(docs):
+        for t in toks:
+            tf[i][t] = tf[i].get(t, 0) + 1
+    df = {}
+    for m in tf:
+        for t in m:
+            df[t] = df.get(t, 0) + 1
+    out = []
+    for i, m in enumerate(tf):
+        scored = [
+            (t, c * ((n * 1_000_000) // df[t]))
+            for t, c in m.items()
+            if max_df is None or df[t] <= max_df
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for t, s in scored[:k]:
+            out.append((i, s, t))
+    return sorted(out)
+
+
+def test_tfidf_topk_brute_force(ray_session):
+    ray = _ray()
+    from rayval.stages.tfidf import tfidf_topk
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log the dog",
+        "cat dog bird bird bird",
+        "",
+        None,
+        "unique singular vocabulary here",
+        "the the the the",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    out = tfidf_topk(ray.data.from_arrow(t).repartition(3), "text", "doc_id", k=2)
+    got = sorted(
+        (r["doc_id"], r["score_e6"], r["token"]) for r in out.take_all()
+    )
+    assert got == _tfidf_brute(texts, 2)
+
+
+def test_tfidf_max_df_guard(ray_session):
+    ray = _ray()
+    from rayval.stages.tfidf import tfidf_topk
+
+    texts = ["the a x", "the a y", "the a z", "the a w"]
+    t = pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                  "text": pa.array(texts)})
+    # 'the'/'a' appear in all 4 docs; max_df=1 keeps only the singletons
+    out = tfidf_topk(ray.data.from_arrow(t), "text", "doc_id", k=3, max_df=1)
+    got = sorted((r["doc_id"], r["score_e6"], r["token"]) for r in out.take_all())
+    assert got == _tfidf_brute(texts, 3, max_df=1)
+    assert all(tok in "xyzw" for _, _, tok in got)
