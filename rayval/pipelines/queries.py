@@ -1405,6 +1405,34 @@ FROM events WHERE ts IS NULL
 """
 
 
+def q_events_running_value(sf_dir: str) -> pa.Table:
+    """Per-user RUNNING TOTAL of event value over the (ts, event_id)-ordered
+    log (stages/windows.grouped_cumsum) — the cumulative-window member of
+    the bucketed family: one vectorized cumsum-with-run-reset per bucket,
+    e3 fixed point with shared ROUND parity, null values add 0, null-ts
+    rows order last within their key exactly like the SQL window default."""
+    from rayval.stages.windows import grouped_cumsum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = grouped_cumsum(ds, by="user_id", ts_col="ts", id_col="event_id",
+                         value_col="value")
+    t = _collect(
+        out,
+        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                   ("run_e3", pa.int64())]),
+    )
+    return t.sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+
+
+SQL_EVENTS_RUNNING_VALUE = """
+SELECT event_id, user_id,
+       COALESCE(CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS run_e3
+FROM events ORDER BY user_id, event_id
+"""
+
+
 def q_events_asof_view(sf_dir: str) -> pa.Table:
     """As-of join: for every purchase event, the most recent preceding (or
     simultaneous) view event of the same user — null when none precedes.
@@ -3312,7 +3340,6 @@ QUERIES = {
     # reference semantics (XSD constraint engine)
     "union_annotate": (q_union_annotate, SQL_UNION_ANNOTATE),
     "fixed_default_violations": (q_fixed_default_violations, SQL_FIXED_DEFAULT_VIOLATIONS),
-    "ref_restriction_violations": (q_ref_restriction_violations, SQL_REF_RESTRICTION_VIOLATIONS),
     "extension_violations": (q_extension_violations, SQL_EXTENSION_VIOLATIONS),
     "rules_driven_violations": (q_rules_driven_violations, SQL_RULES_DRIVEN_VIOLATIONS),
     "xsd_supplier_violations": (q_xsd_supplier_violations, SQL_XSD_SUPPLIER_VIOLATIONS),
@@ -3325,6 +3352,7 @@ QUERIES = {
     "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_with_prev": (q_events_with_prev, SQL_EVENTS_WITH_PREV),
+    "events_running_value": (q_events_running_value, SQL_EVENTS_RUNNING_VALUE),
     "events_asof_view": (q_events_asof_view, SQL_EVENTS_ASOF_VIEW),
     "events_range_count": (q_events_range_count, SQL_EVENTS_RANGE_COUNT),
     "events_range_pairs": (q_events_range_pairs, SQL_EVENTS_RANGE_PAIRS),
@@ -3351,6 +3379,7 @@ QUERIES = {
     "length_violations": (q_length_violations, SQL_LENGTH_VIOLATIONS),
     "choice_violations": (q_choice_violations, SQL_CHOICE_VIOLATIONS),
     "typechain_violations": (q_typechain_violations, SQL_TYPECHAIN_VIOLATIONS),
+    "ref_restriction_violations": (q_ref_restriction_violations, SQL_REF_RESTRICTION_VIOLATIONS),
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION),

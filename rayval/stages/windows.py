@@ -241,3 +241,54 @@ def hopping_window_agg(
         .aggregate(Sum("_one", alias_name=n_col), Sum("_e3", alias_name=sum_col))
         .map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def grouped_cumsum(
+    ds: "ray.data.Dataset",
+    by: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    run_col: str = "run_e3",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> "ray.data.Dataset":
+    """Per-key RUNNING TOTAL over the (ts, id)-ordered log — SQL
+    ``SUM(value) OVER (PARTITION BY by ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING)`` in e3 fixed point (round_half_away per element, integer
+    cumsum — exact DuckDB ROUND parity like the hopping window).  One Arrow
+    sort + one vectorized cumsum-with-run-reset pass per BUCKET (the
+    bucketed-reduce pattern: n_buckets Python dispatches, never per-key).
+
+    Null semantics: null VALUES add 0 (SQL SUM skips them; an all-null
+    prefix shows 0 via the oracle's COALESCE); null TS rows sort LAST within
+    their key (DuckDB's window-ORDER BY default) and still accumulate."""
+    sch = ds.schema().base_schema
+    by_t, id_t = sch.field(by).type, sch.field(id_col).type
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = drop_bucket_col(g)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {id_col: pa.array([], id_t), by: pa.array([], by_t),
+                 run_col: pa.array([], pa.int64())}
+            )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[(by, "ascending"), (ts_col, "ascending"), (id_col, "ascending")],
+            null_placement="at_end",
+        )
+        s = g.take(idx)
+        v = pc.fill_null(s[value_col], 0.0).to_numpy(zero_copy_only=False)
+        e3 = round_half_away(v * 1000)  # shared DuckDB ROUND parity helper
+        c = np.cumsum(e3)
+        first = _key_change(s[by], n)
+        pos = np.arange(n, dtype=np.int64)
+        start_pos = np.maximum.accumulate(np.where(first, pos, 0))
+        # run-relative cumsum: c[i] - (total BEFORE the run's first row)
+        run = c - (c - e3)[start_pos]
+        return pa.table(
+            {id_col: s[id_col], by: s[by], run_col: pa.array(run, type=pa.int64())}
+        )
+
+    return grouped_reduce(ds, by, n_buckets, per_bucket)

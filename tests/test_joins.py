@@ -773,3 +773,70 @@ def test_window_and_asof_null_parity_vs_duckdb(ray_session):
         SELECT event_id, NULL FROM events WHERE ts IS NULL
     """).arrow().cast(a.schema)
     assert _sorted_rows(a) == _sorted_rows(sql_a)
+
+
+def test_grouped_cumsum_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from rayval.stages.windows import grouped_cumsum
+    from rayval.util import round_half_away
+
+    rng = np.random.default_rng(31)
+    n = 3_000
+    base = np.datetime64("2024-01-01", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 80, n),
+            "ts": base + rng.integers(0, 10**9, n).astype("timedelta64[us]"),
+            "value": rng.normal(0, 10, n),
+        }
+    )
+    # nulls in both value and ts
+    df.loc[df.index % 17 == 0, "value"] = np.nan
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.loc[df.index % 23 == 0, "ts"] = pd.NaT
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    got = (
+        grouped_cumsum(ray.data.from_arrow(t).repartition(5), "user_id", "ts",
+                       "event_id", "value")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # brute force: sort (user, ts NULLS LAST, id), e3-round, per-user cumsum
+    b = df.copy()
+    b["e3"] = round_half_away(b["value"].fillna(0.0).to_numpy() * 1000)
+    b["_ts_null"] = b["ts"].isna()
+    b = b.sort_values(["user_id", "_ts_null", "ts", "event_id"])
+    b["run_e3"] = b.groupby("user_id")["e3"].cumsum()
+    b = b.sort_values("event_id").reset_index(drop=True)
+    assert (got["run_e3"].to_numpy() == b["run_e3"].to_numpy()).all()
+    assert len(got) == n
+
+
+def test_grouped_cumsum_bucketed_equals_per_key(ray_session):
+    import numpy as np
+    import ray
+
+    from rayval.stages.windows import grouped_cumsum
+
+    rng = np.random.default_rng(37)
+    n = 1_000
+    base = np.datetime64("2024-01-01", "us")
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 50, n)),
+            "ts": pa.array((base + rng.integers(0, 10**8, n).astype("timedelta64[us]"))),
+            "value": pa.array(rng.normal(0, 5, n)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    a = (grouped_cumsum(ds, "user_id", "ts", "event_id", "value", n_buckets=8)
+         .to_pandas().sort_values("event_id").reset_index(drop=True))
+    b = (grouped_cumsum(ds, "user_id", "ts", "event_id", "value", n_buckets=0)
+         .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert (a["run_e3"].to_numpy() == b["run_e3"].to_numpy()).all()
