@@ -63,7 +63,7 @@ class TableRule:
     whole validation contract lives in one declarative object; stages consume
     them (rayval.stages.dedup / referential / stats)."""
 
-    kind: str  # "unique" | "referential" | "drift"
+    kind: str  # "unique" | "referential" | "drift" | "neardup" | "functional"
     column: str
     params: dict = dc_field(default_factory=dict)
 

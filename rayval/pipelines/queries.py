@@ -1713,6 +1713,51 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_functional_violations(sf_dir: str) -> pa.Table:
+    """Declarative FUNCTIONAL-DEPENDENCY table rule (A determines B) through
+    the rules.py dispatcher: every order row whose customer places orders
+    under more than one distinct priority — a discriminating check (single-
+    order and consistent customers pass).  Scale shape: per-batch distinct
+    (A,B) pairs, one bucketed exchange of deduped pairs, membership via
+    broadcast or the shared hash-partitioned semi-join (the violating-A set
+    here EXCEEDS hot_threshold at sf0.01, so the semi-join path is what the
+    driver actually exercises)."""
+    from rayval.constraints.dsl import profile_from_dict
+    from rayval.stages.rules import run_table_rules
+
+    prof = profile_from_dict(
+        {
+            "name": "orders_fd",
+            "key": "row_key",
+            "fields": {},
+            "rules": [
+                {"kind": "functional", "column": "o_custkey",
+                 "determines": "o_orderpriority"},
+            ],
+        }
+    )
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: b.append_column("row_key", pc.cast(b["o_orderkey"], pa.string())),
+        batch_format="pyarrow",
+    )
+    t = run_table_rules(ds, prof, key="row_key")
+    return t.sort_by([("row_key", "ascending")])
+
+
+SQL_FUNCTIONAL_VIOLATIONS = """
+SELECT CAST(-1 AS BIGINT) AS partition_id,
+       CAST(o_orderkey AS VARCHAR) AS row_key,
+       'o_custkey.functional.o_orderpriority' AS constraint_id
+FROM orders
+WHERE o_custkey IN (
+  SELECT o_custkey FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY o_custkey HAVING COUNT(DISTINCT o_orderpriority) > 1
+)
+ORDER BY row_key
+"""
+
+
 def q_tfidf_keywords(sf_dir: str) -> pa.Table:
     """Per-document top-3 tf-idf keywords (stages/tfidf.tfidf_topk) — a
     composition of the engine's own primitives: shared tokenizer -> per-batch
@@ -3329,6 +3374,7 @@ QUERIES = {
     "heavy_hitters_lang": (q_heavy_hitters_lang, SQL_HEAVY_HITTERS_LANG),
     "document_row_ids": (q_document_row_ids, SQL_DOCUMENT_ROW_IDS),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
+    "functional_violations": (q_functional_violations, SQL_FUNCTIONAL_VIOLATIONS),
     "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),
     "dedup_first_per_group": (q_dedup_first_per_group, SQL_DEDUP_FIRST),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
@@ -3340,7 +3386,6 @@ QUERIES = {
     # reference semantics (XSD constraint engine)
     "union_annotate": (q_union_annotate, SQL_UNION_ANNOTATE),
     "fixed_default_violations": (q_fixed_default_violations, SQL_FIXED_DEFAULT_VIOLATIONS),
-    "extension_violations": (q_extension_violations, SQL_EXTENSION_VIOLATIONS),
     "rules_driven_violations": (q_rules_driven_violations, SQL_RULES_DRIVEN_VIOLATIONS),
     "xsd_supplier_violations": (q_xsd_supplier_violations, SQL_XSD_SUPPLIER_VIOLATIONS),
     # sources / aggregates / windows / temporal joins (the asof/range/LAG/
@@ -3380,6 +3425,7 @@ QUERIES = {
     "choice_violations": (q_choice_violations, SQL_CHOICE_VIOLATIONS),
     "typechain_violations": (q_typechain_violations, SQL_TYPECHAIN_VIOLATIONS),
     "ref_restriction_violations": (q_ref_restriction_violations, SQL_REF_RESTRICTION_VIOLATIONS),
+    "extension_violations": (q_extension_violations, SQL_EXTENSION_VIOLATIONS),
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION),

@@ -107,6 +107,99 @@ def unique_violations(
     return collect_tables(out, schema).sort_by([(key, "ascending")])
 
 
+def functional_violations(
+    ds: "ray.data.Dataset", column: str, determines: str, key: str,
+    hot_threshold: int = 1000, n_buckets: int = 32,
+) -> pa.Table:
+    """(partition_id, key, '<column>.functional.<determines>') for every row
+    whose ``column`` value maps to MORE THAN ONE distinct ``determines``
+    value — a declarative functional-dependency check (A -> B), the
+    cross-column member of the table-rule family (e.g. "every source has one
+    language", "every order key has one status").
+
+    Scale shape mirrors ``unique_violations``: per-batch DISTINCT (A, B)
+    pairs (one Arrow group_by — rows collapse before anything moves), ONE
+    ``groupby(hash(A) % B)`` exchange of the deduped pairs, per-bucket
+    vectorized re-dedup + run count emits only the violating A values; then
+    membership by broadcast (small set) or the shared hash-partitioned
+    semi-join (``_members_via_semijoin``) when it outgrows ``hot_threshold``.
+
+    Null semantics (replicate in any oracle): null-A rows can't violate and
+    are dropped; null B values don't count toward distinctness (SQL
+    ``COUNT(DISTINCT b)``), but rows of a violating A with null B are still
+    listed as members."""
+    from rayval.state import hash64
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([column, determines])
+        t = t.filter(pc.and_(t[column].is_valid(), t[determines].is_valid()))
+        if t.num_rows == 0:
+            return pa.table(
+                {"v": pa.array([], batch.schema.field(column).type),
+                 "b": pa.array([], batch.schema.field(determines).type)}
+            )
+        part = t.group_by([column, determines]).aggregate([]).combine_chunks()
+        return pa.table({"v": part[column], "b": part[determines]})
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        h = (hash64(batch["v"]) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(h))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        v_t = group.schema.field("v").type if "v" in group.column_names else pa.string()
+        empty = pa.table({"v": pa.array([], v_t)})
+        if group.num_rows == 0 or "v" not in group.column_names:
+            return empty
+        # re-dedup across batches, then count distinct B per A (vectorized)
+        pairs = group.select(["v", "b"]).group_by(["v", "b"]).aggregate([]).combine_chunks()
+        counts = pairs.group_by("v").aggregate([("b", "count")]).combine_chunks()
+        bad = counts.filter(pc.greater(counts["b_count"], 1))
+        return pa.table({"v": bad["v"]})
+
+    viol_vals = (
+        ds.select_columns([column, determines])
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(tag_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    n_bad = viol_vals.count()
+    schema = pa.schema(
+        [(PARTITION_COL, pa.int64()), (key, pa.string()), ("constraint_id", pa.string())]
+    )
+    if n_bad == 0:
+        return schema.empty_table()
+    cid = f"{column}.functional.{determines}"
+    cols = [c for c in (column, key, PARTITION_COL) if c in ds.schema().names]
+    rows = ds.select_columns(cols)
+
+    if n_bad > hot_threshold:
+        out = _members_via_semijoin(rows, viol_vals, column, key, cid, n_buckets)
+        return collect_tables(out, schema).sort_by([(key, "ascending")])
+
+    bad_arr = pa.array([r["v"] for r in viol_vals.take_all()])
+    ref = ray.put(bad_arr)
+
+    def members(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.is_in(batch[column], value_set=ray.get(ref)))
+        n = hit.num_rows
+        if PARTITION_COL in hit.column_names:
+            part = hit[PARTITION_COL]
+        else:
+            part = pa.array(np.full(n, -1, dtype=np.int64))
+        return pa.table(
+            {
+                PARTITION_COL: part,
+                key: pc.cast(hit[key], pa.string()),
+                "constraint_id": pa.array([cid] * n, type=pa.string()),
+            }
+        )
+
+    out = rows.map_batches(members, batch_format="pyarrow")
+    return collect_tables(out, schema).sort_by([(key, "ascending")])
+
+
 def _members_via_semijoin(
     rows: "ray.data.Dataset", dup_values: "ray.data.Dataset", column: str, key: str,
     cid: str, n_buckets: int,
@@ -327,6 +420,18 @@ def run_table_rules(
                         }
                     )
                 )
+        elif rule.kind == "functional":
+            det = rule.params.get("determines")
+            if not det:
+                raise ValueError(
+                    f"functional rule on {rule.column!r} needs params['determines']"
+                )
+            t = functional_violations(
+                ds, rule.column, det, key,
+                hot_threshold=rule.params.get("hot_threshold", hot_threshold),
+                n_buckets=rule.params.get("n_buckets", n_buckets),
+            )
+            parts.append(t.cast(schema))
         else:
             raise ValueError(f"unknown table rule kind {rule.kind!r}")
         return parts

@@ -189,3 +189,70 @@ def test_neardup_rule_int_key(ray_session):
     out = run_table_rules(ray.data.from_arrow(t), prof, key="ik")
     got = sorted(zip(out["ik"].to_pylist(), out["constraint_id"].to_pylist()))
     assert got == [("101", "h.neardup"), ("102", "h.neardup")]
+
+
+# -------------------------------------------------- functional dependency
+@pytest.fixture()
+def fd_ds(ray_session):
+    import ray.data
+
+    # a=10 consistent (b=1 twice); a=20 violating (b=1,2); a=30 single row;
+    # a=40 violating only via non-null Bs (nulls don't count toward
+    # distinctness) but its null-B row is still a member; null-A rows never
+    # violate
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([f"r{i}" for i in range(9)]),
+                "a": pa.array([10, 10, 20, 20, 30, 40, 40, 40, None], type=pa.int64()),
+                "b": pa.array([1, 1, 1, 2, 7, 5, 6, None, 9], type=pa.int64()),
+            }
+        )
+    ).repartition(3)
+
+
+def test_functional_rule_members_and_null_semantics(fd_ds):
+    from rayval.stages.rules import functional_violations
+
+    out = functional_violations(fd_ds, "a", "b", key="k")
+    got = sorted(out["k"].to_pylist())
+    # a=20 rows (r2, r3) and ALL a=40 rows incl. the null-B one (r5, r6, r7)
+    assert got == ["r2", "r3", "r5", "r6", "r7"]
+    assert set(out["constraint_id"].to_pylist()) == {"a.functional.b"}
+
+
+def test_functional_rule_semijoin_path_identical(fd_ds):
+    from rayval.stages.rules import functional_violations
+
+    broadcast = functional_violations(fd_ds, "a", "b", key="k", hot_threshold=1000)
+    semijoin = functional_violations(fd_ds, "a", "b", key="k", hot_threshold=0, n_buckets=4)
+    assert sorted(broadcast["k"].to_pylist()) == sorted(semijoin["k"].to_pylist())
+    assert broadcast.num_rows == semijoin.num_rows
+
+
+def test_functional_rule_no_violations(ray_session):
+    import ray.data
+
+    from rayval.stages.rules import functional_violations
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(["x", "y"]), "a": pa.array([1, 2], type=pa.int64()),
+                  "b": pa.array([1, 1], type=pa.int64())})
+    )
+    out = functional_violations(ds, "a", "b", key="k")
+    assert out.num_rows == 0
+
+
+def test_functional_rule_via_dispatcher(fd_ds):
+    prof = Profile(
+        "fd", [], key="k",
+        table_rules=[TableRule("functional", "a", {"determines": "b"})],
+    )
+    out = run_table_rules(fd_ds, prof, key="k")
+    assert sorted(out["k"].to_pylist()) == ["r2", "r3", "r5", "r6", "r7"]
+
+
+def test_functional_rule_missing_determines_raises(fd_ds):
+    prof = Profile("fd", [], key="k", table_rules=[TableRule("functional", "a")])
+    with pytest.raises(ValueError, match="determines"):
+        run_table_rules(fd_ds, prof, key="k")
