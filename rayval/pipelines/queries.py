@@ -1713,6 +1713,37 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_event_type_pivot(sf_dir: str) -> pa.Table:
+    """Per-user one-hot event-type counts (stages/pivot.pivot_counts) — the
+    pivot/wide-aggregation operator: per-batch vectorized partials collapse
+    to one wide row per touched key (|values|+1 int64 columns shuffle, never
+    input rows); undeclared categories and null categories land in n_other
+    so nothing silently drops; null user_ids form their own group."""
+    from rayval.stages.pivot import pivot_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = pivot_counts(ds, "user_id", "event_type", ["view", "click", "purchase"])
+    t = _collect(
+        out,
+        pa.schema([("user_id", pa.int64()), ("n_view", pa.int64()),
+                   ("n_click", pa.int64()), ("n_purchase", pa.int64()),
+                   ("n_other", pa.int64())]),
+    )
+    return t.sort_by("user_id")
+
+
+SQL_EVENT_TYPE_PIVOT = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type IS NULL
+                 OR event_type NOT IN ('view', 'click', 'purchase')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_functional_violations(sf_dir: str) -> pa.Table:
     """Declarative FUNCTIONAL-DEPENDENCY table rule (A determines B) through
     the rules.py dispatcher: every order row whose customer places orders
@@ -3375,6 +3406,7 @@ QUERIES = {
     "document_row_ids": (q_document_row_ids, SQL_DOCUMENT_ROW_IDS),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "functional_violations": (q_functional_violations, SQL_FUNCTIONAL_VIOLATIONS),
+    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
     "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),
     "dedup_first_per_group": (q_dedup_first_per_group, SQL_DEDUP_FIRST),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
@@ -3384,8 +3416,6 @@ QUERIES = {
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     "pii_flags": (q_pii_flags, _sql_pii_flags()),
     # reference semantics (XSD constraint engine)
-    "union_annotate": (q_union_annotate, SQL_UNION_ANNOTATE),
-    "fixed_default_violations": (q_fixed_default_violations, SQL_FIXED_DEFAULT_VIOLATIONS),
     "rules_driven_violations": (q_rules_driven_violations, SQL_RULES_DRIVEN_VIOLATIONS),
     "xsd_supplier_violations": (q_xsd_supplier_violations, SQL_XSD_SUPPLIER_VIOLATIONS),
     # sources / aggregates / windows / temporal joins (the asof/range/LAG/
@@ -3426,6 +3456,8 @@ QUERIES = {
     "typechain_violations": (q_typechain_violations, SQL_TYPECHAIN_VIOLATIONS),
     "ref_restriction_violations": (q_ref_restriction_violations, SQL_REF_RESTRICTION_VIOLATIONS),
     "extension_violations": (q_extension_violations, SQL_EXTENSION_VIOLATIONS),
+    "fixed_default_violations": (q_fixed_default_violations, SQL_FIXED_DEFAULT_VIOLATIONS),
+    "union_annotate": (q_union_annotate, SQL_UNION_ANNOTATE),
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION),

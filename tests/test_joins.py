@@ -840,3 +840,49 @@ def test_grouped_cumsum_bucketed_equals_per_key(ray_session):
     b = (grouped_cumsum(ds, "user_id", "ts", "event_id", "value", n_buckets=0)
          .to_pandas().sort_values("event_id").reset_index(drop=True))
     assert (a["run_e3"].to_numpy() == b["run_e3"].to_numpy()).all()
+
+
+def test_pivot_counts_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from rayval.stages.pivot import pivot_counts
+
+    rng = np.random.default_rng(3)
+    n = 2_000
+    keys = [None if i % 41 == 0 else int(v) for i, v in enumerate(rng.integers(0, 30, n))]
+    cats = [None if i % 13 == 0 else c
+            for i, c in enumerate(np.array(["view", "click", "purchase", "zz"])[rng.integers(0, 4, n)])]
+    t = pa.table({"user_id": pa.array(keys, type=pa.int64()),
+                  "event_type": pa.array(cats, type=pa.string())})
+    out = pivot_counts(ray.data.from_arrow(t).repartition(5), "user_id", "event_type",
+                       ["view", "click", "purchase"]).to_pandas()
+    exp = {}
+    for k, c in zip(keys, cats):
+        d = exp.setdefault(k, {"n_view": 0, "n_click": 0, "n_purchase": 0, "n_other": 0})
+        d[f"n_{c}" if c in ("view", "click", "purchase") else "n_other"] += 1
+    assert len(out) == len(exp)
+    for _, r in out.iterrows():
+        k = None if pd.isna(r.user_id) else int(r.user_id)
+        for c in ["n_view", "n_click", "n_purchase", "n_other"]:
+            assert int(r[c]) == exp[k][c], (k, c)
+    # row totals account for EVERY input row (nothing silently dropped)
+    assert int(out[["n_view", "n_click", "n_purchase", "n_other"]].to_numpy().sum()) == n
+
+
+def test_pivot_counts_no_other_and_validation(ray_session):
+    import ray
+
+    from rayval.stages.pivot import pivot_counts
+
+    t = pa.table({"k": pa.array([1, 1, 2], type=pa.int64()),
+                  "c": pa.array(["a", "b", "a"])})
+    ds = ray.data.from_arrow(t)
+    out = pivot_counts(ds, "k", "c", ["a"], other_col=None).to_pandas()
+    assert list(out.columns) == ["k", "n_a"]
+    assert dict(zip(out.k, out.n_a)) == {1: 1, 2: 1}
+    with pytest.raises(ValueError):
+        pivot_counts(ds, "k", "c", [])
+    with pytest.raises(ValueError):
+        pivot_counts(ds, "k", "c", ["a", "a"])
