@@ -3031,6 +3031,76 @@ def _ensure_pii_fixture() -> str:
     return _PII_FIXTURE
 
 
+_NULLRATE_FIXTURE = "/tmp/rayval_q_nullrate/parts_v1.parquet"
+
+
+def _ensure_nullrate_fixture() -> str:
+    """Deterministic 4-partition parquet with PLANTED per-partition null
+    rates in ``v`` (0%, 5%, 20%, 50% by row-index stride — exactly
+    invertible, no RNG), so the null_rate rule gets a discriminating oracle
+    (the testdata tables contain no nulls by construction)."""
+    import os as _os
+
+    import pyarrow.parquet as pq_mod
+
+    if _os.path.exists(_NULLRATE_FIXTURE):
+        return _NULLRATE_FIXTURE
+    _os.makedirs(_os.path.dirname(_NULLRATE_FIXTURE), exist_ok=True)
+    strides = {0: 0, 1: 20, 2: 5, 3: 2}  # every k-th row null (0 = never)
+    pids, keys, vals = [], [], []
+    for pid, k in strides.items():
+        for i in range(400):
+            pids.append(pid)
+            keys.append(f"p{pid}r{i}")
+            vals.append(None if (k and i % k == 0) else float(i))
+    tmp = f"{_NULLRATE_FIXTURE}.{_os.getpid()}.tmp"
+    pq_mod.write_table(
+        pa.table({"partition_id": pa.array(pids, type=pa.int64()),
+                  "row_key": pa.array(keys, type=pa.string()),
+                  "v": pa.array(vals, type=pa.float64())}),
+        tmp,
+    )
+    _os.replace(tmp, _NULLRATE_FIXTURE)
+    return _NULLRATE_FIXTURE
+
+
+def q_null_rate_violations(sf_dir: str) -> pa.Table:
+    """Declarative per-partition NULL-RATE bound (stages/rules.py:
+    null_rate_violations via the dispatcher): partitions whose ``v`` null
+    fraction exceeds 10% — integer cross-multiplication on both sides, so
+    the GROUP BY HAVING oracle is bit-exact.  Planted rates 0/5/20/50% make
+    it discriminating (exactly two partitions violate)."""
+    from rayval.constraints.dsl import profile_from_dict
+    from rayval.stages.rules import run_table_rules
+
+    prof = profile_from_dict(
+        {
+            "name": "nullrate",
+            "key": "row_key",
+            "fields": {},
+            "rules": [
+                {"kind": "null_rate", "column": "v", "max_null_e6": 100_000},
+            ],
+        }
+    )
+    ds = ray.data.read_parquet(_ensure_nullrate_fixture())
+    return run_table_rules(ds, prof, key="row_key").sort_by(
+        [("partition_id", "ascending")]
+    )
+
+
+def _sql_null_rate_violations() -> str:
+    return f"""
+SELECT partition_id,
+       CAST(partition_id AS VARCHAR) AS row_key,
+       'v.null_rate' AS constraint_id
+FROM read_parquet('{_NULLRATE_FIXTURE}')
+GROUP BY partition_id
+HAVING 1000000 * SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) > 100000 * COUNT(*)
+ORDER BY partition_id
+"""
+
+
 def ensure_oracle_fixtures() -> None:
     """Materialize the deterministic /tmp fixtures some oracle SQL reads
     (images parquet for ``images_meta_violations``, PII docs for
@@ -3048,6 +3118,7 @@ def ensure_oracle_fixtures() -> None:
     _ensure_clean_fixture()
     _ensure_sketch_fixture()
     _ensure_phash_fixture()
+    _ensure_nullrate_fixture()
 
 
 def q_pii_flags(sf_dir: str) -> pa.Table:
@@ -3407,6 +3478,7 @@ QUERIES = {
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "functional_violations": (q_functional_violations, SQL_FUNCTIONAL_VIOLATIONS),
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
+    "null_rate_violations": (q_null_rate_violations, _sql_null_rate_violations()),
     "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),
     "dedup_first_per_group": (q_dedup_first_per_group, SQL_DEDUP_FIRST),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
@@ -3417,7 +3489,6 @@ QUERIES = {
     "pii_flags": (q_pii_flags, _sql_pii_flags()),
     # reference semantics (XSD constraint engine)
     "rules_driven_violations": (q_rules_driven_violations, SQL_RULES_DRIVEN_VIOLATIONS),
-    "xsd_supplier_violations": (q_xsd_supplier_violations, SQL_XSD_SUPPLIER_VIOLATIONS),
     # sources / aggregates / windows / temporal joins (the asof/range/LAG/
     # sessions family was re-bucketed in round 5 — keep the WHOLE family
     # inside the driver's first-50 sampling window; the three XSD queries
@@ -3458,6 +3529,7 @@ QUERIES = {
     "extension_violations": (q_extension_violations, SQL_EXTENSION_VIOLATIONS),
     "fixed_default_violations": (q_fixed_default_violations, SQL_FIXED_DEFAULT_VIOLATIONS),
     "union_annotate": (q_union_annotate, SQL_UNION_ANNOTATE),
+    "xsd_supplier_violations": (q_xsd_supplier_violations, SQL_XSD_SUPPLIER_VIOLATIONS),
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION),

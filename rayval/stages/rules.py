@@ -200,6 +200,57 @@ def functional_violations(
     return collect_tables(out, schema).sort_by([(key, "ascending")])
 
 
+def null_rate_violations(
+    ds: "ray.data.Dataset", column: str, key: str, max_null_e6: int,
+) -> pa.Table:
+    """(partition_id, str(partition_id), '<column>.null_rate') for every
+    partition whose ``column`` null fraction exceeds ``max_null_e6``
+    (parts-per-million) — the completeness monitor of the table-rule family
+    (north_star's per-partition stats verdict, as a declarative rule).
+
+    Integer-exact on both sides: violate iff ``1e6 * nulls > max_null_e6 *
+    rows`` (no float division anywhere, so a DuckDB HAVING with the same
+    cross-multiplication is a bit-exact oracle).  Scale shape: per-batch
+    (partition, nulls, rows) partial — two ints per touched partition per
+    batch — merged on the driver like the stats/drift partials; no shuffle,
+    nothing proportional to input rows moves."""
+    def partial(batch: pa.Table) -> pa.Table:
+        if PARTITION_COL in batch.column_names:
+            part = batch[PARTITION_COL].to_numpy(zero_copy_only=False)
+        else:
+            part = np.full(batch.num_rows, -1, dtype=np.int64)
+        isnull = batch[column].is_null().to_numpy(zero_copy_only=False)
+        pids, idx = np.unique(part, return_inverse=True)
+        nulls = np.bincount(idx, weights=isnull, minlength=len(pids)).astype(np.int64)
+        rows = np.bincount(idx, minlength=len(pids)).astype(np.int64)
+        return pa.table(
+            {PARTITION_COL: pa.array(pids, type=pa.int64()),
+             "nulls": pa.array(nulls), "rows": pa.array(rows)}
+        )
+
+    cols = [c for c in (column, PARTITION_COL) if c in ds.schema().names]
+    tallies: dict[int, list[int]] = {}
+    for r in (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    ):
+        t = tallies.setdefault(int(r[PARTITION_COL]), [0, 0])
+        t[0] += int(r["nulls"])
+        t[1] += int(r["rows"])
+    cid = f"{column}.null_rate"
+    bad = sorted(
+        pid for pid, (nn, n) in tallies.items() if 1_000_000 * nn > max_null_e6 * n
+    )
+    return pa.table(
+        {
+            PARTITION_COL: pa.array(bad, type=pa.int64()),
+            key: pa.array([str(p) for p in bad], type=pa.string()),
+            "constraint_id": pa.array([cid] * len(bad), type=pa.string()),
+        }
+    )
+
+
 def _members_via_semijoin(
     rows: "ray.data.Dataset", dup_values: "ray.data.Dataset", column: str, key: str,
     cid: str, n_buckets: int,
@@ -420,6 +471,15 @@ def run_table_rules(
                         }
                     )
                 )
+        elif rule.kind == "null_rate":
+            if "max_null_e6" not in rule.params:
+                raise ValueError(
+                    f"null_rate rule on {rule.column!r} needs params['max_null_e6']"
+                )
+            t = null_rate_violations(
+                ds, rule.column, key, int(rule.params["max_null_e6"])
+            )
+            parts.append(t.cast(schema))
         elif rule.kind == "functional":
             det = rule.params.get("determines")
             if not det:

@@ -256,3 +256,66 @@ def test_functional_rule_missing_determines_raises(fd_ds):
     prof = Profile("fd", [], key="k", table_rules=[TableRule("functional", "a")])
     with pytest.raises(ValueError, match="determines"):
         run_table_rules(fd_ds, prof, key="k")
+
+
+# -------------------------------------------------------- null-rate bound
+def test_null_rate_rule(ray_session):
+    import ray.data
+
+    from rayval.stages.rules import null_rate_violations
+
+    t = pa.table(
+        {
+            "partition_id": pa.array([0] * 10 + [1] * 10 + [2] * 4, type=pa.int64()),
+            "k": pa.array([f"r{i}" for i in range(24)]),
+            "v": pa.array(
+                [1.0] * 10                      # p0: 0% null
+                + [None] * 3 + [2.0] * 7        # p1: 30% null
+                + [None, None, 1.0, 1.0],       # p2: 50% null
+                type=pa.float64(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = null_rate_violations(ds, "v", key="k", max_null_e6=250_000)
+    assert out["partition_id"].to_pylist() == [1, 2]
+    assert out["k"].to_pylist() == ["1", "2"]
+    assert set(out["constraint_id"].to_pylist()) == {"v.null_rate"}
+    # boundary is EXCLUSIVE (integer cross-multiplication, no float division):
+    # exactly 30% null vs max 300000 ppm does NOT violate
+    out2 = null_rate_violations(ds, "v", key="k", max_null_e6=300_000)
+    assert out2["partition_id"].to_pylist() == [2]
+
+
+def test_null_rate_rule_via_dispatcher_and_validation(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "partition_id": pa.array([0, 0, 1, 1], type=pa.int64()),
+            "k": pa.array(["a", "b", "c", "d"]),
+            "v": pa.array([1.0, None, 1.0, 1.0], type=pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    prof = Profile(
+        "nr", [], key="k",
+        table_rules=[TableRule("null_rate", "v", {"max_null_e6": 100_000})],
+    )
+    out = run_table_rules(ds, prof, key="k")
+    assert out["partition_id"].to_pylist() == [0]
+    bad = Profile("nr", [], key="k", table_rules=[TableRule("null_rate", "v")])
+    with pytest.raises(ValueError, match="max_null_e6"):
+        run_table_rules(ds, bad, key="k")
+
+
+def test_null_rate_rule_no_partition_col(ray_session):
+    import ray.data
+
+    from rayval.stages.rules import null_rate_violations
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(["a", "b"]), "v": pa.array([None, 1.0], type=pa.float64())})
+    )
+    out = null_rate_violations(ds, "v", key="k", max_null_e6=100_000)
+    assert out["partition_id"].to_pylist() == [-1]
