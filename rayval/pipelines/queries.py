@@ -1713,6 +1713,47 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_unique_together_violations(sf_dir: str) -> pa.Table:
+    """Declarative COMPOSITE-key uniqueness (rules.py:
+    unique_together_violations via the dispatcher): docs sharing their
+    (source, lang) tuple with another doc — discriminating at sf0.01 (7
+    singleton pairs pass, 493 member rows violate).  The tuple travels as an
+    injective string encoding and reuses the single-column unique machinery
+    (partial counts, broadcast-or-semi-join membership) verbatim."""
+    from rayval.constraints.dsl import profile_from_dict
+    from rayval.stages.rules import run_table_rules
+
+    prof = profile_from_dict(
+        {
+            "name": "doc_identity",
+            "key": "row_key",
+            "fields": {},
+            "rules": [
+                {"kind": "unique_together", "column": "source", "with": ["lang"]},
+            ],
+        }
+    )
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+        lambda b: b.append_column("row_key", pc.cast(b["doc_id"], pa.string())),
+        batch_format="pyarrow",
+    )
+    return run_table_rules(ds, prof, key="row_key").sort_by(
+        [("row_key", "ascending")]
+    )
+
+
+SQL_UNIQUE_TOGETHER_VIOLATIONS = """
+SELECT CAST(-1 AS BIGINT) AS partition_id,
+       CAST(d.doc_id AS VARCHAR) AS row_key,
+       'source+lang.unique_together' AS constraint_id
+FROM documents d
+JOIN (
+  SELECT source, lang FROM documents GROUP BY source, lang HAVING COUNT(*) > 1
+) v USING (source, lang)
+ORDER BY row_key
+"""
+
+
 def q_event_type_pivot(sf_dir: str) -> pa.Table:
     """Per-user one-hot event-type counts (stages/pivot.pivot_counts) — the
     pivot/wide-aggregation operator: per-batch vectorized partials collapse
@@ -3479,6 +3520,7 @@ QUERIES = {
     "functional_violations": (q_functional_violations, SQL_FUNCTIONAL_VIOLATIONS),
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
     "null_rate_violations": (q_null_rate_violations, _sql_null_rate_violations()),
+    "unique_together_violations": (q_unique_together_violations, SQL_UNIQUE_TOGETHER_VIOLATIONS),
     "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),
     "dedup_first_per_group": (q_dedup_first_per_group, SQL_DEDUP_FIRST),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
@@ -3486,7 +3528,6 @@ QUERIES = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
-    "pii_flags": (q_pii_flags, _sql_pii_flags()),
     # reference semantics (XSD constraint engine)
     "rules_driven_violations": (q_rules_driven_violations, SQL_RULES_DRIVEN_VIOLATIONS),
     # sources / aggregates / windows / temporal joins (the asof/range/LAG/
@@ -3530,6 +3571,7 @@ QUERIES = {
     "fixed_default_violations": (q_fixed_default_violations, SQL_FIXED_DEFAULT_VIOLATIONS),
     "union_annotate": (q_union_annotate, SQL_UNION_ANNOTATE),
     "xsd_supplier_violations": (q_xsd_supplier_violations, SQL_XSD_SUPPLIER_VIOLATIONS),
+    "pii_flags": (q_pii_flags, _sql_pii_flags()),
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION),

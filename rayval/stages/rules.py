@@ -39,7 +39,7 @@ from rayval.util import collect_tables
 
 def unique_violations(
     ds: "ray.data.Dataset", column: str, key: str, hot_threshold: int = 1000,
-    n_buckets: int = 32,
+    n_buckets: int = 32, cid: "str | None" = None,
 ) -> pa.Table:
     """(partition_id, key, '<column>.unique') for every member of every
     duplicate group of ``column`` — partial counts, tiny groupby, then
@@ -76,7 +76,7 @@ def unique_violations(
     )
     if n_dup == 0:
         return schema.empty_table()
-    cid = f"{column}.unique"
+    cid = cid or f"{column}.unique"
     cols = [c for c in (column, key, PARTITION_COL) if c in ds.schema().names]
     rows = ds.select_columns(cols)
 
@@ -198,6 +198,50 @@ def functional_violations(
 
     out = rows.map_batches(members, batch_format="pyarrow")
     return collect_tables(out, schema).sort_by([(key, "ascending")])
+
+
+def unique_together_violations(
+    ds: "ray.data.Dataset", columns: "list[str]", key: str,
+    hot_threshold: int = 1000, n_buckets: int = 32,
+) -> pa.Table:
+    """COMPOSITE-key uniqueness: (partition_id, key, '<a>+<b>.unique_together')
+    for every row sharing its (a, b, ...) tuple with another row — the
+    multi-column complement of ``unique_violations`` (e.g. "(user_id, ts) is
+    an event identity", "(image_id, crop) appears once").
+
+    The tuple is encoded as an injective string — per column, ``"1:" +
+    cast(v)`` or the fixed ``"0:"`` null token, joined with the \\x1f unit
+    separator — then the ENTIRE unique machinery (partial counts, tiny
+    groupby, broadcast-or-semi-join membership) reuses that derived column,
+    so every scale/skew property of the single-column rule carries over
+    verbatim.  No hashing anywhere: two distinct tuples can never collide.
+
+    Null semantics: null components GROUP TOGETHER (SQL GROUP BY treats
+    NULLs as one group); note a SQL ``(a,b) IN (subquery)`` membership
+    listing would silently DROP null-component rows (NULL never IN) — use a
+    GROUP-BY-join oracle, or non-null data, when comparing."""
+    if len(columns) < 2:
+        raise ValueError("unique_together needs at least two columns")
+    sep = pa.scalar("\x1f")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in columns:
+            s = pc.cast(batch[c], pa.string())
+            enc = pc.if_else(
+                s.is_valid(),
+                pc.binary_join_element_wise(pa.scalar("1:"), pc.fill_null(s, ""), pa.scalar("")),
+                pa.scalar("0:"),
+            )
+            parts.append(enc)
+        ck = pc.binary_join_element_wise(*parts, sep)
+        return batch.append_column("_ck", ck)
+
+    cid = f"{'+'.join(columns)}.unique_together"
+    return unique_violations(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        "_ck", key, hot_threshold=hot_threshold, n_buckets=n_buckets, cid=cid,
+    )
 
 
 def null_rate_violations(
@@ -471,6 +515,19 @@ def run_table_rules(
                         }
                     )
                 )
+        elif rule.kind == "unique_together":
+            extra = rule.params.get("with")
+            if not extra:
+                raise ValueError(
+                    f"unique_together rule on {rule.column!r} needs params['with'] "
+                    "(the other key columns)"
+                )
+            t = unique_together_violations(
+                ds, [rule.column, *extra], key,
+                hot_threshold=rule.params.get("hot_threshold", hot_threshold),
+                n_buckets=rule.params.get("n_buckets", n_buckets),
+            )
+            parts.append(t.cast(schema))
         elif rule.kind == "null_rate":
             if "max_null_e6" not in rule.params:
                 raise ValueError(

@@ -319,3 +319,70 @@ def test_null_rate_rule_no_partition_col(ray_session):
     )
     out = null_rate_violations(ds, "v", key="k", max_null_e6=100_000)
     assert out["partition_id"].to_pylist() == [-1]
+
+
+# ------------------------------------------------- composite-key uniqueness
+def test_unique_together_members_and_encoding(ray_session):
+    import ray.data
+
+    from rayval.stages.rules import unique_together_violations
+
+    # (1,'x') duplicated; (1,'y') and (2,'x') singletons; the injective
+    # encoding must NOT conflate ("ab","c") with ("a","bc"), nor a null
+    # component with the string "None"
+    t = pa.table(
+        {
+            "k": pa.array([f"r{i}" for i in range(8)]),
+            "a": pa.array(["1", "1", "1", "2", "ab", "a", "None", None]),
+            "b": pa.array(["x", "x", "y", "x", "c", "bc", "q", "q"]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = unique_together_violations(ds, ["a", "b"], key="k")
+    assert sorted(out["k"].to_pylist()) == ["r0", "r1"]
+    assert set(out["constraint_id"].to_pylist()) == {"a+b.unique_together"}
+
+
+def test_unique_together_nulls_group_together(ray_session):
+    import ray.data
+
+    from rayval.stages.rules import unique_together_violations
+
+    t = pa.table(
+        {
+            "k": pa.array(["x", "y", "z"]),
+            "a": pa.array([None, None, "v"]),
+            "b": pa.array([7, 7, 7], type=pa.int64()),
+        }
+    )
+    out = unique_together_violations(ray.data.from_arrow(t), ["a", "b"], key="k")
+    # SQL GROUP BY semantics: the two (NULL, 7) rows form one duplicate group
+    assert sorted(out["k"].to_pylist()) == ["x", "y"]
+
+
+def test_unique_together_dispatcher_and_semijoin(ray_session):
+    import ray.data
+
+    from rayval.stages.rules import unique_together_violations
+
+    t = pa.table(
+        {
+            "k": pa.array([f"r{i}" for i in range(6)]),
+            "a": pa.array([1, 1, 2, 2, 3, 3], type=pa.int64()),
+            "b": pa.array([1, 1, 2, 9, 3, 3], type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    prof = Profile(
+        "ut", [], key="k",
+        table_rules=[TableRule("unique_together", "a", {"with": ["b"]})],
+    )
+    out = run_table_rules(ds, prof, key="k")
+    assert sorted(out["k"].to_pylist()) == ["r0", "r1", "r4", "r5"]
+    semi = unique_together_violations(ds, ["a", "b"], key="k", hot_threshold=0, n_buckets=4)
+    assert sorted(semi["k"].to_pylist()) == ["r0", "r1", "r4", "r5"]
+    bad = Profile("ut", [], key="k", table_rules=[TableRule("unique_together", "a")])
+    with pytest.raises(ValueError, match="with"):
+        run_table_rules(ds, bad, key="k")
+    with pytest.raises(ValueError, match="two columns"):
+        unique_together_violations(ds, ["a"], key="k")
