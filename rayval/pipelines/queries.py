@@ -1433,6 +1433,33 @@ FROM events ORDER BY user_id, event_id
 """
 
 
+def q_events_rolling_sum(sf_dir: str) -> pa.Table:
+    """Per-user ROLLING 6-row sum (5 preceding + current) of event value
+    over the (ts, event_id)-ordered log (stages/windows.grouped_rolling_sum)
+    — the bounded-window complement of events_running_value, computed as a
+    cumsum difference in the same single bucketed sort pass."""
+    from rayval.stages.windows import grouped_rolling_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = grouped_rolling_sum(ds, by="user_id", ts_col="ts", id_col="event_id",
+                              value_col="value", k=5)
+    t = _collect(
+        out,
+        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                   ("roll_e3", pa.int64())]),
+    )
+    return t.sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+
+
+SQL_EVENTS_ROLLING_SUM = """
+SELECT event_id, user_id,
+       COALESCE(CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS roll_e3
+FROM events ORDER BY user_id, event_id
+"""
+
+
 def q_events_asof_view(sf_dir: str) -> pa.Table:
     """As-of join: for every purchase event, the most recent preceding (or
     simultaneous) view event of the same user — null when none precedes.
@@ -3527,7 +3554,6 @@ QUERIES = {
     "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     # reference semantics (XSD constraint engine)
     "rules_driven_violations": (q_rules_driven_violations, SQL_RULES_DRIVEN_VIOLATIONS),
     # sources / aggregates / windows / temporal joins (the asof/range/LAG/
@@ -3540,6 +3566,7 @@ QUERIES = {
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_with_prev": (q_events_with_prev, SQL_EVENTS_WITH_PREV),
     "events_running_value": (q_events_running_value, SQL_EVENTS_RUNNING_VALUE),
+    "events_rolling_sum": (q_events_rolling_sum, SQL_EVENTS_ROLLING_SUM),
     "events_asof_view": (q_events_asof_view, SQL_EVENTS_ASOF_VIEW),
     "events_range_count": (q_events_range_count, SQL_EVENTS_RANGE_COUNT),
     "events_range_pairs": (q_events_range_pairs, SQL_EVENTS_RANGE_PAIRS),
@@ -3572,6 +3599,7 @@ QUERIES = {
     "union_annotate": (q_union_annotate, SQL_UNION_ANNOTATE),
     "xsd_supplier_violations": (q_xsd_supplier_violations, SQL_XSD_SUPPLIER_VIOLATIONS),
     "pii_flags": (q_pii_flags, _sql_pii_flags()),
+    "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION),

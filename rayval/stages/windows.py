@@ -292,3 +292,57 @@ def grouped_cumsum(
         )
 
     return grouped_reduce(ds, by, n_buckets, per_bucket)
+
+
+def grouped_rolling_sum(
+    ds: "ray.data.Dataset",
+    by: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    k: int,
+    roll_col: str = "roll_e3",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> "ray.data.Dataset":
+    """Per-key ROLLING SUM over the last ``k`` rows plus the current one —
+    SQL ``SUM(value) OVER (PARTITION BY by ORDER BY ts, id ROWS BETWEEN k
+    PRECEDING AND CURRENT ROW)`` in e3 fixed point.  Same bucketed single
+    sort pass as :func:`grouped_cumsum`; the rolling window is the cumsum
+    DIFFERENCE ``run[i] - run[i-k-1]`` (one vectorized gather — no per-row
+    loop, no per-key dispatch).  Null values add 0; null-ts rows order last
+    within their key (the SQL window default)."""
+    if k < 0:
+        raise ValueError("k must be >= 0 (0 = current row only)")
+    sch = ds.schema().base_schema
+    by_t, id_t = sch.field(by).type, sch.field(id_col).type
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = drop_bucket_col(g)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {id_col: pa.array([], id_t), by: pa.array([], by_t),
+                 roll_col: pa.array([], pa.int64())}
+            )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[(by, "ascending"), (ts_col, "ascending"), (id_col, "ascending")],
+            null_placement="at_end",
+        )
+        s = g.take(idx)
+        v = pc.fill_null(s[value_col], 0.0).to_numpy(zero_copy_only=False)
+        e3 = round_half_away(v * 1000)  # shared DuckDB ROUND parity helper
+        c = np.cumsum(e3)
+        first = _key_change(s[by], n)
+        pos = np.arange(n, dtype=np.int64)
+        start_pos = np.maximum.accumulate(np.where(first, pos, 0))
+        run = c - (c - e3)[start_pos]  # run-relative cumsum
+        shift = k + 1
+        rpos = pos - start_pos
+        older = run[np.maximum(pos - shift, 0)]
+        roll = run - np.where(rpos >= shift, older, 0)
+        return pa.table(
+            {id_col: s[id_col], by: s[by], roll_col: pa.array(roll, type=pa.int64())}
+        )
+
+    return grouped_reduce(ds, by, n_buckets, per_bucket)

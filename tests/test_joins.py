@@ -886,3 +886,51 @@ def test_pivot_counts_no_other_and_validation(ray_session):
         pivot_counts(ds, "k", "c", [])
     with pytest.raises(ValueError):
         pivot_counts(ds, "k", "c", ["a", "a"])
+
+
+def test_grouped_rolling_sum_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from rayval.stages.windows import grouped_rolling_sum
+    from rayval.util import round_half_away
+
+    rng = np.random.default_rng(41)
+    n = 2_500
+    base = np.datetime64("2024-01-01", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 60, n),
+            "ts": (base + rng.integers(0, 10**9, n).astype("timedelta64[us]")).astype("datetime64[us]"),
+            "value": rng.normal(0, 10, n),
+        }
+    )
+    df.loc[df.index % 19 == 0, "value"] = np.nan
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    k = 3
+    got = (
+        grouped_rolling_sum(ray.data.from_arrow(t).repartition(5), "user_id", "ts",
+                            "event_id", "value", k=k)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    b = df.copy()
+    b["e3"] = round_half_away(b["value"].fillna(0.0).to_numpy() * 1000)
+    b = b.sort_values(["user_id", "ts", "event_id"])
+    b["roll_e3"] = (
+        b.groupby("user_id")["e3"].rolling(k + 1, min_periods=1).sum()
+        .reset_index(level=0, drop=True).astype(np.int64)
+    )
+    b = b.sort_values("event_id").reset_index(drop=True)
+    assert (got["roll_e3"].to_numpy() == b["roll_e3"].to_numpy()).all()
+    # k=0 degenerates to the row's own value
+    got0 = (
+        grouped_rolling_sum(ray.data.from_arrow(t), "user_id", "ts",
+                            "event_id", "value", k=0)
+        .to_pandas().sort_values("event_id")
+    )
+    assert (got0["roll_e3"].to_numpy()
+            == round_half_away(df["value"].fillna(0.0).to_numpy() * 1000)).all()
+    with pytest.raises(ValueError):
+        grouped_rolling_sum(ray.data.from_arrow(t), "user_id", "ts", "event_id", "value", k=-1)
