@@ -1740,6 +1740,47 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_row_count_violations(sf_dir: str) -> pa.Table:
+    """Declarative per-partition ROW-COUNT bounds (rules.py:
+    row_count_violations via the dispatcher) — the volume monitor: the
+    null-rate fixture filtered to non-null v leaves partitions with
+    400/380/320/200 rows, and bounds [300, 390] flag exactly the ballooned
+    (400) and the starved (200) partitions."""
+    from rayval.constraints.dsl import profile_from_dict
+    from rayval.stages.rules import run_table_rules
+
+    prof = profile_from_dict(
+        {
+            "name": "volume",
+            "key": "row_key",
+            "fields": {},
+            "rules": [
+                {"kind": "row_count", "column": "table",
+                 "min_rows": 300, "max_rows": 390},
+            ],
+        }
+    )
+    ds = ray.data.read_parquet(_ensure_nullrate_fixture()).map_batches(
+        lambda b: b.filter(b["v"].is_valid()), batch_format="pyarrow"
+    )
+    return run_table_rules(ds, prof, key="row_key").sort_by(
+        [("partition_id", "ascending")]
+    )
+
+
+def _sql_row_count_violations() -> str:
+    return f"""
+SELECT partition_id,
+       CAST(partition_id AS VARCHAR) AS row_key,
+       'table.row_count' AS constraint_id
+FROM read_parquet('{_NULLRATE_FIXTURE}')
+WHERE v IS NOT NULL
+GROUP BY partition_id
+HAVING COUNT(*) < 300 OR COUNT(*) > 390
+ORDER BY partition_id
+"""
+
+
 def q_unique_together_violations(sf_dir: str) -> pa.Table:
     """Declarative COMPOSITE-key uniqueness (rules.py:
     unique_together_violations via the dispatcher): docs sharing their
@@ -3548,9 +3589,9 @@ QUERIES = {
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
     "null_rate_violations": (q_null_rate_violations, _sql_null_rate_violations()),
     "unique_together_violations": (q_unique_together_violations, SQL_UNIQUE_TOGETHER_VIOLATIONS),
+    "row_count_violations": (q_row_count_violations, _sql_row_count_violations()),
     "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),
     "dedup_first_per_group": (q_dedup_first_per_group, SQL_DEDUP_FIRST),
-    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
@@ -3600,6 +3641,7 @@ QUERIES = {
     "xsd_supplier_violations": (q_xsd_supplier_violations, SQL_XSD_SUPPLIER_VIOLATIONS),
     "pii_flags": (q_pii_flags, _sql_pii_flags()),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
+    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION),

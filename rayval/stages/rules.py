@@ -295,6 +295,55 @@ def null_rate_violations(
     )
 
 
+def row_count_violations(
+    ds: "ray.data.Dataset", key: str, min_rows: "int | None" = None,
+    max_rows: "int | None" = None, cid: str = "table.row_count",
+) -> pa.Table:
+    """(partition_id, str(partition_id), cid) for every partition whose row
+    count falls outside [min_rows, max_rows] — the volume monitor of the
+    table-rule family (a shard that lost rows between pipeline stages, or
+    ballooned from a bad join, is the classic silent corruption; north_star's
+    per-partition 'rows scanned' metric as a declarative bound).
+
+    Same no-shuffle shape as null_rate_violations: per-batch (partition,
+    rows) partials — one int per touched partition — merged on the driver."""
+    if min_rows is None and max_rows is None:
+        raise ValueError("row_count rule needs min_rows and/or max_rows")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if PARTITION_COL in batch.column_names:
+            part = batch[PARTITION_COL].to_numpy(zero_copy_only=False)
+        else:
+            part = np.full(batch.num_rows, -1, dtype=np.int64)
+        pids, counts = np.unique(part, return_counts=True)
+        return pa.table(
+            {PARTITION_COL: pa.array(pids.astype(np.int64)),
+             "rows": pa.array(counts.astype(np.int64))}
+        )
+
+    cols = [PARTITION_COL] if PARTITION_COL in ds.schema().names else ds.schema().names[:1]
+    tallies: dict[int, int] = {}
+    for r in (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    ):
+        pid = int(r[PARTITION_COL])
+        tallies[pid] = tallies.get(pid, 0) + int(r["rows"])
+    bad = sorted(
+        pid for pid, n in tallies.items()
+        if (min_rows is not None and n < min_rows)
+        or (max_rows is not None and n > max_rows)
+    )
+    return pa.table(
+        {
+            PARTITION_COL: pa.array(bad, type=pa.int64()),
+            key: pa.array([str(p) for p in bad], type=pa.string()),
+            "constraint_id": pa.array([cid] * len(bad), type=pa.string()),
+        }
+    )
+
+
 def _members_via_semijoin(
     rows: "ray.data.Dataset", dup_values: "ray.data.Dataset", column: str, key: str,
     cid: str, n_buckets: int,
@@ -526,6 +575,14 @@ def run_table_rules(
                 ds, [rule.column, *extra], key,
                 hot_threshold=rule.params.get("hot_threshold", hot_threshold),
                 n_buckets=rule.params.get("n_buckets", n_buckets),
+            )
+            parts.append(t.cast(schema))
+        elif rule.kind == "row_count":
+            t = row_count_violations(
+                ds, key,
+                min_rows=rule.params.get("min_rows"),
+                max_rows=rule.params.get("max_rows"),
+                cid=f"{rule.column}.row_count",
             )
             parts.append(t.cast(schema))
         elif rule.kind == "null_rate":

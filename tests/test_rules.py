@@ -386,3 +386,40 @@ def test_unique_together_dispatcher_and_semijoin(ray_session):
         run_table_rules(ds, bad, key="k")
     with pytest.raises(ValueError, match="two columns"):
         unique_together_violations(ds, ["a"], key="k")
+
+
+# --------------------------------------------------------- row-count bounds
+def test_row_count_rule(ray_session):
+    import ray.data
+
+    from rayval.stages.rules import row_count_violations
+
+    t = pa.table(
+        {
+            "partition_id": pa.array([0] * 5 + [1] * 2 + [2] * 9, type=pa.int64()),
+            "k": pa.array([f"r{i}" for i in range(16)]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = row_count_violations(ds, key="k", min_rows=3, max_rows=8)
+    assert out["partition_id"].to_pylist() == [1, 2]
+    assert out["k"].to_pylist() == ["1", "2"]
+    # bounds are INCLUSIVE
+    assert row_count_violations(ds, key="k", min_rows=2, max_rows=9).num_rows == 0
+    only_min = row_count_violations(ds, key="k", min_rows=3)
+    assert only_min["partition_id"].to_pylist() == [1]
+    with pytest.raises(ValueError, match="min_rows and/or max_rows"):
+        row_count_violations(ds, key="k")
+
+
+def test_row_count_rule_via_dispatcher_no_partition_col(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(["a", "b", "c"])}))
+    prof = Profile(
+        "vol", [], key="k",
+        table_rules=[TableRule("row_count", "table", {"min_rows": 5})],
+    )
+    out = run_table_rules(ds, prof, key="k")
+    assert out["partition_id"].to_pylist() == [-1]
+    assert set(out["constraint_id"].to_pylist()) == {"table.row_count"}
