@@ -137,6 +137,33 @@ def cmd_check(args) -> int:
              "constraint_id": pa.array(structural, pa.string())}
         )
         t = pa.concat_tables([t, rows])
+    # declared TABLE RULES (unique / unique_together / functional / null_rate
+    # / row_count / neardup) run through the dispatcher so the CLI honors the
+    # WHOLE declarative contract, not just the per-column half; rules needing
+    # external inputs (referential sources, a drift reference profile) are
+    # refused loudly rather than silently skipped
+    local_rules = [r for r in profile.table_rules
+                   if r.kind not in ("referential", "drift")]
+    external = [r.kind for r in profile.table_rules
+                if r.kind in ("referential", "drift")]
+    if external:
+        print(
+            f"ERROR: schema declares {sorted(set(external))} table rules, which "
+            "need external inputs the check subcommand does not take — run them "
+            "via rayval.stages.rules.run_table_rules",
+            file=sys.stderr,
+        )
+        ray.shutdown()
+        return 2
+    if local_rules:
+        from rayval.constraints.profile import Profile as _P
+        from rayval.stages.rules import run_table_rules
+
+        rules_prof = _P(profile.name, [], table_rules=local_rules, key="__key")
+        keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        rt = run_table_rules(keyed, rules_prof, key="__key")
+        if rt.num_rows:
+            t = pa.concat_tables([t, rt.cast(t.schema)])
     print(f"{key or 'row'},constraint_id")
     for k, cid in zip(t["__key"].to_pylist(), t["constraint_id"].to_pylist()):
         print(f"{k},{cid}")

@@ -2712,9 +2712,13 @@ def q_images_validation(sf_dir: str) -> pa.Table:
 
     base = "/tmp/rayval_q_images"
     data = generate_images(base + "/data", n=300, fragments=4, seed=42)
-    out_dir = base + "/out"
+    # pid-unique output: two concurrent driver/sweep processes would otherwise
+    # race on the shared dir (one rmtree/rename mid-another's read); the
+    # fixture DATA stays shared (generate_images is idempotent + atomic)
+    import os as _os
     import shutil
 
+    out_dir = f"{base}/out-{_os.getpid()}"
     shutil.rmtree(out_dir, ignore_errors=True)
     run(
         data + "/images",

@@ -122,3 +122,52 @@ def test_cli_validate_distributed_violations(tmp_path, ray_session, capsys):
     assert rc == 1 and report["rows_scanned"] == 60
     parts = glob.glob(out + "/violations/group-*/*.parquet")
     assert parts and all(p.split("/")[-1].startswith("viol-") for p in parts)
+
+
+def test_cli_check_table_rules(tmp_path, ray_session, capsys):
+    """The check subcommand honors the profile's DECLARED table rules
+    (unique / functional / row_count) alongside the per-column masks; rules
+    needing external inputs are refused loudly, not silently skipped."""
+    from rayval.__main__ import main
+
+    # every column declared as a field so the structural set-equality check
+    # stays quiet and the output isolates rule violations
+    spec = {
+        "name": "t", "key": "k",
+        "fields": {"v": {"min": 0}, "u": {}, "a": {}, "b": {}},
+        "rules": [
+            {"kind": "unique", "column": "u"},
+            {"kind": "functional", "column": "a", "determines": "b"},
+            {"kind": "row_count", "column": "table", "min_rows": 100},
+        ],
+    }
+    schema = tmp_path / "s.json"
+    schema.write_text(json.dumps(spec))
+    table = tmp_path / "t.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([f"r{i}" for i in range(6)]),
+                "v": pa.array([1.0, -2.0, 3.0, 4.0, 5.0, 6.0]),
+                "u": pa.array([1, 1, 2, 3, 4, 5], type=pa.int64()),
+                "a": pa.array([7, 7, 8, 8, 9, 9], type=pa.int64()),
+                "b": pa.array([1, 2, 3, 3, 4, 4], type=pa.int64()),
+            }
+        ),
+        table,
+    )
+    rc = main(["check", "--schema", str(schema), "--table", str(table), "--key", "k"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    for line in ("r1,v.range", "r0,u.unique", "r1,u.unique",
+                 "r0,a.functional.b", "r1,a.functional.b", "0,table.row_count"):
+        assert line in out, line
+    assert "r2,a.functional.b" not in out  # a=8 group is consistent... (b=3,3)
+
+    # referential/drift declared -> loud refusal (exit 2), nothing printed as clean
+    spec["rules"] = [{"kind": "referential", "column": "u"}]
+    schema.write_text(json.dumps(spec))
+    rc2 = main(["check", "--schema", str(schema), "--table", str(table), "--key", "k"])
+    err = capsys.readouterr().err
+    assert rc2 == 2
+    assert "referential" in err
