@@ -62,7 +62,12 @@ def global_row_number(
         # float64 is monotone (non-strictly) in the key, so boundary/bucket
         # assignment stays order-consistent even where int64 > 2^53 keys
         # collapse onto one float — that only merges adjacent buckets
-        return col.to_numpy(zero_copy_only=False).astype(np.float64)
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.isnan(v).any():
+            # NaN is unorderable AND silently dropped by the KLL boundary
+            # sketch — it would corrupt ranks instead of erroring downstream
+            raise ValueError(f"global_row_number: NaN {key_col} has no rank")
+        return v
 
     # -- pass 1: KLL partials -> balanced range boundaries -------------------
     def kll_partial(batch: pa.Table) -> pa.Table:

@@ -25,7 +25,6 @@ correlated by construction — pass a salt when independence matters).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 from rayval.state.hashing import hash64, rehash
 
@@ -59,15 +58,23 @@ def hash_split(
     # exclusive upper bucket bounds; searchsorted(side='right') maps bucket
     # b to the first name whose bound exceeds b
     bounds = np.cumsum(np.fromiter(weights.values(), dtype=np.int64))
-    salt_u = np.uint64(salt)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        h = hash64(batch[key_col].to_numpy())
+    import pyarrow as pa
+
+    def assign(batch: "pa.Table") -> "pa.Table":
+        col = batch[key_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # Arrow-native hashing: hashing.py keeps null-bearing batches on the
+        # key's NATIVE dtype (null slots get the fixed sentinel) — a pandas
+        # to_numpy() here would widen a null-bearing int64 batch to float64
+        # and hash the same key differently depending on its batch's nulls
+        h = hash64(col)
         if salt:
-            h = rehash(h, int(salt_u))
+            h = rehash(h, int(salt))
         bucket = (h % np.uint64(BASIS)).astype(np.int64)
-        batch = batch.copy()
-        batch[split_col] = names[np.searchsorted(bounds, bucket, side="right")]
-        return batch
+        labels = names[np.searchsorted(bounds, bucket, side="right")]
+        return batch.append_column(
+            split_col, pa.array(labels.tolist(), type=pa.string())
+        )
 
-    return ds.map_batches(assign, batch_format="pandas")
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

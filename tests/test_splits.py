@@ -196,3 +196,21 @@ def test_tfidf_max_df_guard(ray_session):
     got = sorted((r["doc_id"], r["score_e6"], r["token"]) for r in out.take_all())
     assert got == _tfidf_brute(texts, 3, max_df=1)
     assert all(tok in "xyzw" for _, _, tok in got)
+
+
+def test_hash_split_null_bearing_batch_consistent(ray_session):
+    """A batch containing nulls must not change the split of its NON-null
+    keys (the float64-widening hashing trap): same key, same split, with or
+    without null neighbors; null keys all land in ONE split together."""
+    ray = _ray()
+    ids = np.arange(500, dtype=np.int64)
+    clean = pa.table({"k": pa.array(ids)})
+    with_nulls = pa.table({"k": pa.array(
+        [None if i % 50 == 0 else int(v) for i, v in enumerate(ids)], type=pa.int64())})
+    a = hash_split(ray.data.from_arrow(clean), "k").to_pandas()
+    b = hash_split(ray.data.from_arrow(with_nulls), "k").to_pandas()
+    am = dict(zip(a["k"], a["split"]))
+    nb = b[b["k"].notna()]
+    assert all(am[int(k)] == s for k, s in zip(nb["k"], nb["split"]))
+    null_splits = set(b[b["k"].isna()]["split"])
+    assert len(null_splits) == 1
