@@ -1740,6 +1740,30 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_acctbal_quartiles(sf_dir: str) -> pa.Table:
+    """NTILE(4) quantile bucketing over customer balances (stages/rowids.
+    with_ntile): the exact global rank (KLL-balanced buckets) plus SQL's
+    exact fill rule (first total%n tiles get one extra row) — bit-exact
+    against DuckDB NTILE including ties (tie_col pins duplicate balances)."""
+    from rayval.stages.rowids import with_ntile
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    out = with_ntile(ds, "c_acctbal", 4, tie_col="c_custkey")
+    t = _collect(
+        out.map_batches(lambda b: b.select(["c_custkey", "ntile"]),
+                        batch_format="pyarrow"),
+        pa.schema([("c_custkey", pa.int64()), ("ntile", pa.int64())]),
+    )
+    return t.sort_by("c_custkey")
+
+
+SQL_ACCTBAL_QUARTILES = """
+SELECT c_custkey,
+       CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS ntile
+FROM customer ORDER BY c_custkey
+"""
+
+
 def q_row_count_violations(sf_dir: str) -> pa.Table:
     """Declarative per-partition ROW-COUNT bounds (rules.py:
     row_count_violations via the dispatcher) — the volume monitor: the
@@ -3588,6 +3612,7 @@ QUERIES = {
     "hash_split_counts": (q_hash_split_counts, SQL_HASH_SPLIT_COUNTS),
     "heavy_hitters_lang": (q_heavy_hitters_lang, SQL_HEAVY_HITTERS_LANG),
     "document_row_ids": (q_document_row_ids, SQL_DOCUMENT_ROW_IDS),
+    "acctbal_quartiles": (q_acctbal_quartiles, SQL_ACCTBAL_QUARTILES),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "functional_violations": (q_functional_violations, SQL_FUNCTIONAL_VIOLATIONS),
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
@@ -3596,7 +3621,6 @@ QUERIES = {
     "row_count_violations": (q_row_count_violations, _sql_row_count_violations()),
     "exact_dup_docs": (q_exact_dup_docs, SQL_EXACT_DUP_DOCS),
     "dedup_first_per_group": (q_dedup_first_per_group, SQL_DEDUP_FIRST),
-    "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     # reference semantics (XSD constraint engine)
@@ -3646,6 +3670,7 @@ QUERIES = {
     "pii_flags": (q_pii_flags, _sql_pii_flags()),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_neardups": (q_embedding_neardups, SQL_EMBEDDING_NEARDUPS),
     "customer_nation": (q_customer_nation, SQL_CUSTOMER_NATION),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION),

@@ -134,3 +134,41 @@ def global_row_number(
         .groupby("_rb")
         .map_groups(rank_bucket, batch_format="pyarrow")
     )
+
+
+def with_ntile(
+    ds,
+    key_col: str,
+    n_tiles: int,
+    tile_col: str = "ntile",
+    n_buckets: int = 64,
+    tie_col: str | None = None,
+):
+    """Add ``tile_col`` = SQL ``NTILE(n_tiles) OVER (ORDER BY key[, tie])``
+    (1-based) — quantile bucketing for curriculum ordering, stratified
+    reporting, percentile features.  Built directly on
+    :func:`global_row_number`: with the exact global rank in hand, the tile
+    is pure per-row arithmetic using SQL's exact fill rule (the first
+    ``total % n`` tiles get one extra row), so the operator costs ONE extra
+    map stage over the rank pass and matches DuckDB's NTILE bit-for-bit."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    total = ds.count()
+    ranked = global_row_number(
+        ds, key_col, n_buckets=n_buckets, id_col="__rn", tie_col=tie_col
+    )
+    q, r = divmod(total, n_tiles)
+    big = (q + 1) * r  # rows covered by the r larger (q+1)-sized tiles
+
+    def tile(batch: pa.Table) -> pa.Table:
+        i = batch["__rn"].to_numpy(zero_copy_only=False)
+        if q == 0:
+            # degenerate: fewer rows than tiles — row i lands in tile i+1
+            t = i + 1
+        else:
+            t = np.where(i < big, i // (q + 1), r + (i - big) // q) + 1
+        return batch.drop_columns(["__rn"]).append_column(
+            tile_col, pa.array(t.astype(np.int64))
+        )
+
+    return ranked.map_batches(tile, batch_format="pyarrow", zero_copy_batch=True)

@@ -214,3 +214,31 @@ def test_hash_split_null_bearing_batch_consistent(ray_session):
     assert all(am[int(k)] == s for k, s in zip(nb["k"], nb["split"]))
     null_splits = set(b[b["k"].isna()]["split"])
     assert len(null_splits) == 1
+
+
+def test_with_ntile_matches_sql_fill_rule(ray_session):
+    ray = _ray()
+    from rayval.stages.rowids import with_ntile
+
+    rng = np.random.default_rng(53)
+    n, tiles = 1_003, 7  # deliberately non-divisible: 1003 = 7*143 + 2
+    keys = rng.permutation(np.arange(n, dtype=np.int64))
+    t = pa.table({"key": pa.array(keys)})
+    out = (
+        with_ntile(ray.data.from_arrow(t).repartition(4), "key", tiles, n_buckets=8)
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    )
+    # SQL fill rule: first (n % tiles) tiles get q+1 rows, rest q
+    q, r = divmod(n, tiles)
+    sizes = out.groupby("ntile").size()
+    assert list(sizes.index) == list(range(1, tiles + 1))
+    assert all(sizes[i] == (q + 1 if i <= r else q) for i in range(1, tiles + 1))
+    # tile is monotone in key rank
+    assert (np.diff(out["ntile"].to_numpy()) >= 0).all()
+    # degenerate: more tiles than rows -> row i in tile i+1
+    small = pa.table({"key": pa.array([5, 1, 9], type=pa.int64())})
+    o2 = (with_ntile(ray.data.from_arrow(small), "key", 10)
+          .to_pandas().sort_values("key"))
+    assert o2["ntile"].tolist() == [1, 2, 3]
+    with pytest.raises(ValueError):
+        with_ntile(ray.data.from_arrow(small), "key", 0)
