@@ -96,7 +96,10 @@ class MisraGries:
     # -- queries -----------------------------------------------------------
     def items(self) -> list[tuple]:
         """(key, lower-bound estimate) pairs, largest first; ties broken by
-        key so the output is deterministic for oracle comparison."""
+        str(key) so the output is deterministic for oracle comparison even
+        when keys are mixed-type after a merge.  Note str-order differs from
+        numeric order on tied integer keys ("10" < "2") — consumers slicing
+        top-N at a tie boundary should re-sort in their key's native order."""
         return sorted(self.counters.items(), key=lambda kv: (-kv[1], str(kv[0])))
 
     def error_bound(self) -> int:
