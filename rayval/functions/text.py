@@ -363,3 +363,28 @@ def pii_counts(texts: pd.Series) -> pd.DataFrame:
             "n_phones": t.str.count(PII_PHONE_RE).to_numpy(dtype=np.int64),
         }
     )
+
+
+def truncate_tokens(col: "pa.ChunkedArray | pa.Array", max_tokens: int):
+    """Token-budget truncation — clip each document to its first
+    ``max_tokens`` space-separated tokens (the context-length clipping stage
+    of a training pipeline).  Tokenization is single-space split, exactly
+    DuckDB's ``string_split(text, ' ')`` (consecutive spaces yield empty
+    tokens on both sides), so the SQL oracle is
+    ``array_to_string(string_split(text,' ')[1:K], ' ')``.
+
+    Fully vectorized: n_tokens is one ``count_substring`` kernel (+1), and
+    the clipped prefix is one RE2 ``extract_regex`` with a bounded-repetition
+    anchor (^token( token){0,K-1}) — no per-row Python, no token list
+    materialization.  Returns (text_trunc StringArray, n_tokens int64 numpy,
+    was_truncated bool numpy); null texts stay null with n_tokens null."""
+    import pyarrow.compute as pc
+
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n_tokens = pc.add(pc.count_substring(col, " "), 1)
+    pattern = r"^(?P<t>[^ ]*(?: [^ ]*){0,%d})" % (max_tokens - 1)
+    trunc = pc.struct_field(pc.extract_regex(col, pattern), "t")
+    was_trunc = pc.greater(n_tokens, max_tokens)
+    return trunc, n_tokens, was_trunc

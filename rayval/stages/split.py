@@ -78,3 +78,46 @@ def hash_split(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mix_sources(
+    ds,
+    key_col: str,
+    source_col: str,
+    weights_bp: dict[str, int],
+):
+    """Deterministic WEIGHTED SOURCE MIXING — the corpus-composition stage of
+    a training pipeline ("keep 100% of wiki, 25% of crawl, 5% of forums"):
+    each row survives iff ``splitmix64(key) % 10_000 < weights_bp[source]``.
+
+    MAP-ONLY like :func:`hash_split` (membership is a pure hash of the row
+    key): no shuffle, reproducible across runs / block layouts / cluster
+    sizes, duplicate keys co-decided, and the realized mix converges to the
+    target weights by the hash's uniformity.  Sources absent from
+    ``weights_bp`` (and null sources) get weight 0 — dropped, never silently
+    passed through.  Integer basis points keep the DuckDB oracle bit-exact
+    (same splitmix64 staging as hash_split / sample_documents).
+
+    Scale note: the source→weight table rides the task closure (it is a few
+    entries); the per-batch cost is one vectorized hash + one dictionary
+    take.  Rows keep their full schema — this stage only filters."""
+    for src, bp in weights_bp.items():
+        if not (0 <= bp <= BASIS):
+            raise ValueError(f"weight for {src!r} must be in [0, {BASIS}]")
+    sources = list(weights_bp)
+    rates = np.array([weights_bp[s] for s in sources] + [0], dtype=np.uint64)
+
+    def keep(batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return batch
+        key = batch[key_col]
+        key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+        bucket = hash64(key) % np.uint64(BASIS)
+        codes = pc.index_in(batch[source_col], pa.array(sources, type=pa.string()))
+        codes = pc.fill_null(codes, len(sources)).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(bucket < rates[codes]))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

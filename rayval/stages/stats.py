@@ -479,3 +479,298 @@ def heavy_hitters(
             ),
         }
     )
+
+
+def grouped_distinct_exact(
+    ds,
+    group_col: str,
+    value_col: str,
+) -> "ray.data.Dataset":
+    """EXACT per-group distinct counts — the deterministic complement of
+    :func:`grouped_distinct_sketch` for profile checks that pin exact
+    uniqueness (SQL ``COUNT(col), COUNT(DISTINCT col) GROUP BY group``).
+
+    Scale shape (the classic two-stage distinct): each batch collapses to
+    its LOCAL (group, value, n) triples with one vectorized Arrow group_by,
+    so the only wide exchange is keyed by (group, value) — spread across
+    reducers by value, never co-locating a whole group the way
+    ``groupby(group).unique(value)`` would.  After that exchange every
+    (group, value) pair exists exactly once, which makes the per-group
+    distinct count DISTRIBUTIVE: a second map-only partial (rows-per-group,
+    pairs-per-group) feeds a tiny groupby(group) sum.  Nothing proportional
+    to input rows crosses the second exchange.
+
+    Null semantics match SQL: null VALUES are excluded (``n_rows`` counts
+    non-null values; an all-null group emits no row); null GROUP keys form
+    their own group, crossing both exchanges as (filled, flag) pairs."""
+    from ray.data.aggregate import Sum
+
+    from rayval.stages.bucketed import pack_null_key, restore_null_key
+
+    g_type = ds.schema().base_schema.field(group_col).type
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"_gf": pa.array([], g_type), "_gn": pa.array([], pa.bool_()),
+             value_col: batch[value_col].slice(0, 0),
+             "_n": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        t = batch.filter(batch[value_col].is_valid())
+        if t.num_rows == 0:
+            return empty
+        part = t.group_by([group_col, value_col]).aggregate([([], "count_all")]).combine_chunks()
+        gf, gn = pack_null_key(part[group_col], g_type)
+        return pa.table(
+            {"_gf": gf, "_gn": gn, value_col: part[value_col],
+             "_n": part["count_all"].cast(pa.int64())}
+        )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        # post-exchange: each (group, value) pair occurs exactly once
+        # globally, so per-batch pair counts sum to the exact distinct count
+        if batch.num_rows == 0:
+            return pa.table(
+                {"_gf": pa.array([], g_type), "_gn": pa.array([], pa.bool_()),
+                 "_rows": pa.array([], pa.int64()), "_distinct": pa.array([], pa.int64())}
+            )
+        part = (
+            pa.table({"_gf": batch["_gf"], "_gn": batch["_gn"], "_n": batch["_n"]})
+            .group_by(["_gf", "_gn"])
+            .aggregate([("_n", "sum"), ([], "count_all")])
+            .combine_chunks()
+        )
+        return pa.table(
+            {"_gf": part["_gf"], "_gn": part["_gn"],
+             "_rows": part["_n_sum"], "_distinct": part["count_all"].cast(pa.int64())}
+        )
+
+    def restore(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {group_col: restore_null_key(batch["_gf"], batch["_gn"], g_type),
+             "n_rows": batch["n_rows"], "n_distinct": batch["n_distinct"]}
+        )
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["_gf", "_gn", value_col])
+        .aggregate(Sum("_n", alias_name="_n"))
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["_gf", "_gn"])
+        .aggregate(Sum("_rows", alias_name="n_rows"), Sum("_distinct", alias_name="n_distinct"))
+        .map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def grouped_rollup(
+    ds,
+    key_a: str,
+    key_b: str,
+    value_col: str,
+) -> "ray.data.Dataset":
+    """Two-level ROLLUP aggregate — SQL ``GROUP BY ROLLUP(a, b)`` over an
+    integer-valued measure: one row per (a, b) plus per-a subtotals (b null)
+    plus a grand total (both null), columns (a, b, sum_val, n_rows).
+
+    Scale shape: the DATA is touched exactly once — a per-batch Arrow
+    partial sum on (a, b) followed by one groupby exchange at the finest
+    level, whose output cardinality is |a|x|b| regardless of input size.
+    The coarser levels re-aggregate that tiny fine-level table (map-only
+    partial + groupby(a), then a driver-free global sum via one more
+    single-key groupby on a constant), so no second pass over the input and
+    no driver-side loop.  Matches DuckDB ROLLUP exactly when a and b are
+    non-null (the fixtures' regime); genuinely-null keys would be
+    indistinguishable from subtotal markers, so they are rejected loudly.
+
+    ``value_col`` is cast to int64 (callers pass integer-valued measures,
+    e.g. cents) so every sum is exact under any merge order — float sums
+    would be order-dependent and break oracle hashing."""
+    from ray.data.aggregate import Sum
+
+    sch = ds.schema().base_schema
+    a_t, b_t = sch.field(key_a).type, sch.field(key_b).type
+
+    def fine_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {key_a: pa.array([], a_t), key_b: pa.array([], b_t),
+                 "_s": pa.array([], pa.int64()), "_n": pa.array([], pa.int64())}
+            )
+        if batch[key_a].null_count or batch[key_b].null_count:
+            raise ValueError(
+                "grouped_rollup: null group keys are indistinguishable from "
+                "ROLLUP subtotal markers; pre-fill them upstream"
+            )
+        t = pa.table(
+            {key_a: batch[key_a], key_b: batch[key_b],
+             "_v": pc.round(batch[value_col]).cast(pa.int64())}
+        )
+        part = t.group_by([key_a, key_b]).aggregate([("_v", "sum"), ([], "count_all")])
+        part = part.combine_chunks()
+        return pa.table(
+            {key_a: part[key_a], key_b: part[key_b],
+             "_s": part["_v_sum"], "_n": part["count_all"].cast(pa.int64())}
+        )
+
+    fine = (
+        ds.select_columns([key_a, key_b, value_col])
+        .map_batches(fine_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_a, key_b])
+        .aggregate(Sum("_s", alias_name="sum_val"), Sum("_n", alias_name="n_rows"))
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {key_a: batch[key_a], key_b: batch[key_b],
+             "sum_val": batch["sum_val"], "n_rows": batch["n_rows"]}
+        )
+
+    def sub_partial(batch: pa.Table) -> pa.Table:
+        part = (
+            pa.table({key_a: batch[key_a], "_s": batch["sum_val"], "_n": batch["n_rows"]})
+            .group_by([key_a]).aggregate([("_s", "sum"), ("_n", "sum")]).combine_chunks()
+        )
+        return pa.table(
+            {key_a: part[key_a], "sum_val": part["_s_sum"], "n_rows": part["_n_sum"]}
+        )
+
+    def grand_partial(batch: pa.Table) -> pa.Table:
+        s = int(pc.sum(batch["sum_val"]).as_py() or 0)
+        n = int(pc.sum(batch["n_rows"]).as_py() or 0)
+        return pa.table(
+            {"_k": pa.array([0], pa.int64()),
+             "sum_val": pa.array([s], pa.int64()), "n_rows": pa.array([n], pa.int64())}
+        )
+
+    def grand_restore(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {key_a: pa.nulls(batch.num_rows, a_t), key_b: pa.nulls(batch.num_rows, b_t),
+             "sum_val": batch["sum_val"], "n_rows": batch["n_rows"]}
+        )
+
+    subtotals = (
+        fine.map_batches(sub_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_a)
+        .aggregate(Sum("sum_val", alias_name="sum_val"), Sum("n_rows", alias_name="n_rows"))
+    )
+    grand = (
+        fine.map_batches(grand_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_k")
+        .aggregate(Sum("sum_val", alias_name="sum_val"), Sum("n_rows", alias_name="n_rows"))
+        .map_batches(grand_restore, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def sub_widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {key_a: batch[key_a], key_b: pa.nulls(batch.num_rows, b_t),
+             "sum_val": batch["sum_val"], "n_rows": batch["n_rows"]}
+        )
+
+    return (
+        fine.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+        .union(subtotals.map_batches(sub_widen, batch_format="pyarrow", zero_copy_batch=True))
+        .union(grand)
+    )
+
+
+def grouped_zscore(
+    ds,
+    group_col: str,
+    value_col: str,
+    out_cols: Sequence[str],
+    z_col: str = "z_e6",
+) -> "ray.data.Dataset":
+    """Per-row z-score standardization against the row's GROUP (population
+    std) — the feature-normalization stage of a training pipeline, emitted as
+    e6 fixed point so the DuckDB oracle hashes bit-exact.
+
+    Two-pass broadcast shape (the small-side-aggregate pattern): pass 1 is a
+    per-batch Arrow partial of exact integer (n, sum, sum-of-squares) per
+    group — the partial table is batches x groups rows, so materializing it
+    on the driver is the same bounded device as heavy_hitters' blob merge —
+    merged with PYTHON INTS (no int64 overflow at any scale) and broadcast
+    as a tiny per-group stats map into the pass-2 map; pass 2 is map-only.
+    Nothing proportional to input rows ever shuffles.
+
+    EXACTNESS: ``value_col`` must be integer-valued with |v| < 2^20 (checked
+    per batch) so every per-batch partial fits int64; the global merge uses
+    arbitrary-precision ints.  Both sides then compute the IDENTICAL IEEE
+    sequence  floor(double(n*v - s) * 1e6 / sqrt(double(n*q - s*s)))  from
+    identical exact integers, so the floored fixed-point z matches the SQL
+    oracle bit-for-bit (casts, *, /, sqrt are each correctly rounded).
+    Constant groups (variance 0) and null values emit null z.  Null group
+    keys form their own group (matching SQL PARTITION BY)."""
+    part_ds = ds.select_columns([group_col, value_col])
+    g_type = part_ds.schema().base_schema.field(group_col).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {group_col: pa.array([], g_type), "_n": pa.array([], pa.int64()),
+             "_s": pa.array([], pa.int64()), "_q": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        t = batch.filter(batch[value_col].is_valid())
+        if t.num_rows == 0:
+            return empty
+        v = pc.round(t[value_col]).cast(pa.int64())
+        mx = pc.max(pc.abs(v)).as_py()
+        if mx is not None and mx >= 1 << 20:
+            raise ValueError(
+                f"grouped_zscore: |{value_col}| must be < 2^20 for exact "
+                f"int64 partials (got {mx}); rescale upstream"
+            )
+        t = pa.table({group_col: t[group_col], "_v": v, "_v2": pc.multiply(v, v)})
+        part = t.group_by([group_col]).aggregate(
+            [("_v", "sum"), ("_v2", "sum"), ([], "count_all")]
+        ).combine_chunks()
+        return pa.table(
+            {group_col: part[group_col], "_n": part["count_all"].cast(pa.int64()),
+             "_s": part["_v_sum"], "_q": part["_v2_sum"]}
+        )
+
+    # driver merge of the bounded partial table with python ints — exact at
+    # any cardinality (n*q - s*s overflows int64 at ~10^9 rows/group)
+    parts = part_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    stats: dict = {}
+    for r in parts:
+        g = r[group_col]
+        n0, s0, q0 = stats.get(g, (0, 0, 0))
+        stats[g] = (n0 + int(r["_n"]), s0 + int(r["_s"]), q0 + int(r["_q"]))
+    groups = list(stats)
+    n_arr = np.array([stats[g][0] for g in groups], dtype=np.int64)
+    s_arr = np.array([stats[g][1] for g in groups], dtype=np.int64)
+    den_arr = np.array(
+        [float(n * q - s * s) for (n, s, q) in (stats[g] for g in groups)], dtype=np.float64
+    )
+    den_arr = np.sqrt(den_arr)
+    g_keys = pa.array(groups, type=g_type)
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in out_cols}
+        if batch.num_rows == 0:
+            cols[z_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+        codes = pc.index_in(batch[group_col], g_keys)
+        # null group keys match the None entry in g_keys via index_in only
+        # when present; rows of unseen groups (impossible: pass 1 saw every
+        # group) or null-vs-missing fall out as null codes -> null z
+        code_np = pc.fill_null(codes, len(groups)).to_numpy(zero_copy_only=False).astype(np.int64)
+        valid_code = code_np < len(groups)
+        code_safe = np.where(valid_code, code_np, 0)
+        v_valid = batch[value_col].is_valid().to_numpy(zero_copy_only=False)
+        v = pc.round(pc.fill_null(batch[value_col], 0)).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = n_arr[code_safe]
+        s = s_arr[code_safe]
+        den = den_arr[code_safe]
+        ok = valid_code & v_valid & (den > 0.0)
+        num = (n * v - s).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.floor(num * 1e6 / den)
+        z_int = np.where(ok, z, 0.0).astype(np.int64)
+        cols[z_col] = pa.array(z_int, mask=~ok)
+        return pa.table(cols)
+
+    return ds.map_batches(zmap, batch_format="pyarrow", zero_copy_batch=True)

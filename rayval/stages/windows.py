@@ -346,3 +346,120 @@ def grouped_rolling_sum(
         )
 
     return grouped_reduce(ds, by, n_buckets, per_bucket)
+
+
+def grouped_lead(
+    ds: "ray.data.Dataset",
+    by: str,
+    ts_col: str,
+    id_col: str,
+    next_col: str = "next_event_id",
+    gap_col: str = "gap_us",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> "ray.data.Dataset":
+    """Per-key LEAD over the (ts, id)-ordered log — the forward mirror of
+    :func:`grouped_lag`: one output row per input row with the NEXT row's id
+    and the microsecond gap to it (null on each key's last row) — SQL
+    ``LEAD(...) OVER (PARTITION BY by ORDER BY ts, id)``.  Same bucketed
+    dispatch, same single Arrow sort + shifted-compare per bucket.
+
+    Null-``ts`` rows: emitted with null next/gap and never serve as another
+    row's next (mirroring grouped_lag's null-ts containment)."""
+    sch = ds.schema().base_schema
+    by_t, id_t = sch.field(by).type, sch.field(id_col).type
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = drop_bucket_col(g)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {id_col: pa.array([], id_t), by: pa.array([], by_t),
+                 next_col: pa.array([], id_t), gap_col: pa.array([], pa.int64())}
+            )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[(by, "ascending"), (ts_col, "ascending"), (id_col, "ascending")],
+            null_placement="at_start",
+        )
+        s = g.take(idx)
+        ts_valid = s[ts_col].is_valid().to_numpy(zero_copy_only=False)
+        ts = s[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        change = _key_change(s[by], n)
+        # a row has no next when it closes its key run, its own ts is null,
+        # or the sorted successor's ts is null (can't happen under at_start
+        # ordering, kept for symmetry with grouped_lag's defensive mask)
+        last = np.zeros(n, dtype=bool)
+        last[:-1] = change[1:]
+        last[-1] = True
+        last |= ~ts_valid
+        last[:-1] |= ~ts_valid[1:]
+        not_last = pa.array(~last)
+        shifted = s[id_col].take(pa.array(np.minimum(np.arange(n, dtype=np.int64) + 1, n - 1)))
+        shifted = shifted.combine_chunks() if isinstance(shifted, pa.ChunkedArray) else shifted
+        gap = np.empty(n, dtype=np.int64)
+        gap[:-1] = ts[1:] - ts[:-1]
+        gap[-1] = 0  # masked null below
+        return pa.table(
+            {
+                id_col: s[id_col],
+                by: s[by],
+                next_col: pc.if_else(not_last, shifted, pa.scalar(None, id_t)),
+                gap_col: pa.array(gap, mask=last),
+            }
+        )
+
+    return grouped_reduce(ds, by, n_buckets, per_bucket)
+
+
+def grouped_first_last(
+    ds: "ray.data.Dataset",
+    by: str,
+    ts_col: str,
+    id_col: str,
+    first_col: str = "first_event_id",
+    last_col: str = "last_event_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> "ray.data.Dataset":
+    """Per-row FIRST_VALUE / LAST_VALUE of ``id_col`` over the whole key
+    partition ordered by (ts, id) — SQL ``FIRST_VALUE/LAST_VALUE ... OVER
+    (PARTITION BY by ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND
+    UNBOUNDED FOLLOWING)``.  The bucketed reduce guarantees every key's rows
+    land in one bucket, so run boundaries in the sorted bucket give both
+    endpoints with two vectorized accumulates — no per-key dispatch.
+
+    Null-``ts`` rows sort LAST within their key (``null_placement=at_end``),
+    matching DuckDB's default ASC NULLS LAST — so a null-ts row can be the
+    partition's LAST_VALUE, exactly as the SQL window would report."""
+    sch = ds.schema().base_schema
+    by_t, id_t = sch.field(by).type, sch.field(id_col).type
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = drop_bucket_col(g)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {id_col: pa.array([], id_t), by: pa.array([], by_t),
+                 first_col: pa.array([], id_t), last_col: pa.array([], id_t)}
+            )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[(by, "ascending"), (ts_col, "ascending"), (id_col, "ascending")],
+            null_placement="at_end",
+        )
+        s = g.take(idx)
+        change = _key_change(s[by], n)
+        pos = np.arange(n, dtype=np.int64)
+        starts = np.maximum.accumulate(np.where(change, pos, 0))
+        is_end = np.empty(n, dtype=bool)
+        is_end[:-1] = change[1:]
+        is_end[-1] = True
+        ends = np.minimum.accumulate(np.where(is_end, pos, n)[::-1])[::-1]
+        first_ids = s[id_col].take(pa.array(starts))
+        last_ids = s[id_col].take(pa.array(ends))
+        first_ids = first_ids.combine_chunks() if isinstance(first_ids, pa.ChunkedArray) else first_ids
+        last_ids = last_ids.combine_chunks() if isinstance(last_ids, pa.ChunkedArray) else last_ids
+        return pa.table(
+            {id_col: s[id_col], by: s[by], first_col: first_ids, last_col: last_ids}
+        )
+
+    return grouped_reduce(ds, by, n_buckets, per_bucket)
