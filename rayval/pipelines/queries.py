@@ -3785,6 +3785,35 @@ def q_lineitem_zscore(sf_dir: str) -> pa.Table:
     )
 
 
+def q_event_type_top_users(sf_dir: str) -> pa.Table:
+    """Top-3 most-active users per event type with exact counts
+    (stages/stats.grouped_topk_values) — the (group, value) pair exchange of
+    priority_distinct_exact feeding topn_per_group's combiner-bounded rank;
+    both machines are independently driver-proven, this query pins the
+    composition."""
+    from rayval.stages.stats import grouped_topk_values
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = grouped_topk_values(ds, "event_type", "user_id", 3)
+    t = _collect(
+        out,
+        pa.schema([("event_type", pa.string()), ("n", pa.int64()),
+                   ("user_id", pa.int64())]),
+    )
+    return t.sort_by([("event_type", "ascending"), ("n", "descending"),
+                      ("user_id", "ascending")])
+
+
+SQL_EVENT_TYPE_TOP_USERS = """
+SELECT event_type, n, user_id FROM (
+  SELECT event_type, user_id, COUNT(user_id) AS n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY COUNT(user_id) DESC, user_id) AS rn
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type, user_id
+) WHERE rn <= 3 ORDER BY event_type, n DESC, user_id
+"""
+
+
 SQL_LINEITEM_ZSCORE = """
 WITH s AS (
   SELECT l_returnflag, COUNT(*) AS n,
@@ -3901,6 +3930,9 @@ QUERIES = {
     # parity pytest (test_text_ops/test_joins additions, round 5 late)
     "events_with_next": (q_events_with_next, SQL_EVENTS_WITH_NEXT),
     "events_first_last": (q_events_first_last, SQL_EVENTS_FIRST_LAST),
+    # composition of two driver-proven machines (pair exchange + topn
+    # combiner); direct evidence = oracle row in the local sweep + pytest
+    "event_type_top_users": (q_event_type_top_users, SQL_EVENT_TYPE_TOP_USERS),
     # r4-green, engine+oracle unchanged in r5 — old rows remain evidence
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),

@@ -774,3 +774,62 @@ def grouped_zscore(
         return pa.table(cols)
 
     return ds.map_batches(zmap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_topk_values(
+    ds,
+    group_col: str,
+    value_col: str,
+    k: int,
+    n_col: str = "n",
+) -> "ray.data.Dataset":
+    """Top-``k`` most-frequent VALUES per group with exact counts — the
+    "what dominates each stratum" aggregate (per-language top sources,
+    per-shard top mime-types), a pure composition of two machines this
+    engine already proves: the (group, value)-keyed pair exchange of
+    :func:`grouped_distinct_exact` (per-batch Arrow partial counts; the only
+    wide shuffle is spread across reducers by value) and the
+    combiner-bounded windowed rank of ``topn.topn_per_group`` (ties broken
+    by value ascending = SQL ROW_NUMBER ... ORDER BY n DESC, value).
+
+    Null values are excluded (COUNT(col) semantics); null group keys form
+    their own group.  Output: (group_col, n_col, value_col) x <=k per group."""
+    from ray.data.aggregate import Sum
+
+    from rayval.stages.bucketed import pack_null_key, restore_null_key
+    from rayval.stages.topn import topn_per_group
+
+    g_type = ds.schema().base_schema.field(group_col).type
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"_gf": pa.array([], g_type), "_gn": pa.array([], pa.bool_()),
+             value_col: batch[value_col].slice(0, 0),
+             "_n": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        t = batch.filter(batch[value_col].is_valid())
+        if t.num_rows == 0:
+            return empty
+        part = t.group_by([group_col, value_col]).aggregate([([], "count_all")]).combine_chunks()
+        gf, gn = pack_null_key(part[group_col], g_type)
+        return pa.table(
+            {"_gf": gf, "_gn": gn, value_col: part[value_col],
+             "_n": part["count_all"].cast(pa.int64())}
+        )
+
+    def restore(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {group_col: restore_null_key(batch["_gf"], batch["_gn"], g_type),
+             value_col: batch[value_col], n_col: batch[n_col]}
+        )
+
+    counts = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["_gf", "_gn", value_col])
+        .aggregate(Sum("_n", alias_name=n_col))
+        .map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return topn_per_group(counts, group_col, n_col, k, tie_col=value_col)

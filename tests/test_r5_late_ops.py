@@ -256,3 +256,35 @@ def test_grouped_zscore_constant_group_and_bounds(ray_session):
     )
     with pytest.raises(Exception, match="2\\^20"):
         grouped_zscore(ray.data.from_arrow(big), "g", "v", out_cols=["id"]).to_pandas()
+
+
+# ------------------------------------------------------- top-k values/group
+def test_grouped_topk_values_vs_pandas(ray_session):
+    ray = _ray()
+    from rayval.stages.stats import grouped_topk_values
+
+    rng = np.random.default_rng(13)
+    g = rng.choice(["a", "b", None], 500, p=[0.5, 0.4, 0.1])
+    v = rng.integers(0, 12, 500).astype(np.int64)
+    v_null = rng.random(500) < 0.08
+    t = pa.table({"g": pa.array(g.tolist(), pa.string()), "v": pa.array(v, mask=v_null)})
+    out = (
+        grouped_topk_values(ray.data.from_arrow(t).repartition(6), "g", "v", 3)
+        .to_pandas()
+    )
+    df = t.to_pandas()
+    df = df[df["v"].notna()]
+    counts = (
+        df.groupby(["g", "v"], dropna=False).size().rename("n").reset_index()
+        .sort_values(["g", "n", "v"], ascending=[True, False, True],
+                     na_position="first")
+    )
+    for grp, sub in counts.groupby("g", dropna=False):
+        exp = sub.head(3)
+        if pd.isna(grp):
+            got = out[out["g"].isna()]
+        else:
+            got = out[out["g"] == grp]
+        got = got.sort_values(["n", "v"], ascending=[False, True])
+        assert list(got["v"]) == list(exp["v"]), (grp, got, exp)
+        assert list(got["n"]) == list(exp["n"])
