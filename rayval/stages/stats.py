@@ -614,11 +614,16 @@ def grouped_rollup(
              "_s": part["_v_sum"], "_n": part["count_all"].cast(pa.int64())}
         )
 
+    # materialize the FINE table before fanning out: it is provably tiny
+    # (|a| x |b| rows) and feeds three union branches — without pinning it,
+    # each branch re-executes the whole upstream read+partial+groupby, i.e.
+    # three input scans instead of the one pass this operator promises
     fine = (
         ds.select_columns([key_a, key_b, value_col])
         .map_batches(fine_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby([key_a, key_b])
         .aggregate(Sum("_s", alias_name="sum_val"), Sum("_n", alias_name="n_rows"))
+        .materialize()
     )
 
     def widen(batch: pa.Table) -> pa.Table:
