@@ -3785,6 +3785,51 @@ def q_lineitem_zscore(sf_dir: str) -> pa.Table:
     )
 
 
+def q_event_value_outliers(sf_dir: str) -> pa.Table:
+    """Distribution-based row filtering: events whose value (cents) falls
+    outside the Tukey fence [q1 - 1.5*IQR, q3 + 1.5*IQR] of their event
+    type (stages/stats.grouped_iqr_outliers) — exact quantile_disc-parity
+    quantiles from a bounded (group, value) counts table, integer
+    cross-multiplied fences (no float ever), map-only pass 2."""
+    from rayval.stages.stats import grouped_iqr_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": batch["event_id"], "event_type": batch["event_type"],
+             "value_cents": pc.round(pc.multiply(batch["value"], 100.0)).cast(pa.int64())}
+        )
+
+    out = grouped_iqr_outliers(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "value_cents",
+        out_cols=["event_id", "event_type", "value_cents"],
+    )
+    return _collect(
+        out,
+        pa.schema([("event_id", pa.int64()), ("event_type", pa.string()),
+                   ("value_cents", pa.int64())]),
+    ).sort_by("event_id")
+
+
+SQL_EVENT_VALUE_OUTLIERS = """
+WITH v AS (
+  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE value IS NOT NULL
+), q AS (
+  SELECT event_type, quantile_disc(value_cents, 0.25) AS q1,
+         quantile_disc(value_cents, 0.75) AS q3
+  FROM v GROUP BY event_type
+)
+SELECT v.event_id, v.event_type, v.value_cents
+FROM v JOIN q USING (event_type)
+WHERE 2 * (q.q1 - v.value_cents) > 3 * (q.q3 - q.q1)
+   OR 2 * (v.value_cents - q.q3) > 3 * (q.q3 - q.q1)
+ORDER BY v.event_id
+"""
+
+
 def q_event_type_top_users(sf_dir: str) -> pa.Table:
     """Top-3 most-active users per event type with exact counts
     (stages/stats.grouped_topk_values) — the (group, value) pair exchange of
@@ -3933,6 +3978,7 @@ QUERIES = {
     # composition of two driver-proven machines (pair exchange + topn
     # combiner); direct evidence = oracle row in the local sweep + pytest
     "event_type_top_users": (q_event_type_top_users, SQL_EVENT_TYPE_TOP_USERS),
+    "event_value_outliers": (q_event_value_outliers, SQL_EVENT_VALUE_OUTLIERS),
     # r4-green, engine+oracle unchanged in r5 — old rows remain evidence
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),

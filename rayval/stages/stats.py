@@ -838,3 +838,107 @@ def grouped_topk_values(
         .map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)
     )
     return topn_per_group(counts, group_col, n_col, k, tie_col=value_col)
+
+
+def grouped_iqr_outliers(
+    ds,
+    group_col: str,
+    value_col: str,
+    out_cols: Sequence[str],
+    factor_num: int = 3,
+    factor_den: int = 2,
+    max_count_rows: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Distribution-based row filtering: rows whose integer value falls
+    outside [q1 - f*IQR, q3 + f*IQR] of their GROUP (f = factor_num /
+    factor_den, default 3/2 = the Tukey fence) — the outlier-removal stage
+    of a cleaning pipeline, EXACT and bit-matching SQL ``quantile_disc``.
+
+    Quantiles are derived from exact per-(group, value) counts: the pair
+    exchange of :func:`grouped_distinct_exact` reduced to a counts table,
+    which is then small enough to merge on the driver and turn into exact
+    q1/q3 by the quantile_disc index rule (element at ceil(q*n)-1 of the
+    sorted multiset, computed from cumulative counts — no value expansion).
+    The fence test is pure integer cross-multiplication
+    ``den*(q1 - v) > num*(q3 - q1)`` so fractional factors never touch
+    floats and the DuckDB oracle hashes bit-exact.
+
+    SCALE ASSUMPTION (checked loudly): the counts table — groups x distinct
+    values — must fit ``max_count_rows``.  This is the grouped_histogram
+    posture: exact under a BOUNDED VALUE DOMAIN (quantize/bin upstream for
+    continuous data); for unbounded domains use grouped_quantiles_sketch
+    (KLL) and accept rank error.  Pass 2 is map-only with the tiny fence
+    table broadcast.  Null values are never outliers (SQL comparison
+    semantics); null group keys form their own group."""
+    if factor_num < 0 or factor_den <= 0:
+        raise ValueError("factor must be a nonnegative rational with positive denominator")
+    part_ds = ds.select_columns([group_col, value_col])
+    g_type = part_ds.schema().base_schema.field(group_col).type
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {group_col: pa.array([], g_type), "_v": pa.array([], pa.int64()),
+             "_n": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        t = batch.filter(batch[value_col].is_valid())
+        if t.num_rows == 0:
+            return empty
+        t = pa.table({group_col: t[group_col],
+                      "_v": pc.round(t[value_col]).cast(pa.int64())})
+        part = t.group_by([group_col, "_v"]).aggregate([([], "count_all")]).combine_chunks()
+        return pa.table(
+            {group_col: part[group_col], "_v": part["_v"],
+             "_n": part["count_all"].cast(pa.int64())}
+        )
+
+    counts = part_ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    merged: dict = {}
+    for r in counts:
+        key = (r[group_col], r["_v"])
+        merged[key] = merged.get(key, 0) + int(r["_n"])
+    if len(merged) > max_count_rows:
+        raise ValueError(
+            f"grouped_iqr_outliers: counts table has {len(merged)} rows > "
+            f"max_count_rows={max_count_rows}; the value domain is not "
+            "bounded enough for the exact path — bin upstream or use "
+            "grouped_quantiles_sketch"
+        )
+    per_group: dict = {}
+    for (g, v), n in merged.items():
+        per_group.setdefault(g, []).append((v, n))
+    fences: dict = {}
+    for g, pairs in per_group.items():
+        pairs.sort()
+        vals = np.array([p[0] for p in pairs], dtype=np.int64)
+        cum = np.cumsum([p[1] for p in pairs])
+        n = int(cum[-1])
+        # quantile_disc(q) = sorted-multiset element at ceil(q*n)-1: the
+        # first value whose cumulative count reaches ceil(q*n)
+        import math
+        q1 = int(vals[np.searchsorted(cum, math.ceil(0.25 * n))])
+        q3 = int(vals[np.searchsorted(cum, math.ceil(0.75 * n))])
+        fences[g] = (q1, q3)
+    groups = list(fences)
+    g_keys = pa.array(groups, type=g_type)
+    q1_arr = np.array([fences[g][0] for g in groups] + [0], dtype=np.int64)
+    q3_arr = np.array([fences[g][1] for g in groups] + [0], dtype=np.int64)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({c: batch[c] for c in out_cols})
+        codes = pc.index_in(batch[group_col], g_keys)
+        code_np = pc.fill_null(codes, len(groups)).to_numpy(zero_copy_only=False).astype(np.int64)
+        known = code_np < len(groups)
+        v_valid = batch[value_col].is_valid().to_numpy(zero_copy_only=False)
+        v = pc.round(pc.fill_null(batch[value_col], 0)).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        q1, q3 = q1_arr[code_np], q3_arr[code_np]
+        iqr = q3 - q1
+        out = (factor_den * (q1 - v) > factor_num * iqr) | (
+            factor_den * (v - q3) > factor_num * iqr
+        )
+        out &= known & v_valid
+        return batch.filter(pa.array(out)).select(list(out_cols))
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

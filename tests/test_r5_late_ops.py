@@ -288,3 +288,58 @@ def test_grouped_topk_values_vs_pandas(ray_session):
         got = got.sort_values(["n", "v"], ascending=[False, True])
         assert list(got["v"]) == list(exp["v"]), (grp, got, exp)
         assert list(got["n"]) == list(exp["n"])
+
+
+# ------------------------------------------------------------ IQR outliers
+def test_grouped_iqr_outliers_vs_brute_force(ray_session):
+    ray = _ray()
+    from rayval.stages.stats import grouped_iqr_outliers
+
+    rng = np.random.default_rng(17)
+    g = rng.choice(["a", "b"], 800)
+    v = rng.integers(0, 100, 800).astype(np.int64)
+    spikes = rng.random(800) < 0.03
+    v[spikes] = v[spikes] + 10_000  # planted outliers
+    v_null = rng.random(800) < 0.05
+    t = pa.table(
+        {"id": pa.array(np.arange(800, dtype=np.int64)),
+         "g": pa.array(g.tolist()), "v": pa.array(v, mask=v_null)}
+    )
+    out = (
+        grouped_iqr_outliers(ray.data.from_arrow(t).repartition(6), "g", "v",
+                             out_cols=["id", "g", "v"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    expected = set()
+    for grp in ["a", "b"]:
+        vals = np.sort(df.loc[(df["g"] == grp) & df["v"].notna(), "v"].to_numpy().astype(np.int64))
+        n = len(vals)
+        import math
+        q1 = int(vals[math.ceil(0.25 * n) - 1])
+        q3 = int(vals[math.ceil(0.75 * n) - 1])
+        iqr = q3 - q1
+        sub = df[(df["g"] == grp) & df["v"].notna()]
+        for _, r in sub.iterrows():
+            c = int(r["v"])
+            if 2 * (q1 - c) > 3 * iqr or 2 * (c - q3) > 3 * iqr:
+                expected.add(int(r["id"]))
+    assert set(out["id"]) == expected
+    assert len(expected) > 0  # the planted spikes must be caught
+
+
+def test_grouped_iqr_outliers_guards(ray_session):
+    ray = _ray()
+    from rayval.stages.stats import grouped_iqr_outliers
+
+    t = pa.table(
+        {"id": pa.array(np.arange(100, dtype=np.int64)),
+         "g": pa.array(["x"] * 100),
+         "v": pa.array(np.arange(100, dtype=np.int64))}
+    )
+    with pytest.raises(ValueError, match="max_count_rows"):
+        grouped_iqr_outliers(ray.data.from_arrow(t), "g", "v",
+                             out_cols=["id"], max_count_rows=10)
+    with pytest.raises(ValueError, match="denominator"):
+        grouped_iqr_outliers(ray.data.from_arrow(t), "g", "v",
+                             out_cols=["id"], factor_den=0)
