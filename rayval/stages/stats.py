@@ -920,17 +920,23 @@ def grouped_iqr_outliers(
         q1 = int(vals[np.searchsorted(cum, math.ceil(0.25 * n))])
         q3 = int(vals[np.searchsorted(cum, math.ceil(0.75 * n))])
         fences[g] = (q1, q3)
+    # the NULL group's fence is carried separately: pc.index_in yields null
+    # for null values, so a null key would otherwise silently never flag
+    null_fence = fences.pop(None, None)
     groups = list(fences)
     g_keys = pa.array(groups, type=g_type)
-    q1_arr = np.array([fences[g][0] for g in groups] + [0], dtype=np.int64)
-    q3_arr = np.array([fences[g][1] for g in groups] + [0], dtype=np.int64)
+    q1_arr = np.array([fences[g][0] for g in groups]
+                      + [null_fence[0] if null_fence else 0], dtype=np.int64)
+    q3_arr = np.array([fences[g][1] for g in groups]
+                      + [null_fence[1] if null_fence else 0], dtype=np.int64)
 
     def flag(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({c: batch[c] for c in out_cols})
         codes = pc.index_in(batch[group_col], g_keys)
         code_np = pc.fill_null(codes, len(groups)).to_numpy(zero_copy_only=False).astype(np.int64)
-        known = code_np < len(groups)
+        is_null_g = batch[group_col].is_null().to_numpy(zero_copy_only=False)
+        known = (code_np < len(groups)) | (is_null_g & (null_fence is not None))
         v_valid = batch[value_col].is_valid().to_numpy(zero_copy_only=False)
         v = pc.round(pc.fill_null(batch[value_col], 0)).cast(pa.int64()).to_numpy(zero_copy_only=False)
         q1, q3 = q1_arr[code_np], q3_arr[code_np]

@@ -343,3 +343,19 @@ def test_grouped_iqr_outliers_guards(ray_session):
     with pytest.raises(ValueError, match="denominator"):
         grouped_iqr_outliers(ray.data.from_arrow(t), "g", "v",
                              out_cols=["id"], factor_den=0)
+
+
+def test_grouped_iqr_outliers_null_group(ray_session):
+    ray = _ray()
+    from rayval.stages.stats import grouped_iqr_outliers
+
+    # the NULL group forms its own partition: its planted spike must flag
+    v = list(range(40)) + [100_000]
+    t = pa.table(
+        {"id": pa.array(np.arange(41, dtype=np.int64)),
+         "g": pa.array([None] * 41, pa.string()),
+         "v": pa.array(np.array(v, dtype=np.int64))}
+    )
+    out = grouped_iqr_outliers(ray.data.from_arrow(t).repartition(3), "g", "v",
+                               out_cols=["id", "v"]).to_pandas()
+    assert list(out["id"]) == [40]
