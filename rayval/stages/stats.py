@@ -744,11 +744,17 @@ def grouped_zscore(
         g = r[group_col]
         n0, s0, q0 = stats.get(g, (0, 0, 0))
         stats[g] = (n0 + int(r["_n"]), s0 + int(r["_s"]), q0 + int(r["_q"]))
+    # the NULL group's stats ride the fallback slot: pc.index_in returns
+    # null for null keys, so without this a null group-key row would get a
+    # null z instead of its partition's z (SQL PARTITION BY groups nulls)
+    null_stats = stats.pop(None, None)
     groups = list(stats)
-    n_arr = np.array([stats[g][0] for g in groups], dtype=np.int64)
-    s_arr = np.array([stats[g][1] for g in groups], dtype=np.int64)
+    fallback = null_stats if null_stats is not None else (0, 0, 0)
+    n_arr = np.array([stats[g][0] for g in groups] + [fallback[0]], dtype=np.int64)
+    s_arr = np.array([stats[g][1] for g in groups] + [fallback[1]], dtype=np.int64)
     den_arr = np.array(
-        [float(n * q - s * s) for (n, s, q) in (stats[g] for g in groups)], dtype=np.float64
+        [float(n * q - s * s) for (n, s, q) in
+         [stats[g] for g in groups] + [fallback]], dtype=np.float64
     )
     den_arr = np.sqrt(den_arr)
     g_keys = pa.array(groups, type=g_type)
@@ -759,11 +765,9 @@ def grouped_zscore(
             cols[z_col] = pa.array([], pa.int64())
             return pa.table(cols)
         codes = pc.index_in(batch[group_col], g_keys)
-        # null group keys match the None entry in g_keys via index_in only
-        # when present; rows of unseen groups (impossible: pass 1 saw every
-        # group) or null-vs-missing fall out as null codes -> null z
         code_np = pc.fill_null(codes, len(groups)).to_numpy(zero_copy_only=False).astype(np.int64)
-        valid_code = code_np < len(groups)
+        is_null_g = batch[group_col].is_null().to_numpy(zero_copy_only=False)
+        valid_code = (code_np < len(groups)) | (is_null_g & (null_stats is not None))
         code_safe = np.where(valid_code, code_np, 0)
         v_valid = batch[value_col].is_valid().to_numpy(zero_copy_only=False)
         v = pc.round(pc.fill_null(batch[value_col], 0)).cast(pa.int64()).to_numpy(zero_copy_only=False)

@@ -359,3 +359,23 @@ def test_grouped_iqr_outliers_null_group(ray_session):
     out = grouped_iqr_outliers(ray.data.from_arrow(t).repartition(3), "g", "v",
                                out_cols=["id", "v"]).to_pandas()
     assert list(out["id"]) == [40]
+
+
+def test_grouped_zscore_null_group_partition(ray_session):
+    ray = _ray()
+    # null group keys form ONE partition (SQL PARTITION BY semantics) and
+    # get that partition's z, not a null
+    v = np.array([10, 20, 30, 40], dtype=np.int64)
+    t = pa.table(
+        {"id": pa.array(np.arange(4, dtype=np.int64)),
+         "g": pa.array([None] * 4, pa.string()),
+         "v": pa.array(v)}
+    )
+    out = (
+        grouped_zscore(ray.data.from_arrow(t).repartition(2), "g", "v", out_cols=["id"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    n, s, q = 4, int(v.sum()), int((v ** 2).sum())
+    den = np.sqrt(float(n * q - s * s))
+    exp = [int(np.floor(float(n * x - s) * 1e6 / den)) for x in v]
+    assert list(out["z_e6"]) == exp
